@@ -1,0 +1,132 @@
+"""Command-line entry point.
+
+The reference's CLI is one positional arg — total spp, divided by the 4
+jitter cells (smallpt.cpp:276,846) — plus compile-time constants for
+everything else. This CLI exposes every such constant (SURVEY.md §5.6) and
+writes image.ppm like the reference (smallpt.cpp:138).
+
+Examples:
+    smallpt-tpu --scene cornell --spp 64 --width 256 --height 256
+    smallpt-tpu --scene cornell --mode normal --out normals.png
+    python -m smallpt_tpu --scene two_sphere --camera legacy --filter tent 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from smallpt_tpu.config import RenderConfig, Mode, Filter, CameraModel, Intersector
+from smallpt_tpu.core import scene as scenes
+from smallpt_tpu.core.camera import smallpt_camera, default_matrix_camera
+from smallpt_tpu.engine.progressive import ProgressiveRenderer
+from smallpt_tpu.utils import image as img_io
+
+
+SCENES = {
+    "cornell": scenes.cornell_box_scene,
+    "cornell_dim": scenes.cornell_box_dim_light_scene,
+    "two_sphere": scenes.two_sphere_scene,
+    "triangle": scenes.single_triangle_scene,
+    "procedural": scenes.procedural_sphere_scene,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="smallpt-tpu", description=__doc__)
+    p.add_argument("spp", nargs="?", type=int, default=4,
+                   help="total samples per pixel (divided over jitter cells, "
+                        "like the reference's argv[1])")
+    p.add_argument("--scene", choices=sorted(SCENES), default="cornell")
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--mode", choices=[m.value for m in Mode], default="full")
+    p.add_argument("--filter", choices=[f.value for f in Filter], default=None)
+    p.add_argument("--camera", choices=[c.value for c in CameraModel], default=None)
+    p.add_argument("--intersector", choices=[i.value for i in Intersector],
+                   default="jax")
+    p.add_argument("--max-depth", type=int, default=64)
+    p.add_argument("--rr-depth", type=int, default=5)
+    p.add_argument("--split-budget", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--passes", type=int, default=None,
+                   help="progressive passes (default: spp/4 like the reference)")
+    p.add_argument("--out", default="image.ppm")
+    p.add_argument("--checkpoint", default=None,
+                   help="save progressive state here after rendering")
+    p.add_argument("--resume", default=None, help="resume from a checkpoint")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    scene = SCENES[args.scene]()
+    mesh_scene = args.scene == "triangle"
+    # scene-appropriate defaults mirroring the reference's two pipelines
+    camera_model = CameraModel(args.camera) if args.camera else (
+        CameraModel.MATRIX if mesh_scene else CameraModel.LEGACY
+    )
+    filt = Filter(args.filter) if args.filter else (
+        Filter.BOX if camera_model == CameraModel.MATRIX else Filter.TENT
+    )
+
+    spp_per_cell = max(1, args.spp // 4)
+    n_passes = args.passes if args.passes is not None else 1
+
+    config = RenderConfig(
+        width=args.width,
+        height=args.height,
+        spp_per_cell=spp_per_cell,
+        mode=Mode(args.mode),
+        filter=filt,
+        camera_model=camera_model,
+        intersector=Intersector(args.intersector),
+        max_depth=args.max_depth,
+        rr_depth=args.rr_depth,
+        split_budget=args.split_budget,
+    )
+    camera = (
+        default_matrix_camera()
+        if camera_model == CameraModel.MATRIX
+        else smallpt_camera()
+    )
+
+    r = ProgressiveRenderer(scene, camera, config, seed=args.seed)
+    if args.resume:
+        r.load_checkpoint(args.resume)
+
+    t0 = time.time()
+    for i in range(n_passes):
+        r.step()
+        if not args.quiet:
+            done = 100.0 * (i + 1) / n_passes
+            print(
+                f"\rRendering ({config.spp * n_passes} spp) {done:5.2f}%",
+                end="",
+                file=sys.stderr,
+            )
+    np.asarray(r.accum.block_until_ready())
+    if not args.quiet:
+        print(f"\nElapsed time: {(time.time() - t0) * 1000:.0f} ms", file=sys.stderr)
+
+    img = r.image
+    if args.out.endswith(".png"):
+        img_io.write_png(args.out, img)
+    elif args.out.endswith(".p6.ppm"):
+        img_io.write_ppm_binary(args.out, img)
+    else:
+        img_io.write_ppm(args.out, img)
+    if args.checkpoint:
+        r.save_checkpoint(args.checkpoint)
+    if not args.quiet:
+        print(f"Wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,143 @@
+"""Render configuration.
+
+The reference hardcodes every knob as a compile-time constant (SURVEY.md §5.6):
+resolution (smallpt.cpp:274-275,844-845), jitterSize=2 (:285,703,847), Russian
+roulette start depth 5 (:188), split depth <=2 (:201,248), glass IOR nt=1.5
+(:227), shading epsilon 0.02 (:172), intersection root epsilon 1e-4
+(scene.cpp:133), backend selection (:605), AOV mode (:179-183). Here every one
+of those is a field of a hashable dataclass that is passed as a static argument
+to the jitted render — changing a knob recompiles, matching XLA semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Mode(enum.Enum):
+    """Shading mode / AOV selection.
+
+    The reference switches these by editing shadePaths (smallpt.cpp:179-183):
+    the active line accumulates the normal AOV; commented alternates are
+    emission-only, uv, and instance/triangle false-color. FULL is the intended
+    complete light transport (the dead-but-complete code smallpt.cpp:185-263).
+    """
+
+    FULL = "full"
+    NORMAL = "normal"
+    UV = "uv"
+    INST_ID = "inst_id"
+    EMISSION = "emission"
+
+
+class Filter(enum.Enum):
+    """Pixel reconstruction filter.
+
+    BOX: the current engine's filter, 0.5*(2r-1) in [-0.5,0.5]
+    (smallpt.cpp:753-755). TENT: the legacy cpuRender/smallpt tent filter,
+    dx = r<1 ? sqrt(r)-1 : 1-sqrt(2-r) (smallpt.cpp:327-333).
+    """
+
+    BOX = "box"
+    TENT = "tent"
+
+
+class CameraModel(enum.Enum):
+    """LEGACY: smallpt's cx/cy frame camera with origin pushed forward 140
+    units (smallpt.cpp:277-279,331-333). MATRIX: the current engine's 4x4
+    localToWorld clip-space camera (smallpt.cpp:607-641).
+    """
+
+    LEGACY = "legacy"
+    MATRIX = "matrix"
+
+
+class Intersector(enum.Enum):
+    """Intersection backend, mirroring the reference's compile-time
+    ``using Intersector = OptixIntersector`` switch (smallpt.cpp:605).
+
+    JAX: pure-JAX chunked intersect (the CPUIntersector analog, also the
+    differentiable-replay path). PALLAS: the TPU Pallas megakernel (the
+    OptiX Prime analog).
+    """
+
+    JAX = "jax"
+    PALLAS = "pallas"
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters. Hashable → usable as a jit static arg."""
+
+    width: int = 256
+    height: int = 256
+
+    # Sampling: each pixel is subdivided into jitter_size^2 cells; each cell
+    # gets spp_per_cell stratified samples per pass (smallpt.cpp:285,703-704).
+    jitter_size: int = 2
+    spp_per_cell: int = 1
+
+    # Light transport.
+    mode: Mode = Mode.FULL
+    max_depth: int = 64  # hard cap on the wavefront loop (RR makes tails rare)
+    rr_depth: int = 5  # kill with RR once depth > rr_depth (smallpt.cpp:188)
+    ior: float = 1.5  # glass index of refraction nt (smallpt.cpp:227)
+
+    # Refraction path splitting (smallpt.cpp:201,248-254): a REFR hit at
+    # depth <= split_depth splits into reflect+refract. split_budget is the
+    # number of statically allocated lanes per camera sample; 1 disables
+    # splitting (probabilistic single-path selection everywhere, the
+    # reference's own behavior for depth > 2, smallpt.cpp:256-263).
+    split_depth: int = 2
+    split_budget: int = 1
+
+    # Geometry epsilons. shading_eps offsets continuation-ray origins along
+    # the shading normal: +nl for reflected/diffuse rays, -nl for transmitted
+    # (the reference offsets +0.02*n uniformly, smallpt.cpp:172; original
+    # smallpt offsets nothing and relies on a 1e-4 root eps, scene.cpp:133 —
+    # which only works in double precision). 0.05 is calibrated for float32
+    # at smallpt's 1e5 scene scale, where hit-point placement noise is ~0.03.
+    shading_eps: float = 0.05
+    # Root-rejection eps: per sphere, max(intersect_eps, intersect_eps_rel*r)
+    # — the relative term guards against f32 self-intersection on the
+    # 1e5-radius wall spheres (f32 rel eps ~6e-8; 5e-7 gives ~8x margin).
+    intersect_eps: float = 1e-4
+    intersect_eps_rel: float = 5e-7
+
+    # Normal orientation: the reference has the flip disabled
+    # (nl = n, smallpt.cpp:174) which breaks glass; original smallpt flips nl
+    # against the incoming ray. True restores the flip (the intended physics,
+    # see SURVEY.md Appendix A).
+    flip_normals: bool = True
+
+    filter: Filter = Filter.BOX
+    camera_model: CameraModel = CameraModel.MATRIX
+
+    intersector: Intersector = Intersector.JAX
+
+    # Chunking: spheres/triangles are scanned in chunks of this size inside
+    # the pure-JAX intersector to bound (lanes x prims) memory.
+    prim_chunk: int = 512
+
+    # dtype for path state ("float32" is the TPU-native choice; "float64"
+    # only works on the CPU backend with jax_enable_x64, for oracle parity).
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.split_budget not in (1, 2, 4, 8, 16):
+            raise ValueError("split_budget must be a power of two in [1,16]")
+        if self.jitter_size < 1:
+            raise ValueError("jitter_size must be >= 1")
+
+    @property
+    def spp(self) -> int:
+        """Samples per pixel per pass (smallpt.cpp:286,704)."""
+        return self.jitter_size * self.jitter_size * self.spp_per_cell
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

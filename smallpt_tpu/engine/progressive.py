@@ -1,0 +1,164 @@
+"""Progressive accumulation driver — the interactive app's render-thread
+semantics (smallpt.cpp:895-941) without a window.
+
+The reference loops Renderer::render forever, adding each 1-pass image into a
+mutex-guarded accumBuffer and bumping sampleCount; a JSON request queue
+carries camera updates which clear the accumulation (smallpt.cpp:906-920,
+931-939); display/save normalizes by 1/(sampleCount*sppPerPass)
+(smallpt.cpp:957,995-1001). Here:
+
+- the accumulation buffer lives on device; each step is one jitted pass
+  (async dispatch — the host can enqueue step N+1 while fetching a display
+  frame of step N, replacing the reference's two-thread mutex dance)
+- the command queue accepts JSON-compatible dicts; ``update_camera`` matches
+  the reference's protocol {"action": "update_camera", "org": [x,y,z]}
+  (smallpt.cpp:978-985) and extends to full camera/scene/config updates;
+  any change that invalidates the accumulation resets it
+- the progressive state (accum, sample_count, seed) is the checkpoint: save/
+  load makes renders restartable (the reference's implicit resumable state,
+  SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from smallpt_tpu.config import RenderConfig, CameraModel
+from smallpt_tpu.core import rng as prng
+from smallpt_tpu.core.camera import (
+    LegacyCamera,
+    MatrixCamera,
+    matrix_camera_from_frame,
+)
+from smallpt_tpu.engine.renderer import render
+
+
+class ProgressiveRenderer:
+    def __init__(self, scene, camera, config: RenderConfig, seed: int = 0):
+        self.scene = scene
+        self.camera = camera
+        self.config = config
+        self.seed = seed
+        self._base = prng.base_key(seed)
+        self.accum = jnp.zeros(
+            (config.height, config.width, 3), jnp.dtype(config.dtype)
+        )
+        self.sample_count = 0  # passes accumulated
+        self._requests: list[dict] = []
+        self._req_lock = threading.Lock()
+
+    # -- command queue (smallpt.cpp:890-920 analog) ------------------------
+    def enqueue(self, request: dict | str) -> None:
+        if isinstance(request, str):
+            request = json.loads(request)
+        with self._req_lock:
+            self._requests.append(request)
+
+    def _apply_requests(self) -> bool:
+        with self._req_lock:
+            requests, self._requests = self._requests, []
+        invalidate = False
+        for req in requests:
+            action = req.get("action")
+            if action == "update_camera":
+                org = req["org"]
+                if isinstance(self.camera, MatrixCamera):
+                    m = self.camera.local_to_world
+                    m = m.at[:3, 3].set(jnp.asarray(org, m.dtype))
+                    self.camera = self.camera._replace(local_to_world=m)
+                else:
+                    self.camera = self.camera._replace(
+                        origin=jnp.asarray(org, self.camera.origin.dtype)
+                    )
+                invalidate = True
+            elif action == "update_scene":
+                # replace any subset of sphere-scene leaves
+                for k in ("center", "radius"):
+                    if k in req:
+                        self.scene = self.scene._replace(
+                            **{k: jnp.asarray(req[k], self.accum.dtype)}
+                        )
+                mat = self.scene.material
+                for k in ("emission", "albedo"):
+                    if k in req:
+                        mat = mat._replace(**{k: jnp.asarray(req[k], self.accum.dtype)})
+                self.scene = self.scene._replace(material=mat)
+                invalidate = True
+            elif action == "reset":
+                invalidate = True
+            else:
+                raise ValueError(f"unknown action {action!r}")
+        return invalidate
+
+    # -- progressive stepping ----------------------------------------------
+    def step(self, n_passes: int = 1) -> None:
+        """Run n_passes render passes and accumulate (one pass = config.spp
+        samples/pixel, the reference's +1 progressive sample,
+        smallpt.cpp:922-926)."""
+        if self._apply_requests():
+            self.reset_accumulation()
+        for _ in range(n_passes):
+            key = jax.random.fold_in(self._base, self.sample_count)
+            self.accum = self.accum + render(self.scene, self.camera, self.config, key)
+            self.sample_count += 1
+
+    def reset_accumulation(self) -> None:
+        self.accum = jnp.zeros_like(self.accum)
+        self.sample_count = 0
+
+    @property
+    def image(self) -> np.ndarray:
+        """Normalized display image (smallpt.cpp:957): accum / (N * spp)."""
+        n = max(self.sample_count, 1)
+        return np.asarray(self.accum) / (n * self.config.spp)
+
+    # -- checkpoint / resume (SURVEY.md §5.4) --------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        np.savez(
+            path,
+            accum=np.asarray(self.accum),
+            sample_count=self.sample_count,
+            seed=self.seed,
+            camera_kind=type(self.camera).__name__,
+            camera_leaves=np.asarray(
+                np.concatenate([np.ravel(x) for x in jax.tree.leaves(self.camera)])
+            ),
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path, allow_pickle=False)
+        if int(data["seed"]) != self.seed:
+            raise ValueError("checkpoint seed mismatch — resume would replay "
+                             "different sample streams")
+        self.accum = jnp.asarray(data["accum"])
+        self.sample_count = int(data["sample_count"])
+        flat = data["camera_leaves"]
+        leaves = jax.tree.leaves(self.camera)
+        out, off = [], 0
+        for leaf in leaves:
+            n = int(np.prod(leaf.shape)) if leaf.shape else 1
+            out.append(jnp.asarray(flat[off : off + n]).reshape(leaf.shape).astype(leaf.dtype))
+            off += n
+        self.camera = jax.tree.unflatten(jax.tree.structure(self.camera), out)
+
+    # -- headless interactive loop ------------------------------------------
+    def run(
+        self,
+        n_passes: int,
+        on_frame: Callable[["ProgressiveRenderer"], Any] | None = None,
+        frame_every: int = 1,
+    ) -> None:
+        """Render n_passes progressively, invoking on_frame periodically —
+        the UI-thread consumer slot (smallpt.cpp:946-988)."""
+        for i in range(n_passes):
+            self.step()
+            if on_frame is not None and (i + 1) % frame_every == 0:
+                on_frame(self)

@@ -1,0 +1,127 @@
+"""The render engine: camera sampling + wavefront loop + per-pixel reduction.
+
+This is the Renderer::render analog (smallpt.cpp:692-814), but the whole
+generate→trace→shade loop is one jitted device program — the reference crosses
+host↔GPU on every bounce through OptiX host buffers (smallpt.cpp:570-582);
+here the host only receives the finished pass image.
+
+Like the reference, ``render`` returns *summed* (unnormalized) per-pixel
+radiance for the pass (smallpt.cpp:813) — progressive accumulation divides by
+the total sample count only at display/save time (smallpt.cpp:957,995-1001),
+which keeps accumulation exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from smallpt_tpu.config import RenderConfig, Intersector
+from smallpt_tpu.core import camera as cam
+from smallpt_tpu.core import rng as prng
+from smallpt_tpu.core.scene import SphereScene, MeshScene
+from smallpt_tpu.ops import intersect as isect
+from smallpt_tpu.ops import wavefront
+
+
+def make_intersect_fn(scene, config: RenderConfig):
+    """Backend selection — the ``using Intersector = ...`` switch
+    (smallpt.cpp:605), at runtime instead of compile time."""
+    if isinstance(scene, SphereScene):
+        if config.intersector == Intersector.PALLAS:
+            from smallpt_tpu.ops.intersect_pallas import intersect_spheres_pallas
+
+            return lambda o, d: intersect_spheres_pallas(
+                o, d, scene, eps=config.intersect_eps
+            )
+        return lambda o, d: isect.intersect_spheres(
+            o,
+            d,
+            scene,
+            eps=config.intersect_eps,
+            eps_rel=config.intersect_eps_rel,
+            chunk=config.prim_chunk,
+        )
+    elif isinstance(scene, MeshScene):
+        return lambda o, d: isect.intersect_mesh(
+            o, d, scene, eps=0.0, chunk=config.prim_chunk
+        )
+    raise TypeError(f"unknown scene type {type(scene)}")
+
+
+def render_samples(
+    scene,
+    camera,
+    config: RenderConfig,
+    key: jax.Array,
+    sample_ids: jnp.ndarray,
+    pixel_cols: jnp.ndarray,
+    pixel_rows: jnp.ndarray,
+    cell_x: jnp.ndarray,
+    cell_y: jnp.ndarray,
+    differentiable: bool = False,
+) -> jnp.ndarray:
+    """Render an arbitrary flat batch of camera samples.
+
+    Returns per-sample radiance (N,3) (summed over the sample's split-budget
+    lanes). This is the sharding-friendly core: callers shard the sample axis.
+    """
+    dtype = jnp.dtype(config.dtype)
+    u_cam = prng.camera_uniforms(key, sample_ids, dtype)
+    org, dirs = cam.generate_rays(
+        camera, u_cam, config, pixel_cols, pixel_rows, cell_x, cell_y
+    )
+    state = wavefront.initial_state(org, dirs, config.split_budget, dtype)
+    lane_sample_ids = (
+        sample_ids
+        if config.split_budget == 1
+        else jnp.repeat(sample_ids, config.split_budget, axis=0)
+    )
+    intersect_fn = make_intersect_fn(scene, config)
+    final = wavefront.run_wavefront(
+        state,
+        intersect_fn,
+        scene.material,
+        config,
+        key,
+        lane_sample_ids,
+        differentiable=differentiable,
+    )
+    rad = final.radiance
+    if config.split_budget > 1:
+        rad = rad.reshape(-1, config.split_budget, 3).sum(axis=1)
+    return rad
+
+
+@functools.partial(jax.jit, static_argnames=("config", "differentiable"))
+def render(
+    scene, camera, config: RenderConfig, key: jax.Array, differentiable: bool = False
+) -> jnp.ndarray:
+    """One full-frame pass. Returns (H, W, 3) summed radiance over
+    config.spp samples per pixel (unnormalized, like smallpt.cpp:813)."""
+    sample_ids, pixel, col, row, cx, cy = cam.sample_indices(config, config.n_pixels)
+    rad = render_samples(
+        scene, camera, config, key, sample_ids, col, row, cx, cy, differentiable
+    )
+    img = rad.reshape(config.n_pixels, config.spp, 3).sum(axis=1)
+    return img.reshape(config.height, config.width, 3)
+
+
+def render_image(
+    scene,
+    camera,
+    config: RenderConfig,
+    seed: int = 0,
+    n_passes: int = 1,
+) -> jnp.ndarray:
+    """Convenience: run n_passes progressive passes and return the *mean*
+    image (H, W, 3). Each pass gets an independent key derived from
+    (seed, pass) — the analog of the reference re-seeding each pass with the
+    running sampleCount (smallpt.cpp:922,740)."""
+    base = prng.base_key(seed)
+    acc = jnp.zeros((config.height, config.width, 3), jnp.dtype(config.dtype))
+    for p in range(n_passes):
+        acc = acc + render(scene, camera, config, jax.random.fold_in(base, p))
+    return acc / (n_passes * config.spp)

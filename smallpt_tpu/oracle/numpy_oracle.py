@@ -1,0 +1,258 @@
+"""NumPy float64 oracle — independent scalar transliteration of the
+*intended* reference behavior.
+
+The reference ships no tests (SURVEY.md §4); its verification style is
+cross-checking independent backends (CPUIntersector vs OptixIntersector,
+analytic vs mesh sphere intersection). This oracle plays that role for the
+TPU build: a direct scalar recursion implementing the dead-but-complete BSDF
+code in shadePaths (smallpt.cpp:185-263), original smallpt's normal flip
+(restored, see SURVEY.md Appendix A), the analytic sphere intersection
+(scene.cpp:129-140), both pixel filters (smallpt.cpp:327-333, 753-755) and
+both cameras (smallpt.cpp:277-279, 607-641).
+
+Crucially it consumes the *same* per-decision uniforms as the wavefront
+renderer — keyed by (sample, path-history, depth) — so at matching
+configuration the two implementations follow identical decision trees and the
+images agree to float tolerance path-for-path, not just in expectation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from smallpt_tpu.config import RenderConfig, Filter, CameraModel, Mode
+from smallpt_tpu.core import rng as prng
+
+
+class JaxUniformProvider:
+    """Uniforms from the exact jax.random keying the renderer uses
+    (core/rng.py), evaluated eagerly on whatever backend is active."""
+
+    def __init__(self, seed_or_key):
+        import jax
+
+        if isinstance(seed_or_key, int):
+            self.key = prng.base_key(seed_or_key)
+        else:
+            self.key = seed_or_key
+        self._jax = jax
+
+    def camera(self, sample_id: int) -> np.ndarray:
+        u = prng.camera_uniforms(self.key, np.asarray([sample_id], np.int32))
+        return np.asarray(u[0], dtype=np.float64)
+
+    def shade(self, sample_id: int, hist: int, depth: int) -> np.ndarray:
+        u = prng.shade_uniforms(
+            self.key,
+            np.asarray([sample_id], np.int32),
+            np.asarray([hist], np.int32),
+            np.asarray([depth], np.int32),
+        )
+        return np.asarray(u[0], dtype=np.float64)
+
+
+class PrecomputedUniformProvider(JaxUniformProvider):
+    """Same streams, but vectorized: camera uniforms fetched in one call and
+    shade uniforms fetched lazily one (hist, depth) plane at a time — makes
+    whole-image oracle renders tractable."""
+
+    def __init__(self, seed_or_key, n_samples: int):
+        super().__init__(seed_or_key)
+        self.n = n_samples
+        sids = np.arange(n_samples, dtype=np.int32)
+        self._cam = np.asarray(
+            prng.camera_uniforms(self.key, sids), dtype=np.float64
+        )
+        self._sids = sids
+        self._shade = {}
+
+    def camera(self, sample_id: int) -> np.ndarray:
+        return self._cam[sample_id]
+
+    def shade(self, sample_id: int, hist: int, depth: int) -> np.ndarray:
+        plane = self._shade.get((hist, depth))
+        if plane is None:
+            plane = np.asarray(
+                prng.shade_uniforms(
+                    self.key,
+                    self._sids,
+                    np.full((self.n,), hist, np.int32),
+                    np.full((self.n,), depth, np.int32),
+                ),
+                dtype=np.float64,
+            )
+            self._shade[(hist, depth)] = plane
+        return plane[sample_id]
+
+
+def _norm(v):
+    return v / np.linalg.norm(v)
+
+
+class Oracle:
+    def __init__(self, scene, camera, config: RenderConfig, uniforms):
+        """scene/camera: the same pytrees the renderer takes (converted to
+        numpy float64 here). uniforms: provider with camera()/shade()."""
+        self.config = config
+        self.u = uniforms
+        self.center = np.asarray(scene.center, np.float64)
+        self.radius = np.asarray(scene.radius, np.float64)
+        self.emission = np.asarray(scene.material.emission, np.float64)
+        self.albedo = np.asarray(scene.material.albedo, np.float64)
+        self.refl = np.asarray(scene.material.refl, np.int64)
+        self.camera = camera
+        if config.split_budget not in (1,) and config.split_budget < 2 ** (
+            config.split_depth + 1
+        ):
+            raise ValueError(
+                "oracle supports split_budget=1 (no splitting) or a budget "
+                ">= 2^(split_depth+1) (splits always succeed); intermediate "
+                "budgets depend on wavefront slot occupancy"
+            )
+        self.splitting = config.split_budget > 1
+
+    # -- intersection (scene.cpp:129-140 + closest-hit loop smallpt.cpp:54-70)
+    def intersect(self, o, d):
+        best_t, best_i = np.inf, -1
+        for i in range(self.center.shape[0]):
+            # per-sphere root eps, matching ops/intersect.py
+            eps = max(
+                self.config.intersect_eps,
+                self.config.intersect_eps_rel * float(self.radius[i]),
+            )
+            op = self.center[i] - o
+            b = float(np.dot(op, d))
+            det = b * b - float(np.dot(op, op)) + float(self.radius[i] ** 2)
+            if det < 0:
+                continue
+            sq = np.sqrt(det)
+            t = b - sq
+            if t <= eps:
+                t = b + sq
+                if t <= eps:
+                    continue
+            if t < best_t:
+                best_t, best_i = t, i
+        return best_t, best_i
+
+    # -- primary ray (both cameras/filters)
+    def camera_ray(self, sample_id, col, row, cell_x, cell_y):
+        cfg = self.config
+        u = self.u.camera(sample_id)
+        js = cfg.jitter_size
+        if cfg.filter == Filter.BOX:
+            jittered = (np.array([cell_x, cell_y], np.float64) + u) / js
+            off = 0.5 * (2.0 * jittered - 1.0)
+        else:
+            r = 2.0 * u
+            dxy = np.where(r < 1.0, np.sqrt(r) - 1.0, 1.0 - np.sqrt(np.maximum(2.0 - r, 0.0)))
+            off = (np.array([cell_x, cell_y], np.float64) + 0.5 + dxy) / js - 0.5
+        if cfg.camera_model == CameraModel.LEGACY:
+            c = self.camera
+            w, h = cfg.width, cfg.height
+            camd = np.asarray(c.direction, np.float64)
+            fov = float(c.fov_scale)
+            cx = np.array([w * fov / h, 0.0, 0.0])
+            cy = _norm(np.cross(cx, camd)) * fov
+            sx = (col + 0.5 + off[0]) / w - 0.5
+            sy = (row + 0.5 + off[1]) / h - 0.5
+            d = cx * sx + cy * sy + camd
+            org = np.asarray(c.origin, np.float64) + d * float(c.push_forward)
+            return org, _norm(d)
+        else:
+            m = np.asarray(self.camera.local_to_world, np.float64)
+            near = float(self.camera.near_plane)
+            raster = np.array([col + 0.5 + off[0], row + 0.5 + off[1]])
+            clip = 2.0 * raster / np.array([cfg.width, cfg.height]) - 1.0
+            d4 = m @ np.array([clip[0], clip[1], near, 0.0])
+            return m[:3, 3].copy(), _norm(d4[:3])
+
+    # -- recursive radiance following the wavefront's decision tree
+    def radiance(self, o, d, depth, hist, weight, sample_id):
+        cfg = self.config
+        if depth >= cfg.max_depth:
+            # wavefront lanes die unprocessed once the bounce cap is reached
+            return np.zeros(3)
+        t, i = self.intersect(o, d)
+        if not np.isfinite(t):
+            return np.zeros(3)
+        x = o + t * d
+        n = _norm(x - self.center[i])
+        nl = n if (np.dot(n, d) < 0 or not cfg.flip_normals) else -n
+
+        if cfg.mode == Mode.NORMAL:
+            return nl.copy()
+
+        out = weight * self.emission[i]
+        u = self.u.shade(sample_id, hist, depth)
+        f = self.albedo[i].copy()
+        p = float(np.max(f))
+        if depth > cfg.rr_depth:
+            if u[prng.U_RR] < p:
+                f = f / p
+            else:
+                return out
+        # continuation-origin offsets matching ops/wavefront.py: +nl on the
+        # reflected side, -nl for transmitted rays
+        x_refl = x + cfg.shading_eps * nl
+        x_trans = x - cfg.shading_eps * nl
+
+        refl = int(self.refl[i])
+        if refl == 0:  # DIFF (smallpt.cpp:208-216)
+            r1 = 2 * np.pi * u[prng.U_BSDF_1]
+            r2 = u[prng.U_BSDF_2]
+            r2s = np.sqrt(r2)
+            w = nl
+            up = np.array([0.0, 1.0, 0.0]) if abs(w[0]) > 0.1 else np.array([1.0, 0.0, 0.0])
+            uu = _norm(np.cross(up, w))
+            vv = np.cross(w, uu)
+            nd = _norm(uu * np.cos(r1) * r2s + vv * np.sin(r1) * r2s + w * np.sqrt(max(1 - r2, 0.0)))
+            return out + self.radiance(x_refl, nd, depth + 1, hist, weight * f, sample_id)
+
+        refl_dir = d - n * 2.0 * np.dot(n, d)
+        if refl == 1:  # SPEC (smallpt.cpp:218-223)
+            return out + self.radiance(x_refl, refl_dir, depth + 1, hist, weight * f, sample_id)
+
+        # REFR (smallpt.cpp:225-263)
+        into = np.dot(n, nl) > 0
+        nc, nt = 1.0, cfg.ior
+        nnt = nc / nt if into else nt / nc
+        ddn = np.dot(d, nl)
+        cos2t = 1 - nnt * nnt * (1 - ddn * ddn)
+        if cos2t < 0:  # total internal reflection
+            return out + self.radiance(x_refl, refl_dir, depth + 1, hist, weight * f, sample_id)
+        tdir = _norm(d * nnt - n * ((1 if into else -1) * (ddn * nnt + np.sqrt(cos2t))))
+        a, b = nt - nc, nt + nc
+        r0 = a * a / (b * b)
+        c = 1 - (-ddn if into else np.dot(tdir, n))
+        re = r0 + (1 - r0) * c**5
+        tr = 1 - re
+        if self.splitting and depth <= cfg.split_depth:
+            # split (smallpt.cpp:248-254); children keyed 2h+1 / 2h+2
+            return (
+                out
+                + self.radiance(x_refl, refl_dir, depth + 1, 2 * hist + 1, weight * f * re, sample_id)
+                + self.radiance(x_trans, tdir, depth + 1, 2 * hist + 2, weight * f * tr, sample_id)
+            )
+        pp = 0.25 + 0.5 * re
+        if u[prng.U_CHOICE] < pp:
+            return out + self.radiance(x_refl, refl_dir, depth + 1, hist, weight * f * re / pp, sample_id)
+        return out + self.radiance(x_trans, tdir, depth + 1, hist, weight * f * tr / (1 - pp), sample_id)
+
+    def render(self) -> np.ndarray:
+        """Full-frame pass: (H,W,3) summed radiance over config.spp samples
+        per pixel — same contract as engine.renderer.render."""
+        cfg = self.config
+        img = np.zeros((cfg.height, cfg.width, 3))
+        spp = cfg.spp
+        for row in range(cfg.height):
+            for col in range(cfg.width):
+                pixel = row * cfg.width + col
+                for ip in range(spp):
+                    group = ip // cfg.spp_per_cell
+                    cell_x = group % cfg.jitter_size
+                    cell_y = group // cfg.jitter_size
+                    sid = pixel * spp + ip
+                    o, d = self.camera_ray(sid, col, row, cell_x, cell_y)
+                    img[row, col] += self.radiance(o, d, 0, 0, np.ones(3), sid)
+        return img

@@ -1,0 +1,97 @@
+"""End-to-end parity: the TPU wavefront renderer vs the NumPy f64 oracle.
+
+Because both implementations consume identical per-decision uniform streams
+(keyed by sample/history/depth, core/rng.py), they follow the same decision
+tree path-for-path; residual differences are f32-vs-f64 geometry noise plus a
+small population of genuinely ambiguous paths (smallpt's light sphere bottom
+sits 0.27 units below the ceiling wall — hits near that rim can flip
+surfaces). Thresholds below reflect measured behavior with margin."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from smallpt_tpu.config import RenderConfig, Mode, Filter, CameraModel
+from smallpt_tpu.core.scene import cornell_box_scene, two_sphere_scene
+from smallpt_tpu.core.camera import smallpt_camera
+from smallpt_tpu.core import rng as prng
+from smallpt_tpu.engine.renderer import render
+from smallpt_tpu.oracle.numpy_oracle import Oracle, PrecomputedUniformProvider
+
+
+def _compare(cfg, scene, cam, key, max_frac_div=0.02, mean_tol=0.2):
+    img = np.asarray(render(scene, cam, cfg, key))
+    oracle = Oracle(scene, cam, cfg, PrecomputedUniformProvider(key, cfg.n_pixels * cfg.spp))
+    oimg = oracle.render()
+    diff = np.abs(img - oimg)
+    rel = diff / (1.0 + np.abs(oimg))
+    assert np.isfinite(img).all()
+    assert (rel > 0.1).mean() <= max_frac_div, (
+        f"{(rel > 0.1).mean():.4f} of values diverge >10%"
+    )
+    assert diff.mean() < mean_tol, f"mean abs diff {diff.mean():.4f}"
+    assert abs(img.mean() - oimg.mean()) < 0.15 * (abs(oimg.mean()) + 0.1)
+    return img, oimg
+
+
+def test_cornell_full_transport_parity():
+    """BASELINE.json config 1 analog: smallpt Cornell box, legacy camera,
+    tent filter, full BSDF set, RR at depth>5, no splitting."""
+    cfg = RenderConfig(
+        width=16, height=16, spp_per_cell=1,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT, max_depth=16,
+    )
+    _compare(cfg, cornell_box_scene(), smallpt_camera(), prng.base_key(0))
+
+
+def test_cornell_parity_with_splitting():
+    """Fidelity mode: refraction splitting at depth<=2 into an 8-lane budget
+    (smallpt.cpp:248-254 semantics)."""
+    cfg = RenderConfig(
+        width=10, height=10, spp_per_cell=1, split_budget=8, split_depth=2,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT, max_depth=12,
+    )
+    _compare(cfg, cornell_box_scene(), smallpt_camera(), prng.base_key(3))
+
+
+def test_two_sphere_scene_parity():
+    """The reference's *active* scene (smallpt.cpp:31-34)."""
+    cfg = RenderConfig(
+        width=12, height=12, spp_per_cell=1,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT, max_depth=10,
+    )
+    _compare(cfg, two_sphere_scene(), smallpt_camera(), prng.base_key(1))
+
+
+def test_box_filter_parity():
+    cfg = RenderConfig(
+        width=12, height=12, spp_per_cell=1,
+        camera_model=CameraModel.LEGACY, filter=Filter.BOX, max_depth=10,
+    )
+    _compare(cfg, cornell_box_scene(), smallpt_camera(), prng.base_key(2))
+
+
+def test_normal_aov_parity():
+    """Normal AOV (the reference's active debug output, smallpt.cpp:180),
+    with the reference's unflipped normals."""
+    cfg = RenderConfig(
+        width=12, height=12, spp_per_cell=1, mode=Mode.NORMAL,
+        flip_normals=False,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+    )
+    img, oimg = _compare(cfg, cornell_box_scene(), smallpt_camera(), prng.base_key(4),
+                         max_frac_div=0.02, mean_tol=0.05)
+    # normals AOV values are bounded by spp per pixel
+    assert np.abs(img).max() <= cfg.spp + 1e-3
+
+
+def test_reproducibility_same_key():
+    cfg = RenderConfig(width=8, height=8, spp_per_cell=1, max_depth=8,
+                       camera_model=CameraModel.LEGACY, filter=Filter.TENT)
+    scene, cam = cornell_box_scene(), smallpt_camera()
+    a = np.asarray(render(scene, cam, cfg, prng.base_key(7)))
+    b = np.asarray(render(scene, cam, cfg, prng.base_key(7)))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(render(scene, cam, cfg, prng.base_key(8)))
+    assert not np.array_equal(a, c)
