@@ -111,6 +111,14 @@ class RenderConfig:
     # see SURVEY.md Appendix A).
     flip_normals: bool = True
 
+    # Detached-sampling gradients: stop_gradient on sampled continuation
+    # directions so reverse-mode grads flow through throughput, emission and
+    # hit geometry but not through the Monte-Carlo direction choice (the
+    # reparameterized path-replay estimator of BASELINE.json's north star).
+    # Visibility discontinuities are not differentiated — the documented
+    # bias envelope (SURVEY.md §7 hard part #3).
+    detach_sampling: bool = True
+
     filter: Filter = Filter.BOX
     camera_model: CameraModel = CameraModel.MATRIX
 

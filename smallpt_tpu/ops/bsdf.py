@@ -32,6 +32,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from smallpt_tpu.core import rng as prng
+from smallpt_tpu.core.math import safe_sqrt, safe_normalize
 
 
 def _dot(a, b):
@@ -51,15 +52,14 @@ def cosine_sample(nl: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray):
         jnp.asarray([0.0, 1.0, 0.0], nl.dtype)[None, :],
         jnp.asarray([1.0, 0.0, 0.0], nl.dtype)[None, :],
     )
-    u = jnp.cross(up, w)
-    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+    u = safe_normalize(jnp.cross(up, w))
     v = jnp.cross(w, u)
     d = (
         u * (jnp.cos(r1) * r2s)[:, None]
         + v * (jnp.sin(r1) * r2s)[:, None]
-        + w * jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))[:, None]
+        + w * safe_sqrt(1.0 - u2)[:, None]
     )
-    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return safe_normalize(d)
 
 
 def mirror_dir(d: jnp.ndarray, n: jnp.ndarray):
@@ -91,11 +91,10 @@ def refr_terms(d: jnp.ndarray, n: jnp.ndarray, nl: jnp.ndarray, ior: float) -> R
     ddn = _dot(d, nl)[:, 0]  # (N,)
     cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
     tir = cos2t < 0.0
-    sq = jnp.sqrt(jnp.maximum(cos2t, 0.0))
+    sq = safe_sqrt(cos2t)
     sign = jnp.where(into[:, 0], 1.0, -1.0).astype(dt)
     tdir_raw = d * nnt[:, None] - n * (sign * (ddn * nnt + sq))[:, None]
-    norm = jnp.linalg.norm(tdir_raw, axis=-1, keepdims=True)
-    tdir = tdir_raw / jnp.where(norm > 0, norm, 1.0)
+    tdir = safe_normalize(tdir_raw)
 
     a = nt - nc
     b = nt + nc

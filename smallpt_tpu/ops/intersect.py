@@ -23,6 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from smallpt_tpu.core.math import safe_sqrt, safe_normalize, safe_div
 from smallpt_tpu.core.scene import SphereScene, MeshScene
 
 
@@ -103,14 +104,14 @@ def sphere_hit_t(org, dirs, center, radius, eps, stable: bool = True):
         fp = op - b[:, :, None] * dirs[:, None, :]
         pp = jnp.sum(fp * fp, axis=-1)  # (N,S)
         r = radius[None, :]
-        det = (r - jnp.sqrt(pp)) * (r + jnp.sqrt(pp))  # r^2 - pp, stably
+        sp = safe_sqrt(pp)
+        det = (r - sp) * (r + sp)  # r^2 - pp, stably
         valid = det >= 0.0
-        s = jnp.sqrt(jnp.maximum(det, 0.0))
-        opn = jnp.sqrt(b * b + pp)  # |op|
+        s = safe_sqrt(det)
+        opn = safe_sqrt(b * b + pp)  # |op|
         cc = (opn - r) * (opn + r)  # |op|^2 - r^2, stably
-        denom = b + s
-        t_near = cc / jnp.where(jnp.abs(denom) > 0, denom, 1.0)
-        t_near = jnp.where(denom > 0, t_near, -jnp.inf)
+        t_near = safe_div(cc, b + s, fallback=-jnp.inf)
+        t_near = jnp.where(b + s > 0, t_near, -jnp.inf)
         t_far = b + s
         t = jnp.where(t_near > eps, t_near, jnp.where(t_far > eps, t_far, jnp.inf))
         return jnp.where(valid, t, jnp.asarray(jnp.inf, f32))
@@ -172,13 +173,12 @@ def intersect_spheres(
 
     best_t, best_i = _chunked_min(padded.n_spheres, chunk, body, init)
 
-    x = org + best_t[:, None] * dirs
+    ok = jnp.isfinite(best_t)[:, None]
+    x = org + jnp.where(ok, best_t[:, None], 0.0) * dirs
     ctr = jnp.take(scene.center, jnp.clip(best_i, 0, s - 1), axis=0)
-    nrm_raw = x - ctr
-    # guard miss lanes (x is inf there) to keep normalize finite
-    safe = jnp.where(jnp.isfinite(best_t)[:, None], nrm_raw, 1.0)
-    nrm = safe / jnp.linalg.norm(safe, axis=-1, keepdims=True)
-    x = jnp.where(jnp.isfinite(best_t)[:, None], x, 0.0)
+    # guard miss lanes to keep primal and gradients finite
+    nrm = safe_normalize(jnp.where(ok, x - ctr, 1.0))
+    x = jnp.where(ok, x, 0.0)
     inst = jnp.clip(best_i, 0, s - 1)
     return Hit(
         t=best_t,

@@ -203,6 +203,10 @@ def bounce_step(
     new_dir = jnp.where(
         is_diff[:, None], d_diff, jnp.where(is_spec[:, None], d_spec, refr_dir)
     )
+    if config.detach_sampling:
+        # detached-sampling gradients: the sampled direction is a constant of
+        # the backward pass (see RenderConfig.detach_sampling)
+        new_dir = jax.lax.stop_gradient(new_dir)
     w_factor = f * jnp.where(is_refr, refr_w, 1.0)[:, None]
 
     # continuation-origin offset: +nl on the reflected side, -nl for
@@ -265,8 +269,13 @@ def run_wavefront(
         return bounce_step(st, intersect_fn, material, config, key, sample_ids)
 
     if differentiable:
+        # fixed-length scan (reverse-differentiable); each bounce is
+        # rematerialized on the backward sweep instead of stored
+        # (jax.checkpoint trades FLOPs for HBM)
+        ckpt_body = jax.checkpoint(body)
+
         def scan_body(st, _):
-            return body(st), None
+            return ckpt_body(st), None
 
         state, _ = jax.lax.scan(scan_body, state, None, length=config.max_depth)
         return state

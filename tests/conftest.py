@@ -4,7 +4,9 @@ contract."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness env pins JAX_PLATFORMS=axon (the TPU tunnel); tests must run on
+# a virtual 8-device CPU platform. jax.config wins over the env var.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +14,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_smallpt_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,93 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh:
+determinism vs single device (BASELINE.json config 5's correctness gate) and
+gradient flow through the sharded render."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from smallpt_tpu.config import RenderConfig, Filter, CameraModel
+from smallpt_tpu.core.scene import cornell_box_scene
+from smallpt_tpu.core.camera import smallpt_camera
+from smallpt_tpu.core import rng as prng
+from smallpt_tpu.engine.renderer import render
+from smallpt_tpu.parallel.shard import make_mesh, render_sharded
+
+CFG = RenderConfig(
+    width=8, height=8, spp_per_cell=2, max_depth=6,
+    camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+)
+
+
+@pytest.fixture(scope="module")
+def scene_cam_key():
+    return cornell_box_scene(), smallpt_camera(), prng.base_key(0)
+
+
+def _single(scene, cam, key):
+    return np.asarray(render(scene, cam, CFG, key))
+
+
+@pytest.mark.parametrize("n_tile,n_sample", [(8, 1), (4, 2), (2, 4), (1, 8), (2, 2)])
+def test_sharded_matches_single_device(scene_cam_key, n_tile, n_sample):
+    """Any (tile, sample) mesh layout must reproduce the single-device image.
+
+    Sample *keying* is placement-invariant, but XLA generates different
+    (equally valid) f32 codegen for different program shapes, and smallpt's
+    scene is full of tangent geometry (light sphere grazing the ceiling,
+    balls tangent to the floor) where an ulp flips a path discretely. So:
+    near-exact for almost all values, with a small flip budget."""
+    scene, cam, key = scene_cam_key
+    n_dev = n_tile * n_sample
+    mesh = make_mesh(n_tile, n_sample, devices=jax.devices("cpu")[:n_dev])
+    img = np.asarray(render_sharded(scene, cam, CFG, key, mesh))
+    ref = _single(scene, cam, key)
+    rel = np.abs(img - ref) / (1.0 + np.abs(ref))
+    assert (rel > 1e-3).mean() <= 0.02, f"{(rel > 1e-3).mean():.4f} values flipped"
+    assert abs(img.mean() - ref.mean()) < 0.05 * (abs(ref.mean()) + 0.1)
+
+
+def test_sharded_gradient_flow(scene_cam_key):
+    """Grads of a sharded-render loss w.r.t. replicated scene params: the
+    shard_map transpose inserts the gradient psum automatically."""
+    scene, cam, key = scene_cam_key
+    mesh = make_mesh(2, 2, devices=jax.devices("cpu")[:4])
+    cfg = CFG.replace(max_depth=3)
+
+    def loss(albedo):
+        s = scene._replace(material=scene.material._replace(albedo=albedo))
+        img = render_sharded(s, cam, cfg, key, mesh, differentiable=True)
+        return jnp.mean(img**2)
+
+    g = jax.grad(loss)(scene.material.albedo)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0.0
+
+    # must equal the unsharded gradient
+    def loss_single(albedo):
+        s = scene._replace(material=scene.material._replace(albedo=albedo))
+        img = render(s, cam, cfg, key, differentiable=True)
+        return jnp.mean(img**2)
+
+    g1 = jax.grad(loss_single)(scene.material.albedo)
+    ga, gb = np.asarray(g), np.asarray(g1)
+    scale = np.abs(gb).max()
+    # same flip budget as the forward comparison: razor-edge paths may land
+    # differently under different program shapes; tiny-magnitude entries are
+    # judged against the gradient scale, not their own value
+    ok = np.isclose(ga, gb, rtol=3e-2, atol=3e-2 * scale)
+    assert ok.all(), (ga, gb)
+    assert abs(ga.sum() - gb.sum()) < 0.02 * (abs(gb.sum()) + 1e-3)
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(3, 3, devices=jax.devices("cpu")[:8])
+    mesh = make_mesh(8, 1, devices=jax.devices("cpu"))
+    with pytest.raises(ValueError):
+        # height 10 not divisible by 8 tiles
+        render_sharded(
+            cornell_box_scene(), smallpt_camera(),
+            CFG.replace(height=10), prng.base_key(0), mesh,
+        )
