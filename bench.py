@@ -1,0 +1,92 @@
+"""Benchmark: rays/sec/chip on the Cornell box, full BSDF set.
+
+The driver-defined headline metric (BASELINE.json): rays/sec/chip at 1024x768
+Cornell box. The reference publishes no numbers (BASELINE.md — `published: {}`),
+so vs_baseline is reported against the recorded best from BASELINE.md once one
+exists, else 1.0.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "rays/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+from smallpt_tpu.config import RenderConfig, Filter, CameraModel, Intersector
+from smallpt_tpu.core.scene import cornell_box_scene
+from smallpt_tpu.core.camera import smallpt_camera
+from smallpt_tpu.core import rng as prng
+from smallpt_tpu.engine.renderer import render_with_stats
+
+
+# Recorded best from a previous round (update when BASELINE.md gains numbers).
+RECORDED_BASELINE_RAYS_PER_S = None
+
+
+def bench(width=1024, height=768, spp_per_cell=1, passes=3, warmup=1,
+          intersector=Intersector.JAX, max_depth=48):
+    config = RenderConfig(
+        width=width,
+        height=height,
+        spp_per_cell=spp_per_cell,
+        camera_model=CameraModel.LEGACY,
+        filter=Filter.TENT,
+        max_depth=max_depth,
+        intersector=intersector,
+    )
+    scene = cornell_box_scene()
+    camera = smallpt_camera()
+    base = prng.base_key(0)
+
+    # warmup / compile
+    for i in range(warmup):
+        img, rays = render_with_stats(scene, camera, config, jax.random.fold_in(base, 1000 + i))
+        jax.block_until_ready(img)
+
+    total_rays = 0
+    t0 = time.perf_counter()
+    for p in range(passes):
+        img, rays = render_with_stats(scene, camera, config, jax.random.fold_in(base, p))
+        jax.block_until_ready(img)
+        total_rays += int(rays)
+    dt = time.perf_counter() - t0
+    return total_rays / dt, total_rays, dt, np.asarray(img)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    use_pallas = "--pallas" in sys.argv
+    kw = dict(width=256, height=192, passes=2) if quick else {}
+    if use_pallas:
+        kw["intersector"] = Intersector.PALLAS
+    rays_per_s, total_rays, dt, img = bench(**kw)
+    vs = (
+        rays_per_s / RECORDED_BASELINE_RAYS_PER_S
+        if RECORDED_BASELINE_RAYS_PER_S
+        else 1.0
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_sec_per_chip_cornell_1024x768_fullbsdf",
+                "value": round(rays_per_s),
+                "unit": "rays/s",
+                "vs_baseline": round(vs, 4),
+            }
+        )
+    )
+    print(
+        f"# {total_rays} rays in {dt:.2f}s on {jax.devices()[0].platform}:"
+        f"{jax.devices()[0].device_kind}; image mean {img.mean():.4f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,24 @@ class CameraModel(enum.Enum):
     MATRIX = "matrix"
 
 
+class Scheduler(enum.Enum):
+    """Wavefront scheduling strategy.
+
+    FLAT: one lane per (sample x split-budget slot), lax.while_loop until all
+    lanes die — the direct analog of the reference's trace-all-then-compact
+    loop (smallpt.cpp:779-807) with masks instead of compaction. Required for
+    split_budget > 1 and for the differentiable path.
+
+    REGEN: persistent-lane path regeneration — one lane per pixel consumes
+    its spp samples sequentially, regenerating a camera ray in-loop when its
+    path dies. TPU-native occupancy fix (no sorts/scatters); ~3-4x faster on
+    deep transports. Forward-only, split_budget == 1.
+    """
+
+    FLAT = "flat"
+    REGEN = "regen"
+
+
 class Intersector(enum.Enum):
     """Intersection backend, mirroring the reference's compile-time
     ``using Intersector = OptixIntersector`` switch (smallpt.cpp:605).
@@ -123,6 +141,7 @@ class RenderConfig:
     camera_model: CameraModel = CameraModel.MATRIX
 
     intersector: Intersector = Intersector.JAX
+    scheduler: Scheduler = Scheduler.REGEN
 
     # Chunking: spheres/triangles are scanned in chunks of this size inside
     # the pure-JAX intersector to bound (lanes x prims) memory.

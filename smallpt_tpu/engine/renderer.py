@@ -18,7 +18,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from smallpt_tpu.config import RenderConfig, Intersector
+from smallpt_tpu.config import RenderConfig, Intersector, Scheduler
 from smallpt_tpu.core import camera as cam
 from smallpt_tpu.core import rng as prng
 from smallpt_tpu.core.scene import SphereScene, MeshScene
@@ -62,11 +62,13 @@ def render_samples(
     cell_x: jnp.ndarray,
     cell_y: jnp.ndarray,
     differentiable: bool = False,
-) -> jnp.ndarray:
+    return_stats: bool = False,
+):
     """Render an arbitrary flat batch of camera samples.
 
     Returns per-sample radiance (N,3) (summed over the sample's split-budget
-    lanes). This is the sharding-friendly core: callers shard the sample axis.
+    lanes), or (radiance, rays_traced) with return_stats=True. This is the
+    sharding-friendly core: callers shard the sample axis.
     """
     dtype = jnp.dtype(config.dtype)
     u_cam = prng.camera_uniforms(key, sample_ids, dtype)
@@ -80,7 +82,7 @@ def render_samples(
         else jnp.repeat(sample_ids, config.split_budget, axis=0)
     )
     intersect_fn = make_intersect_fn(scene, config)
-    final = wavefront.run_wavefront(
+    final, rays = wavefront.run_wavefront(
         state,
         intersect_fn,
         scene.material,
@@ -92,7 +94,37 @@ def render_samples(
     rad = final.radiance
     if config.split_budget > 1:
         rad = rad.reshape(-1, config.split_budget, 3).sum(axis=1)
+    if return_stats:
+        return rad, rays
     return rad
+
+
+def render_pixels(
+    scene,
+    camera,
+    config: RenderConfig,
+    key: jax.Array,
+    pixel: jnp.ndarray,
+    col: jnp.ndarray,
+    row: jnp.ndarray,
+    ip_offset,
+    k_samples: int,
+):
+    """Regenerative-scheduler core: one lane per pixel consuming k_samples
+    sequentially. Returns (per-pixel radiance (G,3), rays_traced)."""
+    intersect_fn = make_intersect_fn(scene, config)
+    return wavefront.run_wavefront_regen(
+        camera, intersect_fn, scene.material, config, key,
+        pixel, col, row, ip_offset, k_samples,
+    )
+
+
+def _use_regen(config: RenderConfig, differentiable: bool) -> bool:
+    return (
+        config.scheduler == Scheduler.REGEN
+        and not differentiable
+        and config.split_budget == 1
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("config", "differentiable"))
@@ -101,12 +133,41 @@ def render(
 ) -> jnp.ndarray:
     """One full-frame pass. Returns (H, W, 3) summed radiance over
     config.spp samples per pixel (unnormalized, like smallpt.cpp:813)."""
+    if _use_regen(config, differentiable):
+        pixel = jnp.arange(config.n_pixels, dtype=jnp.int32)
+        col = pixel % config.width
+        row = pixel // config.width
+        rad, _ = render_pixels(
+            scene, camera, config, key, pixel, col, row, 0, config.spp
+        )
+        return rad.reshape(config.height, config.width, 3)
     sample_ids, pixel, col, row, cx, cy = cam.sample_indices(config, config.n_pixels)
     rad = render_samples(
         scene, camera, config, key, sample_ids, col, row, cx, cy, differentiable
     )
     img = rad.reshape(config.n_pixels, config.spp, 3).sum(axis=1)
     return img.reshape(config.height, config.width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_with_stats(scene, camera, config: RenderConfig, key: jax.Array):
+    """Like render(), additionally returning the number of rays traced —
+    the bench.py / observability entry point."""
+    if _use_regen(config, False):
+        pixel = jnp.arange(config.n_pixels, dtype=jnp.int32)
+        col = pixel % config.width
+        row = pixel // config.width
+        rad, rays = render_pixels(
+            scene, camera, config, key, pixel, col, row, 0, config.spp
+        )
+        return rad.reshape(config.height, config.width, 3), rays
+    sample_ids, pixel, col, row, cx, cy = cam.sample_indices(config, config.n_pixels)
+    rad, rays = render_samples(
+        scene, camera, config, key, sample_ids, col, row, cx, cy,
+        return_stats=True,
+    )
+    img = rad.reshape(config.n_pixels, config.spp, 3).sum(axis=1)
+    return img.reshape(config.height, config.width, 3), rays
 
 
 def render_image(

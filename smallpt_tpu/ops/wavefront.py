@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from smallpt_tpu.config import RenderConfig, Mode
+from smallpt_tpu.core import camera as cam
 from smallpt_tpu.core import rng as prng
 from smallpt_tpu.core.scene import DIFF, SPEC, REFR, Material
 from smallpt_tpu.ops import bsdf
@@ -74,6 +75,39 @@ def initial_state(org, dirs, budget: int, dtype) -> PathState:
         alive=slot == 0,
         radiance=jnp.zeros((L, 3), dtype),
     )
+
+
+def material_lookup(material: Material, inst: jnp.ndarray, dtype):
+    """Per-lane material fetch: (emission, albedo, is_diff, is_spec, is_refr).
+
+    For small instance tables this is a one-hot (L,S)x(S,9) matmul — TPU
+    gathers of tiny tables are pathologically slow (measured 32 ms vs 2 ms
+    for 3.1M lanes x 9 spheres), while the MXU eats this shape. Large tables
+    fall back to gathers.
+    """
+    S = material.albedo.shape[0]
+    if S <= 64:
+        onehot = (inst[:, None] == jnp.arange(S, dtype=inst.dtype)[None, :]).astype(dtype)
+        refl_onehot = (
+            material.refl[:, None] == jnp.arange(3, dtype=material.refl.dtype)[None, :]
+        ).astype(dtype)  # (S,3)
+        table = jnp.concatenate(
+            [material.emission.astype(dtype), material.albedo.astype(dtype), refl_onehot],
+            axis=1,
+        )  # (S,9)
+        # precision='highest': the bf16-pass MXU default corrupts values like
+        # 0.999, breaking bit-parity with gathers (and the oracle)
+        vals = jnp.matmul(onehot, table, precision="highest")  # (L,9) — MXU
+        emission, albedo = vals[:, 0:3], vals[:, 3:6]
+        is_diff = vals[:, 6] > 0.5
+        is_spec = vals[:, 7] > 0.5
+        is_refr = vals[:, 8] > 0.5
+    else:
+        emission = jnp.take(material.emission, inst, axis=0)
+        albedo = jnp.take(material.albedo, inst, axis=0)
+        refl = jnp.take(material.refl, inst)
+        is_diff, is_spec, is_refr = refl == DIFF, refl == SPEC, refl == REFR
+    return emission, albedo, is_diff, is_spec, is_refr
 
 
 def _int2color(n: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -127,9 +161,9 @@ def bounce_step(
         radiance = state.radiance + jnp.where(live_hit[:, None], aov, 0.0)
         return state._replace(radiance=radiance, alive=jnp.zeros_like(state.alive))
 
-    emission = jnp.take(material.emission, hit.inst, axis=0)
-    albedo = jnp.take(material.albedo, hit.inst, axis=0)
-    refl = jnp.take(material.refl, hit.inst, axis=0)
+    emission, albedo, is_diff, is_spec, is_refr = material_lookup(
+        material, hit.inst, dtype
+    )
 
     radiance = state.radiance + jnp.where(
         live_hit[:, None], state.weight * emission, 0.0
@@ -146,10 +180,6 @@ def bounce_step(
     d_diff = bsdf.cosine_sample(nl, u[:, prng.U_BSDF_1], u[:, prng.U_BSDF_2])
     d_spec = bsdf.mirror_dir(state.dir, n)
     rt = bsdf.refr_terms(state.dir, n, nl, config.ior)
-
-    is_diff = refl == DIFF
-    is_spec = refl == SPEC
-    is_refr = refl == REFR
 
     # --- REFR split resolution -------------------------------------------
     want_split = is_refr & ~rt.tir & (state.depth <= config.split_depth) & live_hit & survive
@@ -257,12 +287,16 @@ def run_wavefront(
     key: jax.Array,
     sample_ids: jnp.ndarray,
     differentiable: bool = False,
-) -> PathState:
+):
     """Run the bounce loop to completion.
 
     Forward-only: lax.while_loop with early exit when no lane is alive (the
     reference's `while (pathCount > 0)`, smallpt.cpp:779). Differentiable:
     fixed-length lax.scan (reverse-diffable), same math.
+
+    Returns (final_state, rays_traced) — rays_traced counts live lanes summed
+    over bounces, the observability counter the reference only exposes as a
+    per-bounce log line (smallpt.cpp:781).
     """
 
     def body(st):
@@ -275,18 +309,115 @@ def run_wavefront(
         ckpt_body = jax.checkpoint(body)
 
         def scan_body(st, _):
-            return ckpt_body(st), None
+            rays = jnp.sum(st.alive.astype(jnp.int32))
+            return ckpt_body(st), rays
 
-        state, _ = jax.lax.scan(scan_body, state, None, length=config.max_depth)
-        return state
+        state, rays = jax.lax.scan(scan_body, state, None, length=config.max_depth)
+        return state, jnp.sum(rays)
 
     def cond(carry):
-        st, bounce = carry
+        st, bounce, rays = carry
         return (bounce < config.max_depth) & jnp.any(st.alive)
 
     def wbody(carry):
-        st, bounce = carry
-        return body(st), bounce + 1
+        st, bounce, rays = carry
+        rays = rays + jnp.sum(st.alive.astype(jnp.int32))
+        return body(st), bounce + 1, rays
 
-    state, _ = jax.lax.while_loop(cond, wbody, (state, jnp.asarray(0, jnp.int32)))
-    return state
+    state, _, rays = jax.lax.while_loop(
+        cond, wbody, (state, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    )
+    return state, rays
+
+
+def run_wavefront_regen(
+    camera,
+    intersect_fn,
+    material: Material,
+    config: RenderConfig,
+    key: jax.Array,
+    pixel: jnp.ndarray,  # (G,) pixel index per lane
+    col: jnp.ndarray,  # (G,)
+    row: jnp.ndarray,  # (G,)
+    ip_offset: jnp.ndarray,  # (G,) or scalar: first in-pixel sample index
+    k_samples: int,  # samples consumed sequentially per lane
+):
+    """Regenerative (persistent-lane) wavefront — the TPU-native occupancy
+    fix.
+
+    The reference restores occupancy by stream compaction
+    (smallpt.cpp:793-806); sorts and scatters are TPU-hostile, so instead
+    each lane owns one pixel and renders k_samples of it sequentially: when
+    its path dies, the lane immediately regenerates the pixel's next camera
+    sample *inside the loop* (path regeneration à la wavefront GPU tracers).
+    Lane->pixel stays fixed, so radiance still accumulates per lane with no
+    scatter, and occupancy stays near 1 until the sample stream drains.
+
+    Requires split_budget == 1 (budgeted splitting needs grouped lanes; use
+    run_wavefront for fidelity mode). Per-path depth is capped at
+    config.max_depth, matching the flat scheduler's iteration cap.
+
+    Returns (radiance (G,3) summed over the k_samples, rays_traced).
+    """
+    if config.split_budget != 1:
+        raise ValueError("regenerative scheduler requires split_budget == 1")
+    dtype = jnp.dtype(config.dtype)
+    G = pixel.shape[0]
+    spp = config.spp
+    ip_offset = jnp.broadcast_to(jnp.asarray(ip_offset, jnp.int32), (G,))
+
+    state = PathState(
+        org=jnp.zeros((G, 3), dtype),
+        dir=jnp.ones((G, 3), dtype),
+        weight=jnp.zeros((G, 3), dtype),
+        depth=jnp.zeros((G,), jnp.int32),
+        hist=jnp.zeros((G,), jnp.int32),
+        alive=jnp.zeros((G,), bool),
+        radiance=jnp.zeros((G, 3), dtype),
+    )
+    s_idx0 = jnp.full((G,), -1, jnp.int32)  # last consumed sample slot
+
+    def cond(carry):
+        st, s_idx, sid, bounce, rays = carry
+        more = st.alive | (s_idx < k_samples - 1)
+        return (bounce < k_samples * config.max_depth) & jnp.any(more)
+
+    def body(carry):
+        st, s_idx, sid, bounce, rays = carry
+        # --- regenerate dead lanes with their pixel's next sample ----------
+        need = (~st.alive) & (s_idx < k_samples - 1)
+        s_new = jnp.where(need, s_idx + 1, s_idx)
+        ip = ip_offset + s_new
+        sid_new = pixel * spp + ip
+        group = ip // config.spp_per_cell
+        cx = group % config.jitter_size
+        cy = group // config.jitter_size
+        u_cam = prng.camera_uniforms(key, sid_new, dtype)
+        org0, dir0 = cam.generate_rays(camera, u_cam, config, col, row, cx, cy)
+        nm = need[:, None]
+        st = PathState(
+            org=jnp.where(nm, org0, st.org),
+            dir=jnp.where(nm, dir0, st.dir),
+            weight=jnp.where(nm, 1.0, st.weight),
+            depth=jnp.where(need, 0, st.depth),
+            hist=jnp.where(need, 0, st.hist),
+            alive=st.alive | need,
+            radiance=st.radiance,
+        )
+        sid = jnp.where(need, sid_new, sid)
+        # --- one bounce -----------------------------------------------------
+        rays = rays + jnp.sum(st.alive.astype(jnp.int32))
+        st = bounce_step(st, intersect_fn, material, config, key, sid)
+        # per-path depth cap (the flat scheduler's iteration cap equivalent)
+        st = st._replace(alive=st.alive & (st.depth < config.max_depth))
+        return st, s_new, sid, bounce + 1, rays
+
+    carry = (
+        state,
+        s_idx0,
+        jnp.zeros((G,), jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    state, _, _, _, rays = jax.lax.while_loop(cond, body, carry)
+    return state.radiance, rays

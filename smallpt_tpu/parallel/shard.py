@@ -32,7 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from smallpt_tpu.config import RenderConfig
-from smallpt_tpu.engine.renderer import render_samples
+from smallpt_tpu.engine.renderer import render_samples, render_pixels, _use_regen
 
 
 def make_mesh(
@@ -106,14 +106,27 @@ def render_sharded(
         h_loc, cols_loc = sid.shape
         W = config.width
         spp_loc = cols_loc // W
-        flat = lambda a: a.reshape(-1)
-        rad = render_samples(
-            scene, camera, config, key,
-            flat(sid), flat(col), flat(row), flat(cx), flat(cy),
-            differentiable=differentiable,
-        )
-        # local layout (h_loc, spp_loc, W, 3) -> partial image
-        part = rad.reshape(h_loc, spp_loc, W, 3).sum(axis=1)
+        if _use_regen(config, differentiable):
+            # one lane per local pixel, consuming this shard's spp_loc
+            # in-pixel sample slots sequentially
+            pix_col = col[:, :W].reshape(-1)
+            pix_row = row[:, :W].reshape(-1)
+            pixel = pix_row * W + pix_col
+            ip_offset = jax.lax.axis_index("sample").astype(jnp.int32) * spp_loc
+            rad, _ = render_pixels(
+                scene, camera, config, key, pixel, pix_col, pix_row,
+                ip_offset, spp_loc,
+            )
+            part = rad.reshape(h_loc, W, 3)
+        else:
+            flat = lambda a: a.reshape(-1)
+            rad = render_samples(
+                scene, camera, config, key,
+                flat(sid), flat(col), flat(row), flat(cx), flat(cy),
+                differentiable=differentiable,
+            )
+            # local layout (h_loc, spp_loc, W, 3) -> partial image
+            part = rad.reshape(h_loc, spp_loc, W, 3).sum(axis=1)
         # reduce partial sample sums across the sample axis (ICI psum)
         return jax.lax.psum(part, axis_name="sample")
 
