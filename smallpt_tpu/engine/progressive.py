@@ -155,10 +155,35 @@ class ProgressiveRenderer:
         n_passes: int,
         on_frame: Callable[["ProgressiveRenderer"], Any] | None = None,
         frame_every: int = 1,
+        frame_pattern: str | None = None,
     ) -> None:
         """Render n_passes progressively, invoking on_frame periodically —
-        the UI-thread consumer slot (smallpt.cpp:946-988)."""
-        for i in range(n_passes):
-            self.step()
-            if on_frame is not None and (i + 1) % frame_every == 0:
-                on_frame(self)
+        the UI-thread consumer slot (smallpt.cpp:946-988).
+
+        If frame_pattern is given (e.g. "frames/f_%05d.ppm"), normalized
+        frames are streamed to disk through the native async FrameWriter
+        (falling back to synchronous writes): the device keeps rendering
+        pass N+1 while the host thread encodes frame N — the reference's
+        two-thread producer/consumer pipeline (SURVEY.md §2.3 strategy 4)."""
+        from smallpt_tpu.utils import image as img_util
+        from smallpt_tpu.utils import native
+
+        writer = None
+        if frame_pattern is not None and native.available():
+            writer = native.FrameWriter(
+                frame_pattern, self.config.width, self.config.height,
+                binary=frame_pattern.endswith(".ppm"),
+            )
+        try:
+            for i in range(n_passes):
+                self.step()
+                if (i + 1) % frame_every == 0:
+                    if writer is not None:
+                        writer.push(self.image[::-1], i + 1)
+                    elif frame_pattern is not None:
+                        img_util.write_ppm(frame_pattern % (i + 1), self.image)
+                    if on_frame is not None:
+                        on_frame(self)
+        finally:
+            if writer is not None:
+                writer.close()
