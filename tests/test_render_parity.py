@@ -52,7 +52,10 @@ def test_cornell_parity_with_splitting():
         width=10, height=10, spp_per_cell=1, split_budget=8, split_depth=2,
         camera_model=CameraModel.LEGACY, filter=Filter.TENT, max_depth=12,
     )
-    _compare(cfg, cornell_box_scene(), smallpt_camera(), prng.base_key(3))
+    # splitting doubles the glass-path population, so more rim-ambiguous
+    # paths than the no-split configs — 3% divergence budget
+    _compare(cfg, cornell_box_scene(), smallpt_camera(), prng.base_key(3),
+             max_frac_div=0.03)
 
 
 def test_two_sphere_scene_parity():
