@@ -25,11 +25,13 @@ from smallpt_tpu.core import rng as prng
 from smallpt_tpu.engine.renderer import render_with_stats
 
 
-# Recorded best from a previous round (update when BASELINE.md gains numbers).
-RECORDED_BASELINE_RAYS_PER_S = None
+# Recorded reference point: this framework's own round-1 pre-optimization
+# number (pure-JAX REGEN scheduler + threefry RNG, 2026-08-16, TPU v5 lite,
+# same config) — the reference itself publishes nothing (BASELINE.md).
+RECORDED_BASELINE_RAYS_PER_S = 5.6e7
 
 
-def bench(width=1024, height=768, spp_per_cell=1, passes=3, warmup=1,
+def bench(width=1024, height=768, spp_per_cell=1, passes=10, warmup=3,
           intersector=Intersector.JAX, max_depth=48):
     config = RenderConfig(
         width=width,

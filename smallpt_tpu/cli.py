@@ -19,7 +19,9 @@ import time
 
 import numpy as np
 
-from smallpt_tpu.config import RenderConfig, Mode, Filter, CameraModel, Intersector
+from smallpt_tpu.config import (
+    RenderConfig, Mode, Filter, CameraModel, Intersector, Scheduler,
+)
 from smallpt_tpu.core import scene as scenes
 from smallpt_tpu.core.camera import smallpt_camera, default_matrix_camera
 from smallpt_tpu.engine.progressive import ProgressiveRenderer
@@ -48,6 +50,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--camera", choices=[c.value for c in CameraModel], default=None)
     p.add_argument("--intersector", choices=[i.value for i in Intersector],
                    default="jax")
+    p.add_argument("--scheduler", choices=[s.value for s in Scheduler],
+                   default="mega",
+                   help="wavefront scheduler: mega (fused Pallas bounce "
+                        "kernel, fastest), regen (pure-JAX persistent "
+                        "lanes), flat (masked lanes; required for "
+                        "--split-budget > 1)")
+    p.add_argument("--frames", default=None, metavar="PATTERN",
+                   help="stream per-pass frames to PATTERN (printf-style, "
+                        "e.g. frames/f_%%04d.ppm) via the native async "
+                        "frame writer")
     p.add_argument("--max-depth", type=int, default=64)
     p.add_argument("--rr-depth", type=int, default=5)
     p.add_argument("--split-budget", type=int, default=1)
@@ -86,6 +98,10 @@ def main(argv=None) -> int:
         filter=filt,
         camera_model=camera_model,
         intersector=Intersector(args.intersector),
+        scheduler=(
+            Scheduler.FLAT if args.split_budget > 1
+            else Scheduler(args.scheduler)
+        ),
         max_depth=args.max_depth,
         rr_depth=args.rr_depth,
         split_budget=args.split_budget,
@@ -100,9 +116,24 @@ def main(argv=None) -> int:
     if args.resume:
         r.load_checkpoint(args.resume)
 
+    frame_writer = None
+    if args.frames:
+        from smallpt_tpu.utils import native
+
+        if native.available():
+            import os
+
+            os.makedirs(os.path.dirname(args.frames) or ".", exist_ok=True)
+            frame_writer = native.FrameWriter(
+                args.frames, config.width, config.height,
+                binary=args.frames.endswith(".ppm"),
+            )
+
     t0 = time.time()
     for i in range(n_passes):
         r.step()
+        if frame_writer is not None:
+            frame_writer.push(r.image[::-1], i + 1)
         if not args.quiet:
             done = 100.0 * (i + 1) / n_passes
             print(
@@ -110,6 +141,8 @@ def main(argv=None) -> int:
                 end="",
                 file=sys.stderr,
             )
+    if frame_writer is not None:
+        frame_writer.close()
     np.asarray(r.accum.block_until_ready())
     if not args.quiet:
         print(f"\nElapsed time: {(time.time() - t0) * 1000:.0f} ms", file=sys.stderr)

@@ -65,10 +65,18 @@ class Scheduler(enum.Enum):
     its spp samples sequentially, regenerating a camera ray in-loop when its
     path dies. TPU-native occupancy fix (no sorts/scatters); ~3-4x faster on
     deep transports. Forward-only, split_budget == 1.
+
+    MEGA: the REGEN schedule compiled as ONE fused Pallas bounce kernel
+    (ops/megakernel.py): regen + RNG + intersect + shade in a single Mosaic
+    program, path state crossing HBM once per bounce — ~5-6x over REGEN.
+    Same sample streams as REGEN (bit-identical PCG4D keying); falls back to
+    REGEN/FLAT automatically where unsupported (AOV modes, split budgets,
+    mesh scenes, >512 spheres, differentiable replay, non-f32).
     """
 
     FLAT = "flat"
     REGEN = "regen"
+    MEGA = "mega"
 
 
 class Intersector(enum.Enum):
@@ -141,7 +149,7 @@ class RenderConfig:
     camera_model: CameraModel = CameraModel.MATRIX
 
     intersector: Intersector = Intersector.JAX
-    scheduler: Scheduler = Scheduler.REGEN
+    scheduler: Scheduler = Scheduler.MEGA
 
     # Chunking: spheres/triangles are scanned in chunks of this size inside
     # the pure-JAX intersector to bound (lanes x prims) memory.

@@ -119,9 +119,27 @@ def render_pixels(
     )
 
 
+def _use_mega(scene, config: RenderConfig, differentiable: bool) -> bool:
+    """Megakernel eligibility: the fused Pallas bounce kernel covers the
+    forward Mode.FULL single-path transport on f32 sphere scenes; everything
+    else falls back to the pure-JAX schedulers (graceful degradation, like
+    the reference's intersector backend switch smallpt.cpp:605)."""
+    from smallpt_tpu.config import Mode
+
+    return (
+        config.scheduler == Scheduler.MEGA
+        and not differentiable
+        and config.split_budget == 1
+        and config.mode == Mode.FULL
+        and config.dtype == "float32"
+        and isinstance(scene, SphereScene)
+        and scene.n_spheres <= 512
+    )
+
+
 def _use_regen(config: RenderConfig, differentiable: bool) -> bool:
     return (
-        config.scheduler == Scheduler.REGEN
+        config.scheduler in (Scheduler.REGEN, Scheduler.MEGA)
         and not differentiable
         and config.split_budget == 1
     )
@@ -133,6 +151,11 @@ def render(
 ) -> jnp.ndarray:
     """One full-frame pass. Returns (H, W, 3) summed radiance over
     config.spp samples per pixel (unnormalized, like smallpt.cpp:813)."""
+    if _use_mega(scene, config, differentiable):
+        from smallpt_tpu.ops.megakernel import render_pass_megakernel
+
+        img, _ = render_pass_megakernel(scene, camera, config, key)
+        return img
     if _use_regen(config, differentiable):
         pixel = jnp.arange(config.n_pixels, dtype=jnp.int32)
         col = pixel % config.width
@@ -153,6 +176,10 @@ def render(
 def render_with_stats(scene, camera, config: RenderConfig, key: jax.Array):
     """Like render(), additionally returning the number of rays traced —
     the bench.py / observability entry point."""
+    if _use_mega(scene, config, False):
+        from smallpt_tpu.ops.megakernel import render_pass_megakernel
+
+        return render_pass_megakernel(scene, camera, config, key)
     if _use_regen(config, False):
         pixel = jnp.arange(config.n_pixels, dtype=jnp.int32)
         col = pixel % config.width

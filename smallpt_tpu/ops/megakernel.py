@@ -1,0 +1,617 @@
+"""Pallas TPU wavefront megakernel: regenerate + intersect + shade, fused.
+
+The reference's hot loop crosses host<->GPU every bounce and runs trace and
+shade as separate passes (Renderer::render, smallpt.cpp:779-807;
+OptixIntersector::traceRays, smallpt.cpp:553-583). The pure-JAX wavefront
+(ops/wavefront.py) already fuses the loop on-device, but XLA still emits ~30
+separate fused kernels per bounce, each paying launch + HBM round-trip for
+the 786k-lane path state — profiling shows the loop runs at ~1% of VPU peak,
+bound by that per-op overhead.
+
+This module is the TPU-native answer: ONE Mosaic kernel per bounce. Path
+state streams HBM->VMEM->HBM exactly once per iteration; ray regeneration
+(camera sampling), PCG4D uniforms, the closest-hit sphere sweep, material
+select, and the full smallpt BSDF/RR shading all happen in vector registers.
+
+Semantics are identical to the regenerative scheduler
+(ops/wavefront.py::run_wavefront_regen): split_budget == 1 (probabilistic
+single-path refraction everywhere, the reference's own depth>2 behavior,
+smallpt.cpp:256-263), Mode.FULL transport, RR after rr_depth
+(smallpt.cpp:187-198), tent/box filters, legacy/matrix cameras. The RNG is
+bit-identical to core/rng.py (same PCG4D keying), so images match the JAX
+scheduler up to f32 op-ordering noise on razor-edge paths.
+
+State layout: every per-lane value is stored as an (8, G/8) f32 or int32
+plane stacked into one (8*NF, G/8) buffer — each plane is natively
+(sublane, lane)-tiled, so kernel loads need no relayout, and the lane's
+global id (== its pixel id) is recomputed from grid position via iota.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from smallpt_tpu.config import RenderConfig, Filter, CameraModel, Mode
+from smallpt_tpu.core.camera import LegacyCamera, MatrixCamera
+from smallpt_tpu.core.scene import SphereScene
+
+# Float-state planes (each (8, C) where C = lanes/8 columns per tile).
+_F_OX, _F_OY, _F_OZ = 0, 1, 2       # ray origin
+_F_DX, _F_DY, _F_DZ = 3, 4, 5      # ray direction
+_F_WX, _F_WY, _F_WZ = 6, 7, 8      # throughput
+_F_RX, _F_RY, _F_RZ = 9, 10, 11    # accumulated radiance
+_NF = 12
+# Int-state planes.
+_I_DEPTH, _I_SIDX, _I_ALIVE = 0, 1, 2
+_NI = 3
+
+_SUB = 8          # f32 sublane tile height
+_LANE = 1024      # lanes per tile column block (8 lane-tiles)
+_TILE = _SUB * _LANE  # rays per grid step
+_BIG = 3.0e38
+
+_CAMERA_SALT = 0x9E3779B9
+_GOLDEN = 0x9E3779B9
+
+
+def _pcg4d(a, b, c, d):
+    """uint32 PCG4D — must stay bit-identical to core/rng.py::_pcg4d."""
+    m = jnp.uint32(1664525)
+    inc = jnp.uint32(1013904223)
+    a = a * m + inc
+    b = b * m + inc
+    c = c * m + inc
+    d = d * m + inc
+    a = a + b * d
+    b = b + c * a
+    c = c + a * b
+    d = d + b * c
+    a = a ^ (a >> 16)
+    b = b ^ (b >> 16)
+    c = c ^ (c >> 16)
+    d = d ^ (d >> 16)
+    a = a + b * d
+    b = b + c * a
+    c = c + a * b
+    d = d + b * c
+    return a, b, c, d
+
+
+def _to_unit(bits):
+    # Mosaic has no uint32->f32 cast; the top-24-bit value fits int32, whose
+    # cast IS supported — bit-identical to core/rng.py::_to_unit.
+    i24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return i24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+def _mega_kernel(
+    kw_ref,      # (1, 2) uint32 SMEM: key words k0, k1
+    ip_ref,      # (1, 3) int32 SMEM: [ip_offset, row_offset, k_samples]
+                 #   ip_offset  — sample-axis shard offset (SURVEY.md §5.7)
+                 #   row_offset — tile-axis shard's first global image row
+                 #   k_samples  — samples each lane consumes (spp_local)
+    cam_ref,     # (1, 16) f32 SMEM: A(3) B(3) C(3) O(3) push
+    tbl_ref,     # (S, 16) f32 SMEM sphere+material table (scalar-read per sphere)
+    f_ref,       # (8*_NF, C) f32 state (aliased in/out)
+    i_ref,       # (8*_NI, C) int32 state (aliased in/out)
+    f_out,       # aliased output of f_ref
+    i_out,       # aliased output of i_ref
+    *,
+    config: RenderConfig,
+    n_spheres: int,
+    n_cols: int,  # total state columns (G_pad / 8)
+):
+    t = pl.program_id(0)
+
+    fplane = lambda i: f_ref[pl.ds(8 * i, 8), :]
+    iplane = lambda i: i_ref[pl.ds(8 * i, 8), :]
+
+    ox, oy, oz = fplane(_F_OX), fplane(_F_OY), fplane(_F_OZ)
+    dx, dy, dz = fplane(_F_DX), fplane(_F_DY), fplane(_F_DZ)
+    wx, wy, wz = fplane(_F_WX), fplane(_F_WY), fplane(_F_WZ)
+    rx, ry, rz = fplane(_F_RX), fplane(_F_RY), fplane(_F_RZ)
+    depth = iplane(_I_DEPTH)
+    s_idx = iplane(_I_SIDX)
+    alive = iplane(_I_ALIVE) != 0
+
+    k0 = kw_ref[0, 0]
+    k1 = kw_ref[0, 1]
+    ip_offset = ip_ref[0, 0]
+    row_offset = ip_ref[0, 1]
+    k_samples = ip_ref[0, 2]
+
+    # lane/pixel id: plane element (r, c) of tile t is global lane
+    # r * n_cols + t * _LANE + c  (the (8, G/8) C-order reshape of (G,)).
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+    col_l = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+    lane = row8 * n_cols + t * _LANE + col_l  # == pixel id
+
+    W, H = config.width, config.height
+    pix_col = lane % W
+    pix_row = lane // W + row_offset  # global image row (sharded tile bands)
+    pixel = pix_row * W + pix_col
+
+    # ---- regenerate dead lanes with their pixel's next sample --------------
+    need = jnp.logical_and(jnp.logical_not(alive), s_idx < k_samples - 1)
+    s_new = jnp.where(need, s_idx + 1, s_idx)
+    ip = ip_offset + s_new
+    sid = pixel * config.spp + ip  # global sample id (matches wavefront regen)
+    group = ip // config.spp_per_cell
+    js = config.jitter_size
+    cx_cell = (group % js).astype(jnp.float32)
+    cy_cell = (group // js).astype(jnp.float32)
+
+    # camera uniforms (bit-identical to core/rng.py::camera_uniforms)
+    ua, ub, _, _ = _pcg4d(
+        pltpu.bitcast(sid, jnp.uint32) ^ k0,
+        jnp.broadcast_to(k1, sid.shape),
+        jnp.full(sid.shape, jnp.uint32(_CAMERA_SALT)),
+        jnp.broadcast_to(k0 + k1, sid.shape),
+    )
+    u0 = _to_unit(ua)
+    u1 = _to_unit(ub)
+
+    if config.filter == Filter.TENT:
+        r0 = 2.0 * u0
+        r1 = 2.0 * u1
+        f0 = jnp.where(r0 < 1.0, jnp.sqrt(r0) - 1.0,
+                       1.0 - jnp.sqrt(jnp.maximum(2.0 - r0, 0.0)))
+        f1 = jnp.where(r1 < 1.0, jnp.sqrt(r1) - 1.0,
+                       1.0 - jnp.sqrt(jnp.maximum(2.0 - r1, 0.0)))
+        off0 = (cx_cell + 0.5 + f0) / js - 0.5
+        off1 = (cy_cell + 0.5 + f1) / js - 0.5
+    else:  # BOX
+        off0 = (cx_cell + u0) / js - 0.5
+        off1 = (cy_cell + u1) / js - 0.5
+
+    sx = (pix_col.astype(jnp.float32) + 0.5 + off0) / W - 0.5
+    sy = (pix_row.astype(jnp.float32) + 0.5 + off1) / H - 0.5
+    if config.camera_model == CameraModel.MATRIX:
+        sx = 2.0 * sx
+        sy = 2.0 * sy
+
+    ax, ay, az = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    bx, by, bz = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+    cxv, cyv, czv = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+    o0x, o0y, o0z = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+    push = cam_ref[0, 12]
+
+    gdx = sx * ax + sy * bx + cxv
+    gdy = sx * ay + sy * by + cyv
+    gdz = sx * az + sy * bz + czv
+    gox = o0x + gdx * push
+    goy = o0y + gdy * push
+    goz = o0z + gdz * push
+    ndx, ndy, ndz = _normalize3(gdx, gdy, gdz)
+
+    ox = jnp.where(need, gox, ox)
+    oy = jnp.where(need, goy, oy)
+    oz = jnp.where(need, goz, oz)
+    dx = jnp.where(need, ndx, dx)
+    dy = jnp.where(need, ndy, dy)
+    dz = jnp.where(need, ndz, dz)
+    one = jnp.float32(1.0)
+    wx = jnp.where(need, one, wx)
+    wy = jnp.where(need, one, wy)
+    wz = jnp.where(need, one, wz)
+    depth = jnp.where(need, 0, depth)
+    alive = jnp.logical_or(alive, need)
+
+    # ---- closest-hit sphere sweep (stable citardauq form, ----------------
+    # ops/intersect.py::sphere_hit_t math) -----------------------------------
+    def isect_body(s, carry):
+        (bt, bex, bey, bez, bax, bay, baz, brefl, bcx, bcy, bcz, br) = carry
+        scx = tbl_ref[s, 0]
+        scy = tbl_ref[s, 1]
+        scz = tbl_ref[s, 2]
+        sr = tbl_ref[s, 3]
+        seps = tbl_ref[s, 4]
+        opx = scx - ox
+        opy = scy - oy
+        opz = scz - oz
+        b = opx * dx + opy * dy + opz * dz
+        fx = opx - b * dx
+        fy = opy - b * dy
+        fz = opz - b * dz
+        pp = fx * fx + fy * fy + fz * fz
+        sp = jnp.sqrt(pp)
+        det = (sr - sp) * (sr + sp)
+        s_ = jnp.sqrt(jnp.maximum(det, 0.0))
+        opn = jnp.sqrt(b * b + pp)
+        cc = (opn - sr) * (opn + sr)
+        denom = b + s_
+        t_near = jnp.where(denom > 0.0,
+                           cc / jnp.where(denom == 0.0, 1.0, denom), -_BIG)
+        tt = jnp.where(t_near > seps, t_near,
+                       jnp.where(denom > seps, denom, _BIG))
+        tt = jnp.where(det >= 0.0, tt, _BIG)
+        better = tt < bt
+        return (
+            jnp.where(better, tt, bt),
+            jnp.where(better, tbl_ref[s, 5], bex),
+            jnp.where(better, tbl_ref[s, 6], bey),
+            jnp.where(better, tbl_ref[s, 7], bez),
+            jnp.where(better, tbl_ref[s, 8], bax),
+            jnp.where(better, tbl_ref[s, 9], bay),
+            jnp.where(better, tbl_ref[s, 10], baz),
+            jnp.where(better, tbl_ref[s, 11], brefl),
+            jnp.where(better, scx, bcx),
+            jnp.where(better, scy, bcy),
+            jnp.where(better, scz, bcz),
+            jnp.where(better, sr, br),
+        )
+
+    big = jnp.full((_SUB, _LANE), _BIG, jnp.float32)
+    zero = jnp.zeros((_SUB, _LANE), jnp.float32)
+    carry0 = (big, zero, zero, zero, zero, zero, zero, zero, zero, zero,
+              zero, jnp.ones((_SUB, _LANE), jnp.float32))
+    (bt, em_x, em_y, em_z, al_x, al_y, al_z, refl, bcx, bcy, bcz, br) = (
+        jax.lax.fori_loop(0, n_spheres, isect_body, carry0)
+    )
+
+    hit = bt < _BIG
+    live_hit = jnp.logical_and(alive, hit)
+
+    # hit point + unit normal (sphere): n = (x - c) / |x - c|
+    hx = ox + bt * dx
+    hy = oy + bt * dy
+    hz = oz + bt * dz
+    nx0 = hx - bcx
+    ny0 = hy - bcy
+    nz0 = hz - bcz
+    nx, ny, nz = _normalize3(
+        jnp.where(hit, nx0, 1.0), jnp.where(hit, ny0, 0.0),
+        jnp.where(hit, nz0, 0.0),
+    )
+
+    if config.flip_normals:
+        ndot = nx * dx + ny * dy + nz * dz
+        flip = ndot < 0.0
+        nlx = jnp.where(flip, nx, -nx)
+        nly = jnp.where(flip, ny, -ny)
+        nlz = jnp.where(flip, nz, -nz)
+    else:
+        nlx, nly, nlz = nx, ny, nz
+
+    # emission accumulation (pre-RR, smallpt.cpp:179)
+    lh = live_hit
+    rx = rx + jnp.where(lh, wx * em_x, 0.0)
+    ry = ry + jnp.where(lh, wy * em_y, 0.0)
+    rz = rz + jnp.where(lh, wz * em_z, 0.0)
+
+    # shade uniforms (bit-identical to core/rng.py::shade_uniforms, hist = 0)
+    sidu = pltpu.bitcast(sid, jnp.uint32)
+    sa, sb, sc, sd_ = _pcg4d(
+        sidu ^ k0,
+        jnp.broadcast_to(k1, sid.shape),
+        pltpu.bitcast(depth, jnp.uint32) + jnp.uint32(_GOLDEN),
+        jnp.broadcast_to(k0 + k1, sid.shape),
+    )
+    u_rr = _to_unit(sa)
+    u_b1 = _to_unit(sb)
+    u_b2 = _to_unit(sc)
+    u_ch = _to_unit(sd_)
+
+    # Russian roulette (smallpt.cpp:187-198)
+    p_rr = jnp.maximum(al_x, jnp.maximum(al_y, al_z))
+    rr_active = depth > config.rr_depth
+    survive = jnp.logical_or(jnp.logical_not(rr_active), u_rr < p_rr)
+    boost = jnp.where(
+        jnp.logical_and(rr_active, survive),
+        1.0 / jnp.maximum(p_rr, 1e-12), 1.0,
+    )
+    fx_ = al_x * boost
+    fy_ = al_y * boost
+    fz_ = al_z * boost
+
+    # DIFF: cosine-weighted hemisphere around nl (smallpt.cpp:208-216)
+    r1 = jnp.float32(2.0 * np.pi) * u_b1
+    r2s = jnp.sqrt(u_b2)
+    bigx = jnp.abs(nlx) > 0.1
+    upx = jnp.where(bigx, 0.0, 1.0)
+    upy = jnp.where(bigx, 1.0, 0.0)
+    # u = normalize(cross(up, w)); up.z == 0
+    tux = upy * nlz
+    tuy = -upx * nlz
+    tuz = upx * nly - upy * nlx
+    tux, tuy, tuz = _normalize3(tux, tuy, tuz)
+    tvx = nly * tuz - nlz * tuy
+    tvy = nlz * tux - nlx * tuz
+    tvz = nlx * tuy - nly * tux
+    cr1 = jnp.cos(r1) * r2s
+    sr1 = jnp.sin(r1) * r2s
+    wzc = jnp.sqrt(jnp.maximum(1.0 - u_b2, 0.0))
+    ddx = tux * cr1 + tvx * sr1 + nlx * wzc
+    ddy = tuy * cr1 + tvy * sr1 + nly * wzc
+    ddz = tuz * cr1 + tvz * sr1 + nlz * wzc
+    ddx, ddy, ddz = _normalize3(ddx, ddy, ddz)
+
+    # SPEC mirror (smallpt.cpp:218)
+    nd = nx * dx + ny * dy + nz * dz
+    msx = dx - nx * (2.0 * nd)
+    msy = dy - ny * (2.0 * nd)
+    msz = dz - nz * (2.0 * nd)
+
+    # REFR: Snell + TIR + Schlick (smallpt.cpp:225-246)
+    into = (nx * nlx + ny * nly + nz * nlz) > 0.0
+    nc = jnp.float32(1.0)
+    nt = jnp.float32(config.ior)
+    nnt = jnp.where(into, nc / nt, nt / nc)
+    ddn = dx * nlx + dy * nly + dz * nlz
+    cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+    tir = cos2t < 0.0
+    sq = jnp.sqrt(jnp.maximum(cos2t, 0.0))
+    sgn = jnp.where(into, 1.0, -1.0)
+    tfac = sgn * (ddn * nnt + sq)
+    tdx = dx * nnt - nx * tfac
+    tdy = dy * nnt - ny * tfac
+    tdz = dz * nnt - nz * tfac
+    tdx, tdy, tdz = _normalize3(
+        jnp.where(tir, 1.0, tdx), jnp.where(tir, 0.0, tdy),
+        jnp.where(tir, 0.0, tdz),
+    )
+    a_ = nt - nc
+    b2_ = nt + nc
+    r0_ = (a_ * a_) / (b2_ * b2_)
+    cterm = 1.0 - jnp.where(into, -ddn, tdx * nx + tdy * ny + tdz * nz)
+    re = r0_ + (1.0 - r0_) * cterm * cterm * cterm * cterm * cterm
+    tr_ = 1.0 - re
+    p_refl = 0.25 + 0.5 * re
+    choose_refl = u_ch < p_refl
+    use_spec_dir = jnp.logical_or(tir, choose_refl)
+    rfx = jnp.where(use_spec_dir, msx, tdx)
+    rfy = jnp.where(use_spec_dir, msy, tdy)
+    rfz = jnp.where(use_spec_dir, msz, tdz)
+    refr_w = jnp.where(
+        tir, 1.0, jnp.where(choose_refl, re / p_refl, tr_ / (1.0 - p_refl))
+    )
+
+    is_diff = refl < 0.5
+    is_spec = jnp.logical_and(refl >= 0.5, refl < 1.5)
+    is_refr = refl >= 1.5
+
+    newdx = jnp.where(is_diff, ddx, jnp.where(is_spec, msx, rfx))
+    newdy = jnp.where(is_diff, ddy, jnp.where(is_spec, msy, rfy))
+    newdz = jnp.where(is_diff, ddz, jnp.where(is_spec, msz, rfz))
+    wf = jnp.where(is_refr, refr_w, 1.0)
+    wfx = fx_ * wf
+    wfy = fy_ * wf
+    wfz = fz_ * wf
+
+    transmitted = jnp.logical_and(
+        is_refr, jnp.logical_and(jnp.logical_not(tir),
+                                 jnp.logical_not(choose_refl))
+    )
+    eps_off = jnp.where(transmitted, -config.shading_eps, config.shading_eps)
+    nox = hx + eps_off * nlx
+    noy = hy + eps_off * nly
+    noz = hz + eps_off * nlz
+
+    parent = jnp.logical_and(live_hit, survive)
+    ox = jnp.where(parent, nox, ox)
+    oy = jnp.where(parent, noy, oy)
+    oz = jnp.where(parent, noz, oz)
+    dx = jnp.where(parent, newdx, dx)
+    dy = jnp.where(parent, newdy, dy)
+    dz = jnp.where(parent, newdz, dz)
+    wx = jnp.where(parent, wx * wfx, wx)
+    wy = jnp.where(parent, wy * wfy, wy)
+    wz = jnp.where(parent, wz * wfz, wz)
+    depth = depth + 1
+    alive = jnp.logical_and(parent, depth < config.max_depth)
+
+    # ---- write back ---------------------------------------------------------
+    def wf_(i, v):
+        f_out[pl.ds(8 * i, 8), :] = v
+
+    def wi_(i, v):
+        i_out[pl.ds(8 * i, 8), :] = v
+
+    wf_(_F_OX, ox); wf_(_F_OY, oy); wf_(_F_OZ, oz)
+    wf_(_F_DX, dx); wf_(_F_DY, dy); wf_(_F_DZ, dz)
+    wf_(_F_WX, wx); wf_(_F_WY, wy); wf_(_F_WZ, wz)
+    wf_(_F_RX, rx); wf_(_F_RY, ry); wf_(_F_RZ, rz)
+    wi_(_I_DEPTH, depth)
+    wi_(_I_SIDX, s_new)
+    wi_(_I_ALIVE, alive.astype(jnp.int32))
+
+
+def build_scene_table(scene: SphereScene, config: RenderConfig) -> jnp.ndarray:
+    """(S, 16) f32: [cx cy cz r eps | ex ey ez | ax ay az | refl | 0...]."""
+    s = scene.n_spheres
+    c = jnp.asarray(scene.center, jnp.float32)
+    r = jnp.asarray(scene.radius, jnp.float32)
+    eps = jnp.maximum(
+        jnp.asarray(config.intersect_eps, jnp.float32),
+        config.intersect_eps_rel * r,
+    )
+    m = scene.material
+    return jnp.concatenate(
+        [
+            c, r[:, None], eps[:, None],
+            jnp.asarray(m.emission, jnp.float32),
+            jnp.asarray(m.albedo, jnp.float32),
+            jnp.asarray(m.refl, jnp.float32)[:, None],
+            jnp.zeros((s, 3), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def build_camera_vec(camera, config: RenderConfig) -> jnp.ndarray:
+    """(1, 16) f32 [A(3) B(3) C(3) O(3) push 0 0 0] such that
+    raw dir = sx*A + sy*B + C and origin = O + push*dir (cf.
+    core/camera.py::generate_rays; sx/sy are scaled 2x for MATRIX)."""
+    if config.camera_model == CameraModel.LEGACY:
+        if not isinstance(camera, LegacyCamera):
+            raise TypeError("LEGACY camera_model needs a LegacyCamera")
+        w, h = config.width, config.height
+        cx = jnp.stack([
+            (w * camera.fov_scale / h).astype(jnp.float32),
+            jnp.float32(0.0), jnp.float32(0.0),
+        ])
+        cy_raw = jnp.cross(cx, camera.direction)
+        cy = cy_raw / jnp.linalg.norm(cy_raw) * camera.fov_scale
+        vec = jnp.concatenate([
+            cx.astype(jnp.float32), cy.astype(jnp.float32),
+            camera.direction.astype(jnp.float32),
+            camera.origin.astype(jnp.float32),
+            camera.push_forward.reshape(1).astype(jnp.float32),
+            jnp.zeros((3,), jnp.float32),
+        ])
+    else:
+        if not isinstance(camera, MatrixCamera):
+            raise TypeError("MATRIX camera_model needs a MatrixCamera")
+        mtx = camera.local_to_world.astype(jnp.float32)
+        near = jnp.asarray(camera.near_plane, jnp.float32)
+        vec = jnp.concatenate([
+            mtx[:3, 0], mtx[:3, 1], mtx[:3, 2] * near, mtx[:3, 3],
+            jnp.zeros((1,), jnp.float32), jnp.zeros((3,), jnp.float32),
+        ])
+    return vec.reshape(1, 16)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "interpret", "n_rows")
+)
+def render_pass_megakernel(
+    scene: SphereScene,
+    camera,
+    config: RenderConfig,
+    key: jax.Array,
+    ip_offset=0,
+    row_offset=0,
+    n_rows: int | None = None,
+    k_samples: int | None = None,
+    interpret: bool | None = None,
+):
+    """One regenerative pass over a row band. Returns ((n_rows, W, 3) summed
+    radiance, rays_traced) — semantics of renderer.render_with_stats for the
+    REGEN scheduler, computed by the fused Pallas bounce kernel.
+
+    Sharding hooks (parallel/shard.py): row_offset/n_rows select the shard's
+    tile band; ip_offset/k_samples give it a disjoint slice of each pixel's
+    in-pixel sample axis. Defaults render the whole frame single-chip."""
+    if config.split_budget != 1:
+        raise ValueError("megakernel requires split_budget == 1")
+    if config.mode != Mode.FULL:
+        raise ValueError("megakernel renders Mode.FULL only")
+    if scene.n_spheres > 512:
+        # sphere constants live in SMEM (scalar-broadcast sweep); huge scenes
+        # use the VMEM-tiled intersect kernel path (ops/intersect_pallas.py)
+        raise ValueError("megakernel supports <= 512 spheres")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    if n_rows is None:
+        n_rows = config.height
+    if k_samples is None:
+        k_samples = config.spp
+    G = n_rows * config.width
+    n_tiles = -(-G // _TILE)
+    g_pad = n_tiles * _TILE
+    n_cols = g_pad // _SUB
+
+    kw = jax.random.key_data(key).astype(jnp.uint32).reshape(1, -1)[:, :2]
+    ip = jnp.stack([
+        jnp.asarray(ip_offset, jnp.int32),
+        jnp.asarray(row_offset, jnp.int32),
+        jnp.asarray(k_samples, jnp.int32),
+    ]).reshape(1, 3)
+    cam_vec = build_camera_vec(camera, config)
+    table = build_scene_table(scene, config)
+
+    f0 = jnp.zeros((_SUB * _NF, n_cols), jnp.float32)
+    # padded lanes (pixel id >= G) start exhausted: s_idx = k-1, dead
+    lane = (
+        jnp.arange(_SUB)[:, None] * n_cols + jnp.arange(n_cols)[None, :]
+    )
+    sidx0 = jnp.where(lane < G, jnp.int32(-1), jnp.int32(k_samples - 1))
+    i0 = jnp.concatenate(
+        [
+            jnp.zeros((_SUB, n_cols), jnp.int32),  # depth
+            sidx0,                                  # s_idx
+            jnp.zeros((_SUB, n_cols), jnp.int32),  # alive
+        ],
+        axis=0,
+    )
+
+    grid = (n_tiles,)
+    kernel = functools.partial(
+        _mega_kernel,
+        config=config,
+        n_spheres=scene.n_spheres,
+        n_cols=n_cols,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # kw
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # ip
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # cam
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # table
+            pl.BlockSpec((_SUB * _NF, _LANE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),                     # f
+            pl.BlockSpec((_SUB * _NI, _LANE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),                     # i
+        ],
+        out_specs=[
+            pl.BlockSpec((_SUB * _NF, _LANE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUB * _NI, _LANE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((_SUB * _NF, n_cols), jnp.float32),
+            jax.ShapeDtypeStruct((_SUB * _NI, n_cols), jnp.int32),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )
+
+    max_iters = k_samples * config.max_depth
+
+    def cond(carry):
+        f, i, it, rays = carry
+        s_idx = jax.lax.dynamic_slice_in_dim(i, 8 * _I_SIDX, 8, axis=0)
+        al = jax.lax.dynamic_slice_in_dim(i, 8 * _I_ALIVE, 8, axis=0)
+        more = jnp.any((al != 0) | (s_idx < k_samples - 1))
+        return (it < max_iters) & more
+
+    def body(carry):
+        f, i, it, rays = carry
+        # live lanes this bounce = lanes that were alive entering the kernel
+        # after regen = alive-after-step + lanes that died during the step;
+        # cheapest exact count: lanes whose depth advanced == parents of this
+        # step... simplest robust count: recompute "more" before the call.
+        al_in = jax.lax.dynamic_slice_in_dim(i, 8 * _I_ALIVE, 8, axis=0) != 0
+        sx_in = jax.lax.dynamic_slice_in_dim(i, 8 * _I_SIDX, 8, axis=0)
+        live = jnp.sum((al_in | (sx_in < k_samples - 1)).astype(jnp.int32))
+        f, i = call(kw, ip, cam_vec, table, f, i)
+        return f, i, it + 1, rays + live
+
+    f, i, iters, rays = jax.lax.while_loop(
+        cond, body, (f0, i0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    )
+
+    rad = jnp.stack(
+        [
+            f[8 * _F_RX:8 * _F_RX + 8].reshape(-1)[:G],
+            f[8 * _F_RY:8 * _F_RY + 8].reshape(-1)[:G],
+            f[8 * _F_RZ:8 * _F_RZ + 8].reshape(-1)[:G],
+        ],
+        axis=-1,
+    ).astype(jnp.dtype(config.dtype))
+    return rad.reshape(n_rows, config.width, 3), rays

@@ -32,7 +32,12 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from smallpt_tpu.config import RenderConfig
-from smallpt_tpu.engine.renderer import render_samples, render_pixels, _use_regen
+from smallpt_tpu.engine.renderer import (
+    render_samples,
+    render_pixels,
+    _use_mega,
+    _use_regen,
+)
 
 
 def make_mesh(
@@ -106,7 +111,18 @@ def render_sharded(
         h_loc, cols_loc = sid.shape
         W = config.width
         spp_loc = cols_loc // W
-        if _use_regen(config, differentiable):
+        if _use_mega(scene, config, differentiable):
+            from smallpt_tpu.ops.megakernel import render_pass_megakernel
+
+            part, _ = render_pass_megakernel(
+                scene, camera, config, key,
+                ip_offset=jax.lax.axis_index("sample").astype(jnp.int32)
+                * spp_loc,
+                row_offset=row[0, 0],
+                n_rows=h_loc,
+                k_samples=spp_loc,
+            )
+        elif _use_regen(config, differentiable):
             # one lane per local pixel, consuming this shard's spp_loc
             # in-pixel sample slots sequentially
             pix_col = col[:, :W].reshape(-1)
