@@ -48,10 +48,17 @@ def bench(width=1024, height=768, spp_per_cell=1, passes=10, warmup=3,
 
     # warmup / compile. int(rays) forces a real device-result fetch:
     # block_until_ready alone returns early through the axon tunnel, letting
-    # warmup execution bleed into the timed region.
-    for i in range(warmup):
+    # warmup execution bleed into the timed region. The chip also ramps
+    # clocks over several seconds of sustained load, so warm by wall time,
+    # not pass count.
+    t_warm = time.perf_counter()
+    i = 0
+    while i < warmup or (time.perf_counter() - t_warm) < 3.0:
         img, rays = render_with_stats(scene, camera, config, jax.random.fold_in(base, 1000 + i))
         int(rays)
+        i += 1
+        if i > 100:
+            break
 
     total_rays = 0
     t0 = time.perf_counter()

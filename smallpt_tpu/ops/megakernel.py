@@ -48,8 +48,8 @@ _F_WX, _F_WY, _F_WZ = 6, 7, 8      # throughput
 _F_RX, _F_RY, _F_RZ = 9, 10, 11    # accumulated radiance
 _NF = 12
 # Int-state planes.
-_I_DEPTH, _I_SIDX, _I_ALIVE = 0, 1, 2
-_NI = 3
+_I_DEPTH, _I_SIDX, _I_ALIVE, _I_RAYS = 0, 1, 2, 3
+_NI = 4
 
 _SUB = 8          # f32 sublane tile height
 _LANE = 1024      # lanes per tile column block (8 lane-tiles)
@@ -117,13 +117,14 @@ def _mega_kernel(
     fplane = lambda i: f_ref[pl.ds(8 * i, 8), :]
     iplane = lambda i: i_ref[pl.ds(8 * i, 8), :]
 
-    ox, oy, oz = fplane(_F_OX), fplane(_F_OY), fplane(_F_OZ)
-    dx, dy, dz = fplane(_F_DX), fplane(_F_DY), fplane(_F_DZ)
-    wx, wy, wz = fplane(_F_WX), fplane(_F_WY), fplane(_F_WZ)
-    rx, ry, rz = fplane(_F_RX), fplane(_F_RY), fplane(_F_RZ)
-    depth = iplane(_I_DEPTH)
-    s_idx = iplane(_I_SIDX)
-    alive = iplane(_I_ALIVE) != 0
+    ox0, oy0, oz0 = fplane(_F_OX), fplane(_F_OY), fplane(_F_OZ)
+    dx0, dy0, dz0 = fplane(_F_DX), fplane(_F_DY), fplane(_F_DZ)
+    wx0, wy0, wz0 = fplane(_F_WX), fplane(_F_WY), fplane(_F_WZ)
+    rx0, ry0, rz0 = fplane(_F_RX), fplane(_F_RY), fplane(_F_RZ)
+    depth0 = iplane(_I_DEPTH)
+    s_idx0 = iplane(_I_SIDX)
+    alive0 = iplane(_I_ALIVE) != 0
+    nrays0 = iplane(_I_RAYS)
 
     k0 = kw_ref[0, 0]
     k1 = kw_ref[0, 1]
@@ -142,274 +143,298 @@ def _mega_kernel(
     pix_row = lane // W + row_offset  # global image row (sharded tile bands)
     pixel = pix_row * W + pix_col
 
-    # ---- regenerate dead lanes with their pixel's next sample --------------
-    need = jnp.logical_and(jnp.logical_not(alive), s_idx < k_samples - 1)
-    s_new = jnp.where(need, s_idx + 1, s_idx)
-    ip = ip_offset + s_new
-    sid = pixel * config.spp + ip  # global sample id (matches wavefront regen)
-    group = ip // config.spp_per_cell
-    js = config.jitter_size
-    cx_cell = (group % js).astype(jnp.float32)
-    cy_cell = (group // js).astype(jnp.float32)
+    max_it = k_samples * config.max_depth
 
-    # camera uniforms (bit-identical to core/rng.py::camera_uniforms)
-    ua, ub, _, _ = _pcg4d(
-        pltpu.bitcast(sid, jnp.uint32) ^ k0,
-        jnp.broadcast_to(k1, sid.shape),
-        jnp.full(sid.shape, jnp.uint32(_CAMERA_SALT)),
-        jnp.broadcast_to(k0 + k1, sid.shape),
-    )
-    u0 = _to_unit(ua)
-    u1 = _to_unit(ub)
+    def loop_cond(carry):
+        it = carry[0]
+        s_idx = carry[14]
+        alive_i = carry[15]
+        more = jnp.logical_or(alive_i != 0, s_idx < k_samples - 1)
+        return jnp.logical_and(it < max_it, jnp.any(more))
 
-    if config.filter == Filter.TENT:
-        r0 = 2.0 * u0
-        r1 = 2.0 * u1
-        f0 = jnp.where(r0 < 1.0, jnp.sqrt(r0) - 1.0,
-                       1.0 - jnp.sqrt(jnp.maximum(2.0 - r0, 0.0)))
-        f1 = jnp.where(r1 < 1.0, jnp.sqrt(r1) - 1.0,
-                       1.0 - jnp.sqrt(jnp.maximum(2.0 - r1, 0.0)))
-        off0 = (cx_cell + 0.5 + f0) / js - 0.5
-        off1 = (cy_cell + 0.5 + f1) / js - 0.5
-    else:  # BOX
-        off0 = (cx_cell + u0) / js - 0.5
-        off1 = (cy_cell + u1) / js - 0.5
+    def loop_body(carry):
+        (it, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz, depth,
+         s_idx, alive_i, nrays) = carry
+        alive = alive_i != 0
 
-    sx = (pix_col.astype(jnp.float32) + 0.5 + off0) / W - 0.5
-    sy = (pix_row.astype(jnp.float32) + 0.5 + off1) / H - 0.5
-    if config.camera_model == CameraModel.MATRIX:
-        sx = 2.0 * sx
-        sy = 2.0 * sy
+        # ---- regenerate dead lanes with their pixel's next sample ----------
+        need = jnp.logical_and(jnp.logical_not(alive), s_idx < k_samples - 1)
+        s_new = jnp.where(need, s_idx + 1, s_idx)
+        ip = ip_offset + s_new
+        sid = pixel * config.spp + ip  # global sample id (matches wavefront regen)
+        group = ip // config.spp_per_cell
+        js = config.jitter_size
+        cx_cell = (group % js).astype(jnp.float32)
+        cy_cell = (group // js).astype(jnp.float32)
 
-    ax, ay, az = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
-    bx, by, bz = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
-    cxv, cyv, czv = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
-    o0x, o0y, o0z = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
-    push = cam_ref[0, 12]
+        # camera uniforms (bit-identical to core/rng.py::camera_uniforms)
+        ua, ub, _, _ = _pcg4d(
+            pltpu.bitcast(sid, jnp.uint32) ^ k0,
+            jnp.broadcast_to(k1, sid.shape),
+            jnp.full(sid.shape, jnp.uint32(_CAMERA_SALT)),
+            jnp.broadcast_to(k0 + k1, sid.shape),
+        )
+        u0 = _to_unit(ua)
+        u1 = _to_unit(ub)
 
-    gdx = sx * ax + sy * bx + cxv
-    gdy = sx * ay + sy * by + cyv
-    gdz = sx * az + sy * bz + czv
-    gox = o0x + gdx * push
-    goy = o0y + gdy * push
-    goz = o0z + gdz * push
-    ndx, ndy, ndz = _normalize3(gdx, gdy, gdz)
+        if config.filter == Filter.TENT:
+            r0 = 2.0 * u0
+            r1 = 2.0 * u1
+            f0 = jnp.where(r0 < 1.0, jnp.sqrt(r0) - 1.0,
+                           1.0 - jnp.sqrt(jnp.maximum(2.0 - r0, 0.0)))
+            f1 = jnp.where(r1 < 1.0, jnp.sqrt(r1) - 1.0,
+                           1.0 - jnp.sqrt(jnp.maximum(2.0 - r1, 0.0)))
+            off0 = (cx_cell + 0.5 + f0) / js - 0.5
+            off1 = (cy_cell + 0.5 + f1) / js - 0.5
+        else:  # BOX
+            off0 = (cx_cell + u0) / js - 0.5
+            off1 = (cy_cell + u1) / js - 0.5
 
-    ox = jnp.where(need, gox, ox)
-    oy = jnp.where(need, goy, oy)
-    oz = jnp.where(need, goz, oz)
-    dx = jnp.where(need, ndx, dx)
-    dy = jnp.where(need, ndy, dy)
-    dz = jnp.where(need, ndz, dz)
-    one = jnp.float32(1.0)
-    wx = jnp.where(need, one, wx)
-    wy = jnp.where(need, one, wy)
-    wz = jnp.where(need, one, wz)
-    depth = jnp.where(need, 0, depth)
-    alive = jnp.logical_or(alive, need)
+        sx = (pix_col.astype(jnp.float32) + 0.5 + off0) / W - 0.5
+        sy = (pix_row.astype(jnp.float32) + 0.5 + off1) / H - 0.5
+        if config.camera_model == CameraModel.MATRIX:
+            sx = 2.0 * sx
+            sy = 2.0 * sy
 
-    # ---- closest-hit sphere sweep (stable citardauq form, ----------------
-    # ops/intersect.py::sphere_hit_t math) -----------------------------------
-    def isect_body(s, carry):
-        (bt, bex, bey, bez, bax, bay, baz, brefl, bcx, bcy, bcz, br) = carry
-        scx = tbl_ref[s, 0]
-        scy = tbl_ref[s, 1]
-        scz = tbl_ref[s, 2]
-        sr = tbl_ref[s, 3]
-        seps = tbl_ref[s, 4]
-        opx = scx - ox
-        opy = scy - oy
-        opz = scz - oz
-        b = opx * dx + opy * dy + opz * dz
-        fx = opx - b * dx
-        fy = opy - b * dy
-        fz = opz - b * dz
-        pp = fx * fx + fy * fy + fz * fz
-        sp = jnp.sqrt(pp)
-        det = (sr - sp) * (sr + sp)
-        s_ = jnp.sqrt(jnp.maximum(det, 0.0))
-        opn = jnp.sqrt(b * b + pp)
-        cc = (opn - sr) * (opn + sr)
-        denom = b + s_
-        t_near = jnp.where(denom > 0.0,
-                           cc / jnp.where(denom == 0.0, 1.0, denom), -_BIG)
-        tt = jnp.where(t_near > seps, t_near,
-                       jnp.where(denom > seps, denom, _BIG))
-        tt = jnp.where(det >= 0.0, tt, _BIG)
-        better = tt < bt
-        return (
-            jnp.where(better, tt, bt),
-            jnp.where(better, tbl_ref[s, 5], bex),
-            jnp.where(better, tbl_ref[s, 6], bey),
-            jnp.where(better, tbl_ref[s, 7], bez),
-            jnp.where(better, tbl_ref[s, 8], bax),
-            jnp.where(better, tbl_ref[s, 9], bay),
-            jnp.where(better, tbl_ref[s, 10], baz),
-            jnp.where(better, tbl_ref[s, 11], brefl),
-            jnp.where(better, scx, bcx),
-            jnp.where(better, scy, bcy),
-            jnp.where(better, scz, bcz),
-            jnp.where(better, sr, br),
+        ax, ay, az = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+        bx, by, bz = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+        cxv, cyv, czv = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+        o0x, o0y, o0z = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+        push = cam_ref[0, 12]
+
+        gdx = sx * ax + sy * bx + cxv
+        gdy = sx * ay + sy * by + cyv
+        gdz = sx * az + sy * bz + czv
+        gox = o0x + gdx * push
+        goy = o0y + gdy * push
+        goz = o0z + gdz * push
+        ndx, ndy, ndz = _normalize3(gdx, gdy, gdz)
+
+        ox = jnp.where(need, gox, ox)
+        oy = jnp.where(need, goy, oy)
+        oz = jnp.where(need, goz, oz)
+        dx = jnp.where(need, ndx, dx)
+        dy = jnp.where(need, ndy, dy)
+        dz = jnp.where(need, ndz, dz)
+        one = jnp.float32(1.0)
+        wx = jnp.where(need, one, wx)
+        wy = jnp.where(need, one, wy)
+        wz = jnp.where(need, one, wz)
+        depth = jnp.where(need, 0, depth)
+        alive = jnp.logical_or(alive, need)
+        nrays = nrays + alive.astype(jnp.int32)
+
+        # ---- closest-hit sphere sweep (stable citardauq form, ----------------
+        # ops/intersect.py::sphere_hit_t math) -----------------------------------
+        def isect_body(s, carry):
+            (bt, bex, bey, bez, bax, bay, baz, brefl, bcx, bcy, bcz, br) = carry
+            scx = tbl_ref[s, 0]
+            scy = tbl_ref[s, 1]
+            scz = tbl_ref[s, 2]
+            sr = tbl_ref[s, 3]
+            seps = tbl_ref[s, 4]
+            opx = scx - ox
+            opy = scy - oy
+            opz = scz - oz
+            b = opx * dx + opy * dy + opz * dz
+            fx = opx - b * dx
+            fy = opy - b * dy
+            fz = opz - b * dz
+            pp = fx * fx + fy * fy + fz * fz
+            sp = jnp.sqrt(pp)
+            det = (sr - sp) * (sr + sp)
+            s_ = jnp.sqrt(jnp.maximum(det, 0.0))
+            opn = jnp.sqrt(b * b + pp)
+            cc = (opn - sr) * (opn + sr)
+            denom = b + s_
+            t_near = jnp.where(denom > 0.0,
+                               cc / jnp.where(denom == 0.0, 1.0, denom), -_BIG)
+            tt = jnp.where(t_near > seps, t_near,
+                           jnp.where(denom > seps, denom, _BIG))
+            tt = jnp.where(det >= 0.0, tt, _BIG)
+            better = tt < bt
+            return (
+                jnp.where(better, tt, bt),
+                jnp.where(better, tbl_ref[s, 5], bex),
+                jnp.where(better, tbl_ref[s, 6], bey),
+                jnp.where(better, tbl_ref[s, 7], bez),
+                jnp.where(better, tbl_ref[s, 8], bax),
+                jnp.where(better, tbl_ref[s, 9], bay),
+                jnp.where(better, tbl_ref[s, 10], baz),
+                jnp.where(better, tbl_ref[s, 11], brefl),
+                jnp.where(better, scx, bcx),
+                jnp.where(better, scy, bcy),
+                jnp.where(better, scz, bcz),
+                jnp.where(better, sr, br),
+            )
+
+        big = jnp.full((_SUB, _LANE), _BIG, jnp.float32)
+        zero = jnp.zeros((_SUB, _LANE), jnp.float32)
+        carry0 = (big, zero, zero, zero, zero, zero, zero, zero, zero, zero,
+                  zero, jnp.ones((_SUB, _LANE), jnp.float32))
+        (bt, em_x, em_y, em_z, al_x, al_y, al_z, refl, bcx, bcy, bcz, br) = (
+            jax.lax.fori_loop(0, n_spheres, isect_body, carry0)
         )
 
-    big = jnp.full((_SUB, _LANE), _BIG, jnp.float32)
-    zero = jnp.zeros((_SUB, _LANE), jnp.float32)
-    carry0 = (big, zero, zero, zero, zero, zero, zero, zero, zero, zero,
-              zero, jnp.ones((_SUB, _LANE), jnp.float32))
-    (bt, em_x, em_y, em_z, al_x, al_y, al_z, refl, bcx, bcy, bcz, br) = (
-        jax.lax.fori_loop(0, n_spheres, isect_body, carry0)
-    )
+        hit = bt < _BIG
+        live_hit = jnp.logical_and(alive, hit)
 
-    hit = bt < _BIG
-    live_hit = jnp.logical_and(alive, hit)
+        # hit point + unit normal (sphere): n = (x - c) / |x - c|
+        hx = ox + bt * dx
+        hy = oy + bt * dy
+        hz = oz + bt * dz
+        nx0 = hx - bcx
+        ny0 = hy - bcy
+        nz0 = hz - bcz
+        nx, ny, nz = _normalize3(
+            jnp.where(hit, nx0, 1.0), jnp.where(hit, ny0, 0.0),
+            jnp.where(hit, nz0, 0.0),
+        )
 
-    # hit point + unit normal (sphere): n = (x - c) / |x - c|
-    hx = ox + bt * dx
-    hy = oy + bt * dy
-    hz = oz + bt * dz
-    nx0 = hx - bcx
-    ny0 = hy - bcy
-    nz0 = hz - bcz
-    nx, ny, nz = _normalize3(
-        jnp.where(hit, nx0, 1.0), jnp.where(hit, ny0, 0.0),
-        jnp.where(hit, nz0, 0.0),
-    )
+        if config.flip_normals:
+            ndot = nx * dx + ny * dy + nz * dz
+            flip = ndot < 0.0
+            nlx = jnp.where(flip, nx, -nx)
+            nly = jnp.where(flip, ny, -ny)
+            nlz = jnp.where(flip, nz, -nz)
+        else:
+            nlx, nly, nlz = nx, ny, nz
 
-    if config.flip_normals:
-        ndot = nx * dx + ny * dy + nz * dz
-        flip = ndot < 0.0
-        nlx = jnp.where(flip, nx, -nx)
-        nly = jnp.where(flip, ny, -ny)
-        nlz = jnp.where(flip, nz, -nz)
-    else:
-        nlx, nly, nlz = nx, ny, nz
+        # emission accumulation (pre-RR, smallpt.cpp:179)
+        lh = live_hit
+        rx = rx + jnp.where(lh, wx * em_x, 0.0)
+        ry = ry + jnp.where(lh, wy * em_y, 0.0)
+        rz = rz + jnp.where(lh, wz * em_z, 0.0)
 
-    # emission accumulation (pre-RR, smallpt.cpp:179)
-    lh = live_hit
-    rx = rx + jnp.where(lh, wx * em_x, 0.0)
-    ry = ry + jnp.where(lh, wy * em_y, 0.0)
-    rz = rz + jnp.where(lh, wz * em_z, 0.0)
+        # shade uniforms (bit-identical to core/rng.py::shade_uniforms, hist = 0)
+        sidu = pltpu.bitcast(sid, jnp.uint32)
+        sa, sb, sc, sd_ = _pcg4d(
+            sidu ^ k0,
+            jnp.broadcast_to(k1, sid.shape),
+            pltpu.bitcast(depth, jnp.uint32) + jnp.uint32(_GOLDEN),
+            jnp.broadcast_to(k0 + k1, sid.shape),
+        )
+        u_rr = _to_unit(sa)
+        u_b1 = _to_unit(sb)
+        u_b2 = _to_unit(sc)
+        u_ch = _to_unit(sd_)
 
-    # shade uniforms (bit-identical to core/rng.py::shade_uniforms, hist = 0)
-    sidu = pltpu.bitcast(sid, jnp.uint32)
-    sa, sb, sc, sd_ = _pcg4d(
-        sidu ^ k0,
-        jnp.broadcast_to(k1, sid.shape),
-        pltpu.bitcast(depth, jnp.uint32) + jnp.uint32(_GOLDEN),
-        jnp.broadcast_to(k0 + k1, sid.shape),
-    )
-    u_rr = _to_unit(sa)
-    u_b1 = _to_unit(sb)
-    u_b2 = _to_unit(sc)
-    u_ch = _to_unit(sd_)
+        # Russian roulette (smallpt.cpp:187-198)
+        p_rr = jnp.maximum(al_x, jnp.maximum(al_y, al_z))
+        rr_active = depth > config.rr_depth
+        survive = jnp.logical_or(jnp.logical_not(rr_active), u_rr < p_rr)
+        boost = jnp.where(
+            jnp.logical_and(rr_active, survive),
+            1.0 / jnp.maximum(p_rr, 1e-12), 1.0,
+        )
+        fx_ = al_x * boost
+        fy_ = al_y * boost
+        fz_ = al_z * boost
 
-    # Russian roulette (smallpt.cpp:187-198)
-    p_rr = jnp.maximum(al_x, jnp.maximum(al_y, al_z))
-    rr_active = depth > config.rr_depth
-    survive = jnp.logical_or(jnp.logical_not(rr_active), u_rr < p_rr)
-    boost = jnp.where(
-        jnp.logical_and(rr_active, survive),
-        1.0 / jnp.maximum(p_rr, 1e-12), 1.0,
-    )
-    fx_ = al_x * boost
-    fy_ = al_y * boost
-    fz_ = al_z * boost
+        # DIFF: cosine-weighted hemisphere around nl (smallpt.cpp:208-216)
+        r1 = jnp.float32(2.0 * np.pi) * u_b1
+        r2s = jnp.sqrt(u_b2)
+        bigx = jnp.abs(nlx) > 0.1
+        upx = jnp.where(bigx, 0.0, 1.0)
+        upy = jnp.where(bigx, 1.0, 0.0)
+        # u = normalize(cross(up, w)); up.z == 0
+        tux = upy * nlz
+        tuy = -upx * nlz
+        tuz = upx * nly - upy * nlx
+        tux, tuy, tuz = _normalize3(tux, tuy, tuz)
+        tvx = nly * tuz - nlz * tuy
+        tvy = nlz * tux - nlx * tuz
+        tvz = nlx * tuy - nly * tux
+        cr1 = jnp.cos(r1) * r2s
+        sr1 = jnp.sin(r1) * r2s
+        wzc = jnp.sqrt(jnp.maximum(1.0 - u_b2, 0.0))
+        ddx = tux * cr1 + tvx * sr1 + nlx * wzc
+        ddy = tuy * cr1 + tvy * sr1 + nly * wzc
+        ddz = tuz * cr1 + tvz * sr1 + nlz * wzc
+        ddx, ddy, ddz = _normalize3(ddx, ddy, ddz)
 
-    # DIFF: cosine-weighted hemisphere around nl (smallpt.cpp:208-216)
-    r1 = jnp.float32(2.0 * np.pi) * u_b1
-    r2s = jnp.sqrt(u_b2)
-    bigx = jnp.abs(nlx) > 0.1
-    upx = jnp.where(bigx, 0.0, 1.0)
-    upy = jnp.where(bigx, 1.0, 0.0)
-    # u = normalize(cross(up, w)); up.z == 0
-    tux = upy * nlz
-    tuy = -upx * nlz
-    tuz = upx * nly - upy * nlx
-    tux, tuy, tuz = _normalize3(tux, tuy, tuz)
-    tvx = nly * tuz - nlz * tuy
-    tvy = nlz * tux - nlx * tuz
-    tvz = nlx * tuy - nly * tux
-    cr1 = jnp.cos(r1) * r2s
-    sr1 = jnp.sin(r1) * r2s
-    wzc = jnp.sqrt(jnp.maximum(1.0 - u_b2, 0.0))
-    ddx = tux * cr1 + tvx * sr1 + nlx * wzc
-    ddy = tuy * cr1 + tvy * sr1 + nly * wzc
-    ddz = tuz * cr1 + tvz * sr1 + nlz * wzc
-    ddx, ddy, ddz = _normalize3(ddx, ddy, ddz)
+        # SPEC mirror (smallpt.cpp:218)
+        nd = nx * dx + ny * dy + nz * dz
+        msx = dx - nx * (2.0 * nd)
+        msy = dy - ny * (2.0 * nd)
+        msz = dz - nz * (2.0 * nd)
 
-    # SPEC mirror (smallpt.cpp:218)
-    nd = nx * dx + ny * dy + nz * dz
-    msx = dx - nx * (2.0 * nd)
-    msy = dy - ny * (2.0 * nd)
-    msz = dz - nz * (2.0 * nd)
+        # REFR: Snell + TIR + Schlick (smallpt.cpp:225-246)
+        into = (nx * nlx + ny * nly + nz * nlz) > 0.0
+        nc = jnp.float32(1.0)
+        nt = jnp.float32(config.ior)
+        nnt = jnp.where(into, nc / nt, nt / nc)
+        ddn = dx * nlx + dy * nly + dz * nlz
+        cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+        tir = cos2t < 0.0
+        sq = jnp.sqrt(jnp.maximum(cos2t, 0.0))
+        sgn = jnp.where(into, 1.0, -1.0)
+        tfac = sgn * (ddn * nnt + sq)
+        tdx = dx * nnt - nx * tfac
+        tdy = dy * nnt - ny * tfac
+        tdz = dz * nnt - nz * tfac
+        tdx, tdy, tdz = _normalize3(
+            jnp.where(tir, 1.0, tdx), jnp.where(tir, 0.0, tdy),
+            jnp.where(tir, 0.0, tdz),
+        )
+        a_ = nt - nc
+        b2_ = nt + nc
+        r0_ = (a_ * a_) / (b2_ * b2_)
+        cterm = 1.0 - jnp.where(into, -ddn, tdx * nx + tdy * ny + tdz * nz)
+        re = r0_ + (1.0 - r0_) * cterm * cterm * cterm * cterm * cterm
+        tr_ = 1.0 - re
+        p_refl = 0.25 + 0.5 * re
+        choose_refl = u_ch < p_refl
+        use_spec_dir = jnp.logical_or(tir, choose_refl)
+        rfx = jnp.where(use_spec_dir, msx, tdx)
+        rfy = jnp.where(use_spec_dir, msy, tdy)
+        rfz = jnp.where(use_spec_dir, msz, tdz)
+        refr_w = jnp.where(
+            tir, 1.0, jnp.where(choose_refl, re / p_refl, tr_ / (1.0 - p_refl))
+        )
 
-    # REFR: Snell + TIR + Schlick (smallpt.cpp:225-246)
-    into = (nx * nlx + ny * nly + nz * nlz) > 0.0
-    nc = jnp.float32(1.0)
-    nt = jnp.float32(config.ior)
-    nnt = jnp.where(into, nc / nt, nt / nc)
-    ddn = dx * nlx + dy * nly + dz * nlz
-    cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
-    tir = cos2t < 0.0
-    sq = jnp.sqrt(jnp.maximum(cos2t, 0.0))
-    sgn = jnp.where(into, 1.0, -1.0)
-    tfac = sgn * (ddn * nnt + sq)
-    tdx = dx * nnt - nx * tfac
-    tdy = dy * nnt - ny * tfac
-    tdz = dz * nnt - nz * tfac
-    tdx, tdy, tdz = _normalize3(
-        jnp.where(tir, 1.0, tdx), jnp.where(tir, 0.0, tdy),
-        jnp.where(tir, 0.0, tdz),
-    )
-    a_ = nt - nc
-    b2_ = nt + nc
-    r0_ = (a_ * a_) / (b2_ * b2_)
-    cterm = 1.0 - jnp.where(into, -ddn, tdx * nx + tdy * ny + tdz * nz)
-    re = r0_ + (1.0 - r0_) * cterm * cterm * cterm * cterm * cterm
-    tr_ = 1.0 - re
-    p_refl = 0.25 + 0.5 * re
-    choose_refl = u_ch < p_refl
-    use_spec_dir = jnp.logical_or(tir, choose_refl)
-    rfx = jnp.where(use_spec_dir, msx, tdx)
-    rfy = jnp.where(use_spec_dir, msy, tdy)
-    rfz = jnp.where(use_spec_dir, msz, tdz)
-    refr_w = jnp.where(
-        tir, 1.0, jnp.where(choose_refl, re / p_refl, tr_ / (1.0 - p_refl))
-    )
+        is_diff = refl < 0.5
+        is_spec = jnp.logical_and(refl >= 0.5, refl < 1.5)
+        is_refr = refl >= 1.5
 
-    is_diff = refl < 0.5
-    is_spec = jnp.logical_and(refl >= 0.5, refl < 1.5)
-    is_refr = refl >= 1.5
+        newdx = jnp.where(is_diff, ddx, jnp.where(is_spec, msx, rfx))
+        newdy = jnp.where(is_diff, ddy, jnp.where(is_spec, msy, rfy))
+        newdz = jnp.where(is_diff, ddz, jnp.where(is_spec, msz, rfz))
+        wf = jnp.where(is_refr, refr_w, 1.0)
+        wfx = fx_ * wf
+        wfy = fy_ * wf
+        wfz = fz_ * wf
 
-    newdx = jnp.where(is_diff, ddx, jnp.where(is_spec, msx, rfx))
-    newdy = jnp.where(is_diff, ddy, jnp.where(is_spec, msy, rfy))
-    newdz = jnp.where(is_diff, ddz, jnp.where(is_spec, msz, rfz))
-    wf = jnp.where(is_refr, refr_w, 1.0)
-    wfx = fx_ * wf
-    wfy = fy_ * wf
-    wfz = fz_ * wf
+        transmitted = jnp.logical_and(
+            is_refr, jnp.logical_and(jnp.logical_not(tir),
+                                     jnp.logical_not(choose_refl))
+        )
+        eps_off = jnp.where(transmitted, -config.shading_eps, config.shading_eps)
+        nox = hx + eps_off * nlx
+        noy = hy + eps_off * nly
+        noz = hz + eps_off * nlz
 
-    transmitted = jnp.logical_and(
-        is_refr, jnp.logical_and(jnp.logical_not(tir),
-                                 jnp.logical_not(choose_refl))
-    )
-    eps_off = jnp.where(transmitted, -config.shading_eps, config.shading_eps)
-    nox = hx + eps_off * nlx
-    noy = hy + eps_off * nly
-    noz = hz + eps_off * nlz
+        parent = jnp.logical_and(live_hit, survive)
+        ox = jnp.where(parent, nox, ox)
+        oy = jnp.where(parent, noy, oy)
+        oz = jnp.where(parent, noz, oz)
+        dx = jnp.where(parent, newdx, dx)
+        dy = jnp.where(parent, newdy, dy)
+        dz = jnp.where(parent, newdz, dz)
+        wx = jnp.where(parent, wx * wfx, wx)
+        wy = jnp.where(parent, wy * wfy, wy)
+        wz = jnp.where(parent, wz * wfz, wz)
+        depth = depth + 1
+        alive = jnp.logical_and(parent, depth < config.max_depth)
+        return (it + 1, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz,
+                depth, s_new, alive.astype(jnp.int32), nrays)
 
-    parent = jnp.logical_and(live_hit, survive)
-    ox = jnp.where(parent, nox, ox)
-    oy = jnp.where(parent, noy, oy)
-    oz = jnp.where(parent, noz, oz)
-    dx = jnp.where(parent, newdx, dx)
-    dy = jnp.where(parent, newdy, dy)
-    dz = jnp.where(parent, newdz, dz)
-    wx = jnp.where(parent, wx * wfx, wx)
-    wy = jnp.where(parent, wy * wfy, wy)
-    wz = jnp.where(parent, wz * wfz, wz)
-    depth = depth + 1
-    alive = jnp.logical_and(parent, depth < config.max_depth)
+    carry = (jnp.asarray(0, jnp.int32), ox0, oy0, oz0, dx0, dy0, dz0,
+             wx0, wy0, wz0, rx0, ry0, rz0, depth0, s_idx0,
+             alive0.astype(jnp.int32), nrays0)
+    (_, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz, depth, s_idx,
+     alive_i, nrays) = jax.lax.while_loop(loop_cond, loop_body, carry)
+    alive = alive_i != 0
 
     # ---- write back ---------------------------------------------------------
     def wf_(i, v):
@@ -423,8 +448,9 @@ def _mega_kernel(
     wf_(_F_WX, wx); wf_(_F_WY, wy); wf_(_F_WZ, wz)
     wf_(_F_RX, rx); wf_(_F_RY, ry); wf_(_F_RZ, rz)
     wi_(_I_DEPTH, depth)
-    wi_(_I_SIDX, s_new)
+    wi_(_I_SIDX, s_idx)
     wi_(_I_ALIVE, alive.astype(jnp.int32))
+    wi_(_I_RAYS, nrays)
 
 
 def build_scene_table(scene: SphereScene, config: RenderConfig) -> jnp.ndarray:
@@ -543,6 +569,7 @@ def render_pass_megakernel(
             jnp.zeros((_SUB, n_cols), jnp.int32),  # depth
             sidx0,                                  # s_idx
             jnp.zeros((_SUB, n_cols), jnp.int32),  # alive
+            jnp.zeros((_SUB, n_cols), jnp.int32),  # per-lane bounce count
         ],
         axis=0,
     )
@@ -581,29 +608,12 @@ def render_pass_megakernel(
         interpret=interpret,
     )
 
-    max_iters = k_samples * config.max_depth
-
-    def cond(carry):
-        f, i, it, rays = carry
-        s_idx = jax.lax.dynamic_slice_in_dim(i, 8 * _I_SIDX, 8, axis=0)
-        al = jax.lax.dynamic_slice_in_dim(i, 8 * _I_ALIVE, 8, axis=0)
-        more = jnp.any((al != 0) | (s_idx < k_samples - 1))
-        return (it < max_iters) & more
-
-    def body(carry):
-        f, i, it, rays = carry
-        # live lanes this bounce = lanes that were alive entering the kernel
-        # after regen = alive-after-step + lanes that died during the step;
-        # cheapest exact count: lanes whose depth advanced == parents of this
-        # step... simplest robust count: recompute "more" before the call.
-        al_in = jax.lax.dynamic_slice_in_dim(i, 8 * _I_ALIVE, 8, axis=0) != 0
-        sx_in = jax.lax.dynamic_slice_in_dim(i, 8 * _I_SIDX, 8, axis=0)
-        live = jnp.sum((al_in | (sx_in < k_samples - 1)).astype(jnp.int32))
-        f, i = call(kw, ip, cam_vec, table, f, i)
-        return f, i, it + 1, rays + live
-
-    f, i, iters, rays = jax.lax.while_loop(
-        cond, body, (f0, i0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    # ONE kernel launch renders the whole pass: each tile drains its own
+    # lanes with an in-kernel while loop (persistent-wavefront design) —
+    # no per-bounce HBM round trip, no global straggler barrier.
+    f, i = call(kw, ip, cam_vec, table, f0, i0)
+    rays = jnp.sum(
+        jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
     )
 
     rad = jnp.stack(
