@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save progressive state here after rendering")
     p.add_argument("--resume", default=None, help="resume from a checkpoint")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--stats", action="store_true",
+                   help="emit one structured JSON log line per pass "
+                        "(rays, wall time, rays/s)")
     return p
 
 
@@ -113,6 +116,7 @@ def main(argv=None) -> int:
     )
 
     r = ProgressiveRenderer(scene, camera, config, seed=args.seed)
+    r.log_stats = args.stats
     if args.resume:
         r.load_checkpoint(args.resume)
 

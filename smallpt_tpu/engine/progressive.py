@@ -38,7 +38,8 @@ from smallpt_tpu.core.camera import (
     MatrixCamera,
     matrix_camera_from_frame,
 )
-from smallpt_tpu.engine.renderer import render
+from smallpt_tpu.engine.renderer import render_with_stats
+from smallpt_tpu.utils.metrics import RenderStats, log_json
 
 
 class ProgressiveRenderer:
@@ -52,6 +53,8 @@ class ProgressiveRenderer:
             (config.height, config.width, 3), jnp.dtype(config.dtype)
         )
         self.sample_count = 0  # passes accumulated
+        self.stats = RenderStats()  # structured telemetry (SURVEY.md §5.1/5.5)
+        self.log_stats = False  # emit a JSON log line per step when True
         self._requests: list[dict] = []
         self._req_lock = threading.Lock()
 
@@ -107,8 +110,21 @@ class ProgressiveRenderer:
             self.reset_accumulation()
         for _ in range(n_passes):
             key = jax.random.fold_in(self._base, self.sample_count)
-            self.accum = self.accum + render(self.scene, self.camera, self.config, key)
+            t0 = time.perf_counter()
+            img, rays = render_with_stats(
+                self.scene, self.camera, self.config, key
+            )
+            self.accum = self.accum + img
+            n_rays = int(rays)  # also forces completion (axon block semantics)
+            self.stats.passes += 1
+            self.stats.rays += n_rays
+            self.stats.wall_s += time.perf_counter() - t0
             self.sample_count += 1
+            if self.log_stats:
+                log_json("render_pass", {
+                    "pass": self.sample_count, "pass_rays": n_rays,
+                    **self.stats.as_dict(),
+                })
 
     def reset_accumulation(self) -> None:
         self.accum = jnp.zeros_like(self.accum)
