@@ -32,7 +32,7 @@ RECORDED_BASELINE_RAYS_PER_S = 5.6e7
 
 
 def bench(width=1024, height=768, spp_per_cell=1, passes=10, warmup=3,
-          intersector=Intersector.JAX, max_depth=48):
+          intersector=Intersector.JAX, max_depth=48, scene_name="cornell"):
     config = RenderConfig(
         width=width,
         height=height,
@@ -42,7 +42,12 @@ def bench(width=1024, height=768, spp_per_cell=1, passes=10, warmup=3,
         max_depth=max_depth,
         intersector=intersector,
     )
-    scene = cornell_box_scene()
+    if scene_name == "procedural":
+        from smallpt_tpu.core.scene import procedural_sphere_scene
+
+        scene = procedural_sphere_scene(10_000)
+    else:
+        scene = cornell_box_scene()
     camera = smallpt_camera()
     base = prng.base_key(0)
 
@@ -76,6 +81,11 @@ def main():
     kw = dict(width=256, height=192, passes=2) if quick else {}
     if use_pallas:
         kw["intersector"] = Intersector.PALLAS
+    if "--procedural" in sys.argv:
+        # BASELINE.json config 5 scene: 10k procedural spheres (the brute
+        # O(S) sweep — Pallas split kernel is the fast backend for it)
+        kw.update(scene_name="procedural", width=512, height=384,
+                  max_depth=24, passes=3, intersector=Intersector.PALLAS)
     rays_per_s, total_rays, dt, img = bench(**kw)
     vs = (
         rays_per_s / RECORDED_BASELINE_RAYS_PER_S
