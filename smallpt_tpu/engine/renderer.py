@@ -45,6 +45,10 @@ def make_intersect_fn(scene, config: RenderConfig):
             chunk=config.prim_chunk,
         )
     elif isinstance(scene, MeshScene):
+        if config.intersector == Intersector.PALLAS:
+            from smallpt_tpu.ops.mesh_pallas import intersect_mesh_pallas
+
+            return lambda o, d: intersect_mesh_pallas(o, d, scene, eps=0.0)
         return lambda o, d: isect.intersect_mesh(
             o, d, scene, eps=0.0, chunk=config.prim_chunk
         )

@@ -264,7 +264,16 @@ def intersect_mesh(
         )
 
     bt, bi, bu, bv = _chunked_min(tcount + pad, chunk, body, init)
+    return complete_mesh_hit(scene, bt, bi, bu, bv)
 
+
+def complete_mesh_hit(scene: MeshScene, bt, bi, bu, bv) -> Hit:
+    """Hit construction from (t, triId, u, v) — makeHit's barycentric
+    interpolation with the reference's convention P = wA + uB + vC,
+    w = 1-u-v (scene.cpp:73-93). Shared by the pure-JAX and Pallas mesh
+    backends (the OptixIntersector::convertHits slot, smallpt.cpp:532-549)."""
+    tcount = scene.n_triangles
+    pos = scene.positions
     tri = jnp.take(scene.indices, jnp.clip(bi, 0, tcount - 1), axis=0)  # (N,3)
     p0 = jnp.take(pos, tri[:, 0], axis=0)
     p1 = jnp.take(pos, tri[:, 1], axis=0)

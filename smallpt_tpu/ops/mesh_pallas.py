@@ -1,0 +1,183 @@
+"""Pallas TPU closest-hit ray/triangle kernel — mesh-mode traceRays.
+
+The reference's mesh path builds an OptiX Prime BVH over triangle meshes and
+queries it on the GPU (OptixIntersector, smallpt.cpp:475-603); the CPU
+fallback is a brute nearest-hit loop over all triangles
+(CPUIntersector + scene.cpp:95-116). This kernel is the TPU-native brute
+sweep: rays in the lane dimension, triangles walked in sublane chunks from a
+VMEM-resident table, running closest (t, triId, u, v) carried in vector
+registers. The math is iq's formulation (triIntersect, scene.cpp:52-70):
+
+    n = cross(e1, e2);  q = cross(rov0, d)
+    d' = 1 / dot(d, n)
+    u = d' * dot(-q, e2);  v = d' * dot(q, e1);  t = d' * dot(-n, rov0)
+    inside iff 0 <= u, 0 <= v, u + v <= 1
+
+Hit completion (barycentric interpolation of position/normal) is shared with
+the pure-JAX backend (ops/intersect.py::complete_mesh_hit).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from smallpt_tpu.core.scene import MeshScene
+from smallpt_tpu.ops.intersect import Hit, complete_mesh_hit
+
+_RAY_TILE = 1024
+_T_CHUNK = 32
+_BIG = 3.0e38
+
+
+def _mesh_kernel(org_ref, dir_ref, tbl_ref, t_ref, i_ref, u_ref, v_ref,
+                 *, n_chunks, eps):
+    """One ray tile vs the whole triangle table.
+
+    tbl_ref: (T_pad, 16) f32 rows [v0(3) e1(3) e2(3) n(3) valid 0 0 0].
+    Outputs (1, R): best t (BIG on miss), tri id, u, v.
+    """
+    ox = org_ref[0:1, :]
+    oy = org_ref[1:2, :]
+    oz = org_ref[2:3, :]
+    dx = dir_ref[0:1, :]
+    dy = dir_ref[1:2, :]
+    dz = dir_ref[2:3, :]
+
+    def body(c, carry):
+        bt, bi, bu, bv = carry
+        tbl = tbl_ref[pl.ds(c * _T_CHUNK, _T_CHUNK), :]  # (TC, 16)
+        v0x, v0y, v0z = tbl[:, 0:1], tbl[:, 1:2], tbl[:, 2:3]
+        e1x, e1y, e1z = tbl[:, 3:4], tbl[:, 4:5], tbl[:, 5:6]
+        e2x, e2y, e2z = tbl[:, 6:7], tbl[:, 7:8], tbl[:, 8:9]
+        nx, ny, nz = tbl[:, 9:10], tbl[:, 10:11], tbl[:, 11:12]
+        valid = tbl[:, 12:13] > 0.5
+
+        rx = ox - v0x  # rov0, (TC, R)
+        ry = oy - v0y
+        rz = oz - v0z
+        # q = cross(rov0, d)
+        qx = ry * dz - rz * dy
+        qy = rz * dx - rx * dz
+        qz = rx * dy - ry * dx
+        dn = dx * nx + dy * ny + dz * nz
+        inv = 1.0 / jnp.where(dn == 0.0, 1.0, dn)
+        u = -(qx * e2x + qy * e2y + qz * e2z) * inv
+        v = (qx * e1x + qy * e1y + qz * e1z) * inv
+        t = -(nx * rx + ny * ry + nz * rz) * inv
+        inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & ((u + v) <= 1.0)
+        tt = jnp.where(inside & valid & (dn != 0.0) & (t > eps), t, _BIG)
+
+        tmin = jnp.min(tt, axis=0, keepdims=True)
+        srow = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+        winner = tt <= tmin
+        idx = jnp.min(
+            jnp.where(winner, srow, jnp.int32(0x7FFFFFFF)),
+            axis=0, keepdims=True,
+        )
+        # winner's (u, v) via select-by-row (no gathers in-kernel)
+        first = winner & (srow == idx)
+        usel = jnp.sum(jnp.where(first, u, 0.0), axis=0, keepdims=True)
+        vsel = jnp.sum(jnp.where(first, v, 0.0), axis=0, keepdims=True)
+        better = tmin < bt
+        return (
+            jnp.where(better, tmin, bt),
+            jnp.where(better, idx + c * _T_CHUNK, bi),
+            jnp.where(better, usel, bu),
+            jnp.where(better, vsel, bv),
+        )
+
+    init = (
+        jnp.full((1, _RAY_TILE), _BIG, jnp.float32),
+        jnp.zeros((1, _RAY_TILE), jnp.int32),
+        jnp.zeros((1, _RAY_TILE), jnp.float32),
+        jnp.zeros((1, _RAY_TILE), jnp.float32),
+    )
+    bt, bi, bu, bv = jax.lax.fori_loop(0, n_chunks, body, init)
+    t_ref[:, :] = bt
+    i_ref[:, :] = bi
+    u_ref[:, :] = bu
+    v_ref[:, :] = bv
+
+
+def build_tri_table(scene: MeshScene) -> jnp.ndarray:
+    """(T_pad, 16) f32 rows [v0 e1 e2 n=cross(e1,e2) valid 0 0 0]."""
+    pos = jnp.asarray(scene.positions, jnp.float32)
+    idx = scene.indices
+    v0 = jnp.take(pos, idx[:, 0], axis=0)
+    v1 = jnp.take(pos, idx[:, 1], axis=0)
+    v2 = jnp.take(pos, idx[:, 2], axis=0)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = jnp.cross(e1, e2)
+    t = scene.n_triangles
+    rows = jnp.concatenate(
+        [v0, e1, e2, n, jnp.ones((t, 1), jnp.float32),
+         jnp.zeros((t, 3), jnp.float32)],
+        axis=1,
+    )
+    pad = (-t) % _T_CHUNK
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((pad, 16), jnp.float32)])
+    return rows
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks", "eps", "interpret"))
+def _closest_tri(org_t, dir_t, table, n_chunks, eps, interpret=False):
+    n_pad = org_t.shape[1]
+    t_pad = table.shape[0]
+    kernel = functools.partial(_mesh_kernel, n_chunks=n_chunks, eps=eps)
+    t, i, u, v = pl.pallas_call(
+        kernel,
+        grid=(n_pad // _RAY_TILE,),
+        in_specs=[
+            pl.BlockSpec((3, _RAY_TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, _RAY_TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_pad, 16), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _RAY_TILE), lambda g: (0, g), memory_space=pltpu.VMEM)
+        ] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(org_t, dir_t, table)
+    return t[0], i[0], u[0], v[0]
+
+
+def intersect_mesh_pallas(
+    org: jnp.ndarray,
+    dirs: jnp.ndarray,
+    scene: MeshScene,
+    eps: float = 0.0,
+    interpret: bool | None = None,
+) -> Hit:
+    """Closest triangle hit via the Pallas sweep — drop-in for
+    ops.intersect.intersect_mesh (rejects t <= eps like the reference's
+    t <= 0 check, scene.cpp:105)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = org.shape[0]
+    table = build_tri_table(scene)
+    n_chunks = table.shape[0] // _T_CHUNK
+
+    n_pad = -(-n // _RAY_TILE) * _RAY_TILE
+    org_t = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(org.astype(jnp.float32).T)
+    dir_t = (
+        jnp.zeros((3, n_pad), jnp.float32)
+        .at[0, :].set(1.0)
+        .at[:, :n].set(dirs.astype(jnp.float32).T)
+    )
+    t, i, u, v = _closest_tri(org_t, dir_t, table, n_chunks,
+                              float(eps), interpret=interpret)
+    t = jnp.where(t[:n] >= _BIG, jnp.inf, t[:n]).astype(org.dtype)
+    return complete_mesh_hit(scene, t, i[:n], u[:n].astype(org.dtype),
+                             v[:n].astype(org.dtype))
