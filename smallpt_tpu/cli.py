@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stats", action="store_true",
                    help="emit one structured JSON log line per pass "
                         "(rays, wall time, rays/s)")
+    p.add_argument("--streaming", action="store_true",
+                   help="continuous-wavefront streaming renderer (fastest; "
+                        "sphere scenes, full transport only): renders spp x "
+                        "passes samples/pixel in one persistent stream")
     return p
 
 
@@ -114,6 +118,28 @@ def main(argv=None) -> int:
         if camera_model == CameraModel.MATRIX
         else smallpt_camera()
     )
+
+    if args.streaming:
+        from smallpt_tpu.engine.streaming import StreamingRenderer
+        from smallpt_tpu.utils.metrics import log_json
+
+        sr = StreamingRenderer(scene, camera, config, seed=args.seed)
+        t0 = time.time()
+        sr.step(n_iters=1_000_000, add_samples=config.spp * n_passes)
+        sr.flush()
+        if not args.quiet:
+            print(f"Elapsed time: {(time.time() - t0) * 1000:.0f} ms",
+                  file=sys.stderr)
+        if args.stats:
+            log_json("stream_done", sr.stats.as_dict())
+        img = sr.image
+        if args.out.endswith(".png"):
+            img_io.write_png(args.out, img)
+        else:
+            img_io.write_ppm(args.out, img)
+        if not args.quiet:
+            print(f"Wrote {args.out}", file=sys.stderr)
+        return 0
 
     r = ProgressiveRenderer(scene, camera, config, seed=args.seed)
     r.log_stats = args.stats

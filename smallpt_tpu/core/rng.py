@@ -41,7 +41,10 @@ U_CHOICE = 3
 N_SHADE_U = 4
 
 _CAMERA_SALT = 0x9E3779B9
-_GOLDEN = 0x9E3779B9
+# distinct from _CAMERA_SALT: with equal salts the (sid, hist=0, depth=0)
+# shade tuple equals the camera tuple, making first-bounce BSDF uniforms
+# identical to the pixel-jitter uniforms (correlated sampling)
+_GOLDEN = 0x85EBCA6B
 
 
 def base_key(seed: int) -> jax.Array:

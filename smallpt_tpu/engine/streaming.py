@@ -1,0 +1,101 @@
+"""Streaming progressive renderer — full-occupancy continuous wavefront.
+
+The per-pass schedulers (FLAT/REGEN/MEGA) drain every sample before
+returning, so each pass ends with a long tail of near-empty wavefront
+iterations (mean lane occupancy ~40% on the Cornell box — see
+utils/metrics.occupancy_profile). The reference has the same structure: its
+render thread runs Renderer::render to completion per pass
+(smallpt.cpp:922).
+
+Streaming removes the per-pass drain barrier: path state persists across
+steps (ops/megakernel.py stream_step), dead lanes immediately regenerate the
+next sample of their pixel, and a step is just "advance the wavefront N
+iterations". Occupancy stays ~100% until the final flush. Display uses
+per-pixel COMPLETED-sample weights (engine/accum.py WeightedAccum semantics
+— the reference's unused RenderOutputs design, smallpt.cpp:644-674):
+
+    image = radiance_sums / completed_counts
+
+While streaming, the live image includes the in-flight sample's partial
+radiance (a mild brightness underestimate on deep-path pixels, exactly the
+kind of approximation a live viewer shows); ``flush()`` drains all in-flight
+paths, after which the estimate is the exact per-pixel MC mean. Sample
+streams are keyed sid = pixel + n_pixels * ip (unique for unbounded ip; the
+int32 keying space wraps after ~2^31 / n_pixels samples per pixel — ~2.7k
+spp at 1024x768, far past visual convergence).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from smallpt_tpu.config import RenderConfig
+from smallpt_tpu.core import rng as prng
+from smallpt_tpu.ops.megakernel import (
+    init_stream_state,
+    stream_step,
+    stream_image,
+)
+from smallpt_tpu.utils.metrics import RenderStats
+
+
+class StreamingRenderer:
+    """Continuous-wavefront progressive renderer (sphere scenes, Mode.FULL).
+
+    step(n_iters, add_samples): extend every pixel's sample budget by
+    add_samples and advance the wavefront n_iters bounce iterations.
+    """
+
+    def __init__(self, scene, camera, config: RenderConfig, seed: int = 0):
+        self.scene = scene
+        self.camera = camera
+        self.config = config
+        self.key = prng.base_key(seed)  # ONE key for the whole stream
+        self.f, self.i = init_stream_state(config)
+        self.budget = 0  # per-lane sample allowance so far
+        self.stats = RenderStats()
+
+    def step(self, n_iters: int = 64, add_samples: int = 1) -> int:
+        """Returns rays traced this step."""
+        self.budget += add_samples
+        t0 = time.perf_counter()
+        self.f, self.i, rays = stream_step(
+            self.scene, self.camera, self.config, self.key,
+            self.f, self.i, self.budget, n_iters,
+        )
+        n = int(rays)
+        self.stats.rays += n
+        self.stats.wall_s += time.perf_counter() - t0
+        self.stats.passes += 1
+        return n
+
+    def flush(self, max_rounds: int = 64) -> None:
+        """Drain all in-flight paths (no new budget): after this, image() is
+        the exact MC estimate over exactly `budget` samples per pixel."""
+        cap = self.config.max_depth * self.config.spp + 64
+        for _ in range(max_rounds):
+            self.f, self.i, rays = stream_step(
+                self.scene, self.camera, self.config, self.key,
+                self.f, self.i, self.budget, cap,
+            )
+            self.stats.rays += int(rays)
+            _, w = stream_image(self.f, self.i, self.config)
+            if int(jnp.min(w)) >= self.budget:
+                return
+        raise RuntimeError("flush did not drain (paths stuck?)")
+
+    def accumulators(self):
+        """(radiance sums, completed-sample weights) — WeightedAccum pair."""
+        return stream_image(self.f, self.i, self.config)
+
+    @property
+    def image(self) -> np.ndarray:
+        """Weight-normalized display image."""
+        rad, w = self.accumulators()
+        w = np.asarray(w)[..., None]
+        rad = np.asarray(rad)
+        return np.where(w > 0, rad / np.maximum(w, 1), 0.0)

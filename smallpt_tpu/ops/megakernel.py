@@ -57,7 +57,7 @@ _TILE = _SUB * _LANE  # rays per grid step
 _BIG = 3.0e38
 
 _CAMERA_SALT = 0x9E3779B9
-_GOLDEN = 0x9E3779B9
+_GOLDEN = 0x85EBCA6B  # must match core/rng.py
 
 
 def _pcg4d(a, b, c, d):
@@ -97,10 +97,12 @@ def _normalize3(x, y, z):
 
 def _mega_kernel(
     kw_ref,      # (1, 2) uint32 SMEM: key words k0, k1
-    ip_ref,      # (1, 3) int32 SMEM: [ip_offset, row_offset, k_samples]
+    ip_ref,      # (1, 4) int32 SMEM: [ip_offset, row_offset, k_samples, max_it]
                  #   ip_offset  — sample-axis shard offset (SURVEY.md §5.7)
                  #   row_offset — tile-axis shard's first global image row
-                 #   k_samples  — samples each lane consumes (spp_local)
+                 #   k_samples  — per-lane sample budget (spp_local; grows
+                 #                step-by-step in streaming mode)
+                 #   max_it     — wavefront iteration cap for this launch
     cam_ref,     # (1, 16) f32 SMEM: A(3) B(3) C(3) O(3) push
     tbl_ref,     # (S, 16) f32 SMEM sphere+material table (scalar-read per sphere)
     f_ref,       # (8*_NF, C) f32 state (aliased in/out)
@@ -111,6 +113,7 @@ def _mega_kernel(
     config: RenderConfig,
     n_spheres: int,
     n_cols: int,  # total state columns (G_pad / 8)
+    streaming: bool,  # streaming keying: sid = pixel + n_pixels * ip
 ):
     t = pl.program_id(0)
 
@@ -131,6 +134,7 @@ def _mega_kernel(
     ip_offset = ip_ref[0, 0]
     row_offset = ip_ref[0, 1]
     k_samples = ip_ref[0, 2]
+    max_it_in = ip_ref[0, 3]
 
     # lane/pixel id: plane element (r, c) of tile t is global lane
     # r * n_cols + t * _LANE + c  (the (8, G/8) C-order reshape of (G,)).
@@ -143,7 +147,7 @@ def _mega_kernel(
     pix_row = lane // W + row_offset  # global image row (sharded tile bands)
     pixel = pix_row * W + pix_col
 
-    max_it = k_samples * config.max_depth
+    max_it = max_it_in
 
     def loop_cond(carry):
         it = carry[0]
@@ -161,9 +165,18 @@ def _mega_kernel(
         need = jnp.logical_and(jnp.logical_not(alive), s_idx < k_samples - 1)
         s_new = jnp.where(need, s_idx + 1, s_idx)
         ip = ip_offset + s_new
-        sid = pixel * config.spp + ip  # global sample id (matches wavefront regen)
-        group = ip // config.spp_per_cell
+        if streaming:
+            # unbounded in-pixel sample index: unique for any ip (wraps only
+            # past ~2^31 / n_pixels samples/pixel — documented in streaming.py)
+            sid = pixel + config.n_pixels * ip
+        else:
+            sid = pixel * config.spp + ip  # matches wavefront regen keying
+        # jitter cell cycles over the js x js grid; the modulo matters in
+        # streaming mode where ip grows beyond spp (per-pass: ip < spp makes
+        # it a no-op, matching foreachSampleInRow's cell decomposition,
+        # smallpt.cpp:715-719)
         js = config.jitter_size
+        group = (ip // config.spp_per_cell) % (js * js)
         cx_cell = (group % js).astype(jnp.float32)
         cy_cell = (group // js).astype(jnp.float32)
 
@@ -554,7 +567,8 @@ def render_pass_megakernel(
         jnp.asarray(ip_offset, jnp.int32),
         jnp.asarray(row_offset, jnp.int32),
         jnp.asarray(k_samples, jnp.int32),
-    ]).reshape(1, 3)
+        jnp.asarray(k_samples * config.max_depth, jnp.int32),
+    ]).reshape(1, 4)
     cam_vec = build_camera_vec(camera, config)
     table = build_scene_table(scene, config)
 
@@ -563,7 +577,8 @@ def render_pass_megakernel(
     lane = (
         jnp.arange(_SUB)[:, None] * n_cols + jnp.arange(n_cols)[None, :]
     )
-    sidx0 = jnp.where(lane < G, jnp.int32(-1), jnp.int32(k_samples - 1))
+    # padded lanes (pixel id >= G) can never regenerate: sentinel budget
+    sidx0 = jnp.where(lane < G, jnp.int32(-1), jnp.int32(0x3FFFFFFF))
     i0 = jnp.concatenate(
         [
             jnp.zeros((_SUB, n_cols), jnp.int32),  # depth
@@ -580,6 +595,7 @@ def render_pass_megakernel(
         config=config,
         n_spheres=scene.n_spheres,
         n_cols=n_cols,
+        streaming=False,
     )
     call = pl.pallas_call(
         kernel,
@@ -625,3 +641,150 @@ def render_pass_megakernel(
         axis=-1,
     ).astype(jnp.dtype(config.dtype))
     return rad.reshape(n_rows, config.width, 3), rays
+
+
+# ---------------------------------------------------------------------------
+# Streaming mode: persistent path state ACROSS passes — lanes regenerate
+# continuously at ~full occupancy; samples complete across step boundaries
+# (no drain barrier per pass, unlike render_pass_megakernel). The display
+# normalizes by per-pixel COMPLETED sample counts; after flush() the image is
+# the exact MC estimate. See engine/streaming.py for the driver.
+# ---------------------------------------------------------------------------
+
+
+def _stream_geometry(config: RenderConfig, n_rows: int | None):
+    if n_rows is None:
+        n_rows = config.height
+    G = n_rows * config.width
+    n_tiles = -(-G // _TILE)
+    n_cols = n_tiles * _TILE // _SUB
+    return n_rows, G, n_tiles, n_cols
+
+
+def init_stream_state(config: RenderConfig, n_rows: int | None = None):
+    """Fresh (f, i) streaming state: all lanes dead with zero budget used."""
+    n_rows, G, n_tiles, n_cols = _stream_geometry(config, n_rows)
+    f0 = jnp.zeros((_SUB * _NF, n_cols), jnp.float32)
+    lane = jnp.arange(_SUB)[:, None] * n_cols + jnp.arange(n_cols)[None, :]
+    sidx0 = jnp.where(lane < G, jnp.int32(-1), jnp.int32(0x3FFFFFFF))
+    i0 = jnp.concatenate(
+        [
+            jnp.zeros((_SUB, n_cols), jnp.int32),
+            sidx0,
+            jnp.zeros((_SUB, n_cols), jnp.int32),
+            jnp.zeros((_SUB, n_cols), jnp.int32),
+        ],
+        axis=0,
+    )
+    return f0, i0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "interpret", "n_rows")
+)
+def stream_step(
+    scene: SphereScene,
+    camera,
+    config: RenderConfig,
+    key: jax.Array,
+    f: jnp.ndarray,
+    i: jnp.ndarray,
+    sample_budget,
+    n_iters,
+    ip_offset=0,
+    row_offset=0,
+    n_rows: int | None = None,
+    interpret: bool | None = None,
+):
+    """Advance the streaming wavefront by up to n_iters bounce iterations.
+
+    sample_budget: total per-lane sample allowance so far (monotone across
+    steps); lanes regenerate while s_idx < budget-1. Returns (f, i, rays).
+    The keying is streaming-specific (sid = pixel + n_pixels * ip): one key
+    serves the whole stream, so do NOT fold per-step keys."""
+    if config.split_budget != 1:
+        raise ValueError("streaming requires split_budget == 1")
+    if config.mode != Mode.FULL:
+        raise ValueError("streaming renders Mode.FULL only")
+    if scene.n_spheres > 512:
+        raise ValueError("megakernel supports <= 512 spheres")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_rows, G, n_tiles, n_cols = _stream_geometry(config, n_rows)
+
+    kw = jax.random.key_data(key).astype(jnp.uint32).reshape(1, -1)[:, :2]
+    ip = jnp.stack([
+        jnp.asarray(ip_offset, jnp.int32),
+        jnp.asarray(row_offset, jnp.int32),
+        jnp.asarray(sample_budget, jnp.int32),
+        jnp.asarray(n_iters, jnp.int32),
+    ]).reshape(1, 4)
+    cam_vec = build_camera_vec(camera, config)
+    table = build_scene_table(scene, config)
+
+    kernel = functools.partial(
+        _mega_kernel,
+        config=config,
+        n_spheres=scene.n_spheres,
+        n_cols=n_cols,
+        streaming=True,
+    )
+    rays_before = jnp.sum(
+        jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
+    )
+    f, i = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_SUB * _NF, _LANE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUB * _NI, _LANE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_SUB * _NF, _LANE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUB * _NI, _LANE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((_SUB * _NF, n_cols), jnp.float32),
+            jax.ShapeDtypeStruct((_SUB * _NI, n_cols), jnp.int32),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(kw, ip, cam_vec, table, f, i)
+    rays = jnp.sum(
+        jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
+    ) - rays_before
+    return f, i, rays
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_rows"))
+def stream_image(f, i, config: RenderConfig, n_rows: int | None = None):
+    """(radiance (n_rows, W, 3), completed-sample weight (n_rows, W)).
+
+    radiance includes the in-flight sample's partial contribution (live-view
+    approximation); weight counts COMPLETED samples = s_idx + 1 - alive.
+    After a drain (no live lanes) the pair is the exact sums for
+    WeightedAccum-style normalization."""
+    n_rows, G, _, _ = _stream_geometry(config, n_rows)
+    rad = jnp.stack(
+        [
+            f[8 * _F_RX:8 * _F_RX + 8].reshape(-1)[:G],
+            f[8 * _F_RY:8 * _F_RY + 8].reshape(-1)[:G],
+            f[8 * _F_RZ:8 * _F_RZ + 8].reshape(-1)[:G],
+        ],
+        axis=-1,
+    ).astype(jnp.dtype(config.dtype))
+    s_idx = jax.lax.dynamic_slice_in_dim(i, 8 * _I_SIDX, 8, axis=0)
+    alive = jax.lax.dynamic_slice_in_dim(i, 8 * _I_ALIVE, 8, axis=0)
+    done = (s_idx + 1 - alive).reshape(-1)[:G].astype(jnp.dtype(config.dtype))
+    return (
+        rad.reshape(n_rows, config.width, 3),
+        done.reshape(n_rows, config.width),
+    )
