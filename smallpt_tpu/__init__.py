@@ -21,7 +21,9 @@ trace, shade, compact, repeat — is re-designed TPU-first:
   (positions/radii/albedo/emission) via detached-sampling path replay.
 """
 
-from smallpt_tpu.config import RenderConfig, Mode, Filter, CameraModel
+from smallpt_tpu.config import (
+    RenderConfig, Mode, Filter, CameraModel, Intersector, Scheduler,
+)
 from smallpt_tpu.core.scene import (
     SphereScene,
     MeshScene,
@@ -31,13 +33,18 @@ from smallpt_tpu.core.scene import (
     REFR,
 )
 from smallpt_tpu.core.camera import LegacyCamera, MatrixCamera
-from smallpt_tpu.engine.renderer import render, render_image
+from smallpt_tpu.engine.renderer import render, render_image, render_with_stats
+from smallpt_tpu.engine.progressive import ProgressiveRenderer
+from smallpt_tpu.engine.streaming import StreamingRenderer
+from smallpt_tpu.engine.accum import WeightedAccum
 
 __all__ = [
     "RenderConfig",
     "Mode",
     "Filter",
     "CameraModel",
+    "Intersector",
+    "Scheduler",
     "SphereScene",
     "MeshScene",
     "Material",
@@ -48,6 +55,10 @@ __all__ = [
     "MatrixCamera",
     "render",
     "render_image",
+    "render_with_stats",
+    "ProgressiveRenderer",
+    "StreamingRenderer",
+    "WeightedAccum",
 ]
 
 __version__ = "0.1.0"

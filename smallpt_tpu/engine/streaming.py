@@ -92,6 +92,43 @@ class StreamingRenderer:
         """(radiance sums, completed-sample weights) — WeightedAccum pair."""
         return stream_image(self.f, self.i, self.config)
 
+    # -- invalidation (the reference's camera-update accumulation reset,
+    # smallpt.cpp:906-920) -----------------------------------------------------
+    def reset(self) -> None:
+        self.f, self.i = init_stream_state(self.config)
+        self.budget = 0
+
+    def update_camera(self, camera) -> None:
+        self.camera = camera
+        self.reset()
+
+    def update_scene(self, scene) -> None:
+        self.scene = scene
+        self.reset()
+
+    # -- checkpoint / resume (SURVEY.md §5.4): the full stream state ---------
+    def save_checkpoint(self, path: str) -> None:
+        np.savez(
+            path,
+            f=np.asarray(self.f),
+            i=np.asarray(self.i),
+            budget=self.budget,
+            key=np.asarray(jax.random.key_data(self.key)),
+            stats_rays=self.stats.rays,
+            stats_passes=self.stats.passes,
+            stats_wall=self.stats.wall_s,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path)
+        self.f = jnp.asarray(data["f"])
+        self.i = jnp.asarray(data["i"])
+        self.budget = int(data["budget"])
+        self.key = jax.random.wrap_key_data(jnp.asarray(data["key"]))
+        self.stats.rays = int(data["stats_rays"])
+        self.stats.passes = int(data["stats_passes"])
+        self.stats.wall_s = float(data["stats_wall"])
+
     @property
     def image(self) -> np.ndarray:
         """Weight-normalized display image."""

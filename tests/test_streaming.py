@@ -60,6 +60,35 @@ def test_partial_step_shows_progress():
     assert not np.array_equal(img1, img2)
 
 
+def test_checkpoint_resume_bitexact(tmp_path):
+    """Stream checkpoint/resume: save mid-flight, resume, finish — must equal
+    the uninterrupted run bit-for-bit (SURVEY.md §5.4)."""
+    scene, cam = cornell_box_scene(), smallpt_camera()
+    a = StreamingRenderer(scene, cam, CFG, seed=11)
+    a.step(n_iters=7, add_samples=4)
+    path = str(tmp_path / "stream.npz")
+    a.save_checkpoint(path)
+    a.step(n_iters=64, add_samples=2)
+    a.flush()
+
+    b = StreamingRenderer(scene, cam, CFG, seed=11)
+    b.load_checkpoint(path)
+    b.step(n_iters=64, add_samples=2)
+    b.flush()
+    np.testing.assert_array_equal(a.image, b.image)
+
+
+def test_camera_update_resets(tmp_path):
+    scene, cam = cornell_box_scene(), smallpt_camera()
+    r = StreamingRenderer(scene, cam, CFG, seed=1)
+    r.step(n_iters=8, add_samples=2)
+    assert r.budget == 2
+    r.update_camera(cam._replace(origin=cam.origin + 1.0))
+    assert r.budget == 0
+    _, w = r.accumulators()
+    assert int(np.asarray(w).sum()) == 0
+
+
 def test_weights_monotone_and_capped():
     r = StreamingRenderer(cornell_box_scene(), smallpt_camera(), CFG, seed=5)
     r.step(n_iters=6, add_samples=2)
