@@ -119,14 +119,46 @@ def main(argv=None) -> int:
         else smallpt_camera()
     )
 
+    def make_frame_sink():
+        """Native async frame writer, or a synchronous fallback (never a
+        silent no-op)."""
+        if not args.frames:
+            return None, None
+        import os
+
+        from smallpt_tpu.utils import native
+
+        os.makedirs(os.path.dirname(args.frames) or ".", exist_ok=True)
+        if native.available():
+            return native.FrameWriter(
+                args.frames, config.width, config.height,
+                binary=args.frames.endswith(".ppm"),
+            ), None
+        print("native frame writer unavailable; writing frames synchronously",
+              file=sys.stderr)
+        return None, (lambda img, idx: img_io.write_ppm(args.frames % idx, img))
+
     if args.streaming:
         from smallpt_tpu.engine.streaming import StreamingRenderer
         from smallpt_tpu.utils.metrics import log_json
 
         sr = StreamingRenderer(scene, camera, config, seed=args.seed)
+        if args.resume:
+            sr.load_checkpoint(args.resume)
+        frame_writer, frame_sync = make_frame_sink()
         t0 = time.time()
-        sr.step(n_iters=1_000_000, add_samples=config.spp * n_passes)
+        total = config.spp * n_passes
+        chunks = n_passes if (frame_writer or frame_sync) else 1
+        per = max(1, total // chunks)
+        for c in range(chunks):
+            sr.step(n_iters=1_000_000, add_samples=per)
+            if frame_writer is not None:
+                frame_writer.push(sr.image[::-1], c + 1)
+            elif frame_sync is not None:
+                frame_sync(sr.image, c + 1)
         sr.flush()
+        if frame_writer is not None:
+            frame_writer.close()
         if not args.quiet:
             print(f"Elapsed time: {(time.time() - t0) * 1000:.0f} ms",
                   file=sys.stderr)
@@ -137,6 +169,8 @@ def main(argv=None) -> int:
             img_io.write_png(args.out, img)
         else:
             img_io.write_ppm(args.out, img)
+        if args.checkpoint:
+            sr.save_checkpoint(args.checkpoint)
         if not args.quiet:
             print(f"Wrote {args.out}", file=sys.stderr)
         return 0
@@ -146,24 +180,15 @@ def main(argv=None) -> int:
     if args.resume:
         r.load_checkpoint(args.resume)
 
-    frame_writer = None
-    if args.frames:
-        from smallpt_tpu.utils import native
-
-        if native.available():
-            import os
-
-            os.makedirs(os.path.dirname(args.frames) or ".", exist_ok=True)
-            frame_writer = native.FrameWriter(
-                args.frames, config.width, config.height,
-                binary=args.frames.endswith(".ppm"),
-            )
+    frame_writer, frame_sync = make_frame_sink()
 
     t0 = time.time()
     for i in range(n_passes):
         r.step()
         if frame_writer is not None:
             frame_writer.push(r.image[::-1], i + 1)
+        elif frame_sync is not None:
+            frame_sync(r.image, i + 1)
         if not args.quiet:
             done = 100.0 * (i + 1) / n_passes
             print(

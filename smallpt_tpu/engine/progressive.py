@@ -53,7 +53,9 @@ class ProgressiveRenderer:
             (config.height, config.width, 3), jnp.dtype(config.dtype)
         )
         self.sample_count = 0  # passes accumulated
-        self.stats = RenderStats()  # structured telemetry (SURVEY.md §5.1/5.5)
+        self._stats = RenderStats()  # structured telemetry (SURVEY.md §5.1/5.5)
+        self._rays_dev = None  # device-side rays accumulator (no per-pass sync)
+        self._t_first_step: float | None = None
         self.log_stats = False  # emit a JSON log line per step when True
         self._requests: list[dict] = []
         self._req_lock = threading.Lock()
@@ -110,21 +112,32 @@ class ProgressiveRenderer:
             self.reset_accumulation()
         for _ in range(n_passes):
             key = jax.random.fold_in(self._base, self.sample_count)
-            t0 = time.perf_counter()
+            if self._t_first_step is None:
+                self._t_first_step = time.perf_counter()
             img, rays = render_with_stats(
                 self.scene, self.camera, self.config, key
             )
             self.accum = self.accum + img
-            n_rays = int(rays)  # also forces completion (axon block semantics)
-            self.stats.passes += 1
-            self.stats.rays += n_rays
-            self.stats.wall_s += time.perf_counter() - t0
+            # keep rays on device: passes pipeline back-to-back (the two-
+            # thread producer/consumer overlap, SURVEY.md §2.3 strategy 4);
+            # reading .stats is the sync point
+            self._rays_dev = rays if self._rays_dev is None else self._rays_dev + rays
+            self._stats.passes += 1
             self.sample_count += 1
             if self.log_stats:
                 log_json("render_pass", {
-                    "pass": self.sample_count, "pass_rays": n_rays,
+                    "pass": self.sample_count, "pass_rays": int(rays),
                     **self.stats.as_dict(),
                 })
+
+    @property
+    def stats(self) -> RenderStats:
+        """Telemetry snapshot. Reading it synchronizes with the device;
+        wall_s spans first step -> this read."""
+        if self._rays_dev is not None:
+            self._stats.rays = int(self._rays_dev)
+            self._stats.wall_s = time.perf_counter() - self._t_first_step
+        return self._stats
 
     def reset_accumulation(self) -> None:
         self.accum = jnp.zeros_like(self.accum)

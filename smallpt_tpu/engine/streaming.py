@@ -73,20 +73,28 @@ class StreamingRenderer:
         self.stats.passes += 1
         return n
 
-    def flush(self, max_rounds: int = 64) -> None:
+    def flush(self) -> None:
         """Drain all in-flight paths (no new budget): after this, image() is
         the exact MC estimate over exactly `budget` samples per pixel."""
-        cap = self.config.max_depth * self.config.spp + 64
-        for _ in range(max_rounds):
+        # per-round iteration cap scaled to the OUTSTANDING work (a lane may
+        # still owe up to its whole budget of samples x max_depth bounces);
+        # progress is monitored via the min completed count, so a healthy
+        # stream always terminates and a genuinely stuck one raises
+        cap = self.config.max_depth * max(self.budget, 1) + 64
+        last_min = -1
+        while True:
+            _, w = stream_image(self.f, self.i, self.config)
+            wmin = int(jnp.min(w))
+            if wmin >= self.budget:
+                return
+            if wmin == last_min:
+                raise RuntimeError("flush made no progress (paths stuck?)")
+            last_min = wmin
             self.f, self.i, rays = stream_step(
                 self.scene, self.camera, self.config, self.key,
                 self.f, self.i, self.budget, cap,
             )
             self.stats.rays += int(rays)
-            _, w = stream_image(self.f, self.i, self.config)
-            if int(jnp.min(w)) >= self.budget:
-                return
-        raise RuntimeError("flush did not drain (paths stuck?)")
 
     def accumulators(self):
         """(radiance sums, completed-sample weights) — WeightedAccum pair."""

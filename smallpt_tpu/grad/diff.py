@@ -97,14 +97,23 @@ def project_params(params: SceneParams) -> SceneParams:
 
 
 def sgd_train_step(
-    scene: SphereScene, camera, config: RenderConfig, key, target, lr: float = 1e-2
+    scene: SphereScene, camera, config: RenderConfig, key, target,
+    lr: float | SceneParams = 1e-2,
 ):
     """One inverse-rendering step: render, L2 loss vs target, projected SGD
     update of scene parameters. The flagship 'training step' of the framework
-    (used by __graft_entry__.dryrun_multichip and the optimization demo)."""
+    (used by __graft_entry__.dryrun_multichip and the optimization demo).
+
+    lr: scalar, or a SceneParams of per-group rates — geometry gradients are
+    orders of magnitude smaller than albedo/emission gradients (a sphere's
+    Fresnel-smooth response covers few pixels), so joint recovery needs
+    per-group scaling."""
     loss, img, grads = image_loss_and_grads(scene, camera, config, key, target)
     params, refl = split_scene(scene)
-    new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+    if isinstance(lr, SceneParams):
+        new_params = jax.tree.map(lambda p, g, l: p - l * g, params, grads, lr)
+    else:
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
     return merge_scene(project_params(new_params), refl), loss, img
 
 
@@ -121,6 +130,8 @@ def adam_optimizer(scene: SphereScene, lr: float = 1e-2):
         params, refl = split_scene(scene)
         updates, state = opt.update(grads, state, params)
         params = optax.apply_updates(params, updates)
-        return merge_scene(params, refl), state, loss, img
+        # keep iterates physical (same projection as the SGD path — albedo
+        # drifting past 1 breaks RR survival, negative radius breaks hits)
+        return merge_scene(project_params(params), refl), state, loss, img
 
     return step, state

@@ -248,6 +248,16 @@ def intersect_spheres_pallas(
         interpret = jax.default_backend() == "cpu"
     n = org.shape[0]
     s = scene.n_spheres
+    if not isinstance(scene.radius, jax.core.Tracer):
+        # eagerly-valued scenes: reject what the static MAX_BIG capacity
+        # would silently drop (under jit the count is unknowable; scenes are
+        # normally constructed eagerly, so this catches it at first use)
+        n_big = int(jnp.sum(jnp.asarray(scene.radius) >= STABLE_RADIUS))
+        if n_big > MAX_BIG:
+            raise ValueError(
+                f"{n_big} spheres with radius >= {STABLE_RADIUS} exceed the "
+                f"stable-sweep capacity MAX_BIG={MAX_BIG}"
+            )
     table, perm, n_big_chunks, n_small_chunks = build_sphere_table(
         scene, eps=eps, eps_rel=eps_rel
     )

@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from smallpt_tpu.config import RenderConfig, Filter, CameraModel, Mode
 from smallpt_tpu.core.camera import LegacyCamera, MatrixCamera
+from smallpt_tpu.core.rng import _CAMERA_SALT, _GOLDEN, _pcg4d
 from smallpt_tpu.core.scene import SphereScene
 
 # Float-state planes (each (8, C) where C = lanes/8 columns per tile).
@@ -55,33 +56,6 @@ _SUB = 8          # f32 sublane tile height
 _LANE = 1024      # lanes per tile column block (8 lane-tiles)
 _TILE = _SUB * _LANE  # rays per grid step
 _BIG = 3.0e38
-
-_CAMERA_SALT = 0x9E3779B9
-_GOLDEN = 0x85EBCA6B  # must match core/rng.py
-
-
-def _pcg4d(a, b, c, d):
-    """uint32 PCG4D — must stay bit-identical to core/rng.py::_pcg4d."""
-    m = jnp.uint32(1664525)
-    inc = jnp.uint32(1013904223)
-    a = a * m + inc
-    b = b * m + inc
-    c = c * m + inc
-    d = d * m + inc
-    a = a + b * d
-    b = b + c * a
-    c = c + a * b
-    d = d + b * c
-    a = a ^ (a >> 16)
-    b = b ^ (b >> 16)
-    c = c ^ (c >> 16)
-    d = d ^ (d >> 16)
-    a = a + b * d
-    b = b + c * a
-    c = c + a * b
-    d = d + b * c
-    return a, b, c, d
-
 
 def _to_unit(bits):
     # Mosaic has no uint32->f32 cast; the top-24-bit value fits int32, whose
@@ -572,22 +546,7 @@ def render_pass_megakernel(
     cam_vec = build_camera_vec(camera, config)
     table = build_scene_table(scene, config)
 
-    f0 = jnp.zeros((_SUB * _NF, n_cols), jnp.float32)
-    # padded lanes (pixel id >= G) start exhausted: s_idx = k-1, dead
-    lane = (
-        jnp.arange(_SUB)[:, None] * n_cols + jnp.arange(n_cols)[None, :]
-    )
-    # padded lanes (pixel id >= G) can never regenerate: sentinel budget
-    sidx0 = jnp.where(lane < G, jnp.int32(-1), jnp.int32(0x3FFFFFFF))
-    i0 = jnp.concatenate(
-        [
-            jnp.zeros((_SUB, n_cols), jnp.int32),  # depth
-            sidx0,                                  # s_idx
-            jnp.zeros((_SUB, n_cols), jnp.int32),  # alive
-            jnp.zeros((_SUB, n_cols), jnp.int32),  # per-lane bounce count
-        ],
-        axis=0,
-    )
+    f0, i0 = init_stream_state(config, n_rows)
 
     grid = (n_tiles,)
     kernel = functools.partial(
@@ -628,8 +587,11 @@ def render_pass_megakernel(
     # lanes with an in-kernel while loop (persistent-wavefront design) —
     # no per-bounce HBM round trip, no global straggler barrier.
     f, i = call(kw, ip, cam_vec, table, f0, i0)
+    # per-lane counts are small ints; sum in f32 so multi-billion-ray passes
+    # don't wrap int32 (f32 is exact below 2^24 and magnitude-true above)
     rays = jnp.sum(
         jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
+        .astype(jnp.float32)
     )
 
     rad = jnp.stack(
@@ -731,6 +693,7 @@ def stream_step(
     )
     rays_before = jnp.sum(
         jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
+        .astype(jnp.float32)
     )
     f, i = pl.pallas_call(
         kernel,
@@ -760,6 +723,7 @@ def stream_step(
     )(kw, ip, cam_vec, table, f, i)
     rays = jnp.sum(
         jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
+        .astype(jnp.float32)
     ) - rays_before
     return f, i, rays
 

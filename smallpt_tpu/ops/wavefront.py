@@ -230,13 +230,17 @@ def bounce_step(
         ),
     )
 
+    if config.detach_sampling:
+        # detached-sampling gradients: only the STOCHASTIC direction (cosine
+        # hemisphere sample) is a constant of the backward pass; mirror and
+        # refraction directions are deterministic functions of the geometry,
+        # so their derivatives ARE the specular transport gradient — without
+        # them, d(loss)/d(center) of a SPEC/REFR sphere is identically zero
+        # (see RenderConfig.detach_sampling)
+        d_diff = jax.lax.stop_gradient(d_diff)
     new_dir = jnp.where(
         is_diff[:, None], d_diff, jnp.where(is_spec[:, None], d_spec, refr_dir)
     )
-    if config.detach_sampling:
-        # detached-sampling gradients: the sampled direction is a constant of
-        # the backward pass (see RenderConfig.detach_sampling)
-        new_dir = jax.lax.stop_gradient(new_dir)
     w_factor = f * jnp.where(is_refr, refr_w, 1.0)[:, None]
 
     # continuation-origin offset: +nl on the reflected side, -nl for

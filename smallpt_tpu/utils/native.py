@@ -151,6 +151,7 @@ class FrameWriter:
         if lib is None:
             raise RuntimeError("native library unavailable")
         self._lib = lib
+        self._shape = (height, width, 3)
         self._handle = lib.spt_frame_writer_create(
             pattern.encode(), width, height, int(binary), max_queue
         )
@@ -159,6 +160,10 @@ class FrameWriter:
 
     def push(self, img: np.ndarray, frame_idx: int) -> None:
         data = np.ascontiguousarray(img, dtype=np.float32)
+        if data.shape != self._shape:
+            # the native side reads exactly 3*w*h floats — a smaller frame
+            # would be a heap overread
+            raise ValueError(f"frame shape {data.shape} != {self._shape}")
         rc = self._lib.spt_frame_writer_push(self._handle, _as_float_ptr(data), frame_idx)
         if rc != 0:
             raise IOError(f"spt_frame_writer_push failed with {rc}")

@@ -100,6 +100,32 @@ def test_center_gradient_direction():
         assert abs(an - fd) < 0.15 * max(0.05, abs(fd)), (axis, an, fd)
 
 
+def test_glass_center_gradient_matches_fd():
+    """Specular transport gradients: the glass ball's position enters the
+    loss smoothly through Fresnel Re/Tr and the refraction direction, both
+    of which must stay differentiable under detached sampling (only the
+    stochastic cosine sample is detached). Regression for the bug where
+    stop_gradient on the merged direction zeroed ALL specular geometry
+    gradients."""
+    cfg = RenderConfig(width=24, height=24, spp_per_cell=1, max_depth=6,
+                       camera_model=CameraModel.LEGACY, filter=Filter.TENT)
+    scene = cornell_box_scene()
+    cam = smallpt_camera()
+    key = prng.base_key(0)
+    target = render_mean(scene, cam, cfg, key)
+    params, refl = split_scene(scene)
+    wrong = params._replace(
+        center=params.center.at[7].add(jnp.asarray([1.5, 1.0, -1.5]))
+    )
+    moved = merge_scene(wrong, refl)
+    _, _, grads = image_loss_and_grads(scene, cam, cfg, key, target)
+    _, _, g = image_loss_and_grads(moved, cam, cfg, key, target)
+    an = float(g.center[7, 0])
+    assert an != 0.0
+    fd = _fd_loss(moved, cam, cfg, key, target, "center", (7, 0), 1e-2)
+    assert abs(an - fd) < 0.05 * max(1e-4, abs(fd)), (an, fd)
+
+
 def test_radius_gradient_finite(setup):
     scene, cam, key, target = setup
     _, _, grads = image_loss_and_grads(scene, cam, CFG, key, target)
