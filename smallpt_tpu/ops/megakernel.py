@@ -40,6 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 from smallpt_tpu.config import RenderConfig, Filter, CameraModel, Mode
 from smallpt_tpu.core.camera import LegacyCamera, MatrixCamera
 from smallpt_tpu.core.rng import _CAMERA_SALT, _GOLDEN, _pcg4d
+
+# sphere-table capacity: scalar SMEM sweep up to MAX_SMEM_SPHERES; chunked
+# VMEM sweep beyond (table bytes = S*16*4; 64k spheres = 4 MB of VMEM)
+MAX_SMEM_SPHERES = 512
+MAX_VMEM_SPHERES = 65536
 from smallpt_tpu.core.scene import SphereScene
 
 # Float-state planes (each (8, C) where C = lanes/8 columns per tile).
@@ -88,6 +93,8 @@ def _mega_kernel(
     n_spheres: int,
     n_cols: int,  # total state columns (G_pad / 8)
     streaming: bool,  # streaming keying: sid = pixel + n_pixels * ip
+    table_in_smem: bool,  # True: per-sphere scalar reads from SMEM (small
+                          # scenes); False: chunked VMEM loads (big scenes)
 ):
     t = pl.program_id(0)
 
@@ -213,13 +220,8 @@ def _mega_kernel(
 
         # ---- closest-hit sphere sweep (stable citardauq form, ----------------
         # ops/intersect.py::sphere_hit_t math) -----------------------------------
-        def isect_body(s, carry):
-            (bt, bex, bey, bez, bax, bay, baz, brefl, bcx, bcy, bcz, br) = carry
-            scx = tbl_ref[s, 0]
-            scy = tbl_ref[s, 1]
-            scz = tbl_ref[s, 2]
-            sr = tbl_ref[s, 3]
-            seps = tbl_ref[s, 4]
+        def sphere_tt(scx, scy, scz, sr, seps):
+            """Candidate hit distance of one sphere vs the whole tile."""
             opx = scx - ox
             opy = scy - oy
             opz = scz - oz
@@ -238,30 +240,58 @@ def _mega_kernel(
                                cc / jnp.where(denom == 0.0, 1.0, denom), -_BIG)
             tt = jnp.where(t_near > seps, t_near,
                            jnp.where(denom > seps, denom, _BIG))
-            tt = jnp.where(det >= 0.0, tt, _BIG)
+            return jnp.where((det >= 0.0) & (sr > 0.0), tt, _BIG)
+
+        def fold(carry, tt, vals):
+            """Fold one sphere's candidates + 11 per-sphere scalars into the
+            running-best carry."""
+            bt = carry[0]
             better = tt < bt
-            return (
-                jnp.where(better, tt, bt),
-                jnp.where(better, tbl_ref[s, 5], bex),
-                jnp.where(better, tbl_ref[s, 6], bey),
-                jnp.where(better, tbl_ref[s, 7], bez),
-                jnp.where(better, tbl_ref[s, 8], bax),
-                jnp.where(better, tbl_ref[s, 9], bay),
-                jnp.where(better, tbl_ref[s, 10], baz),
-                jnp.where(better, tbl_ref[s, 11], brefl),
-                jnp.where(better, scx, bcx),
-                jnp.where(better, scy, bcy),
-                jnp.where(better, scz, bcz),
-                jnp.where(better, sr, br),
-            )
+            out = [jnp.where(better, tt, bt)]
+            for v, c in zip(vals, carry[1:]):
+                out.append(jnp.where(better, v, c))
+            return tuple(out)
+
+        def isect_body(s, carry):
+            # SMEM path: 12 dynamic scalar reads per sphere
+            scx = tbl_ref[s, 0]
+            scy = tbl_ref[s, 1]
+            scz = tbl_ref[s, 2]
+            sr = tbl_ref[s, 3]
+            seps = tbl_ref[s, 4]
+            tt = sphere_tt(scx, scy, scz, sr, seps)
+            return fold(carry, tt, (
+                tbl_ref[s, 5], tbl_ref[s, 6], tbl_ref[s, 7],
+                tbl_ref[s, 8], tbl_ref[s, 9], tbl_ref[s, 10], tbl_ref[s, 11],
+                scx, scy, scz, sr,
+            ))
+
+        def isect_chunk_body(c, carry):
+            # VMEM path: one (8, 16) vector load per 8 spheres, then static
+            # per-row scalar extracts — big sphere tables don't fit SMEM
+            blk = tbl_ref[pl.ds(c * 8, 8), :]
+            for r in range(8):
+                scx, scy, scz = blk[r, 0], blk[r, 1], blk[r, 2]
+                sr, seps = blk[r, 3], blk[r, 4]
+                tt = sphere_tt(scx, scy, scz, sr, seps)
+                carry = fold(carry, tt, (
+                    blk[r, 5], blk[r, 6], blk[r, 7],
+                    blk[r, 8], blk[r, 9], blk[r, 10], blk[r, 11],
+                    scx, scy, scz, sr,
+                ))
+            return carry
 
         big = jnp.full((_SUB, _LANE), _BIG, jnp.float32)
         zero = jnp.zeros((_SUB, _LANE), jnp.float32)
         carry0 = (big, zero, zero, zero, zero, zero, zero, zero, zero, zero,
                   zero, jnp.ones((_SUB, _LANE), jnp.float32))
-        (bt, em_x, em_y, em_z, al_x, al_y, al_z, refl, bcx, bcy, bcz, br) = (
-            jax.lax.fori_loop(0, n_spheres, isect_body, carry0)
-        )
+        if table_in_smem:
+            carry1 = jax.lax.fori_loop(0, n_spheres, isect_body, carry0)
+        else:
+            carry1 = jax.lax.fori_loop(
+                0, -(-n_spheres // 8), isect_chunk_body, carry0
+            )
+        (bt, em_x, em_y, em_z, al_x, al_y, al_z, refl, bcx, bcy, bcz, br) = carry1
 
         hit = bt < _BIG
         live_hit = jnp.logical_and(alive, hit)
@@ -450,16 +480,20 @@ def build_scene_table(scene: SphereScene, config: RenderConfig) -> jnp.ndarray:
         config.intersect_eps_rel * r,
     )
     m = scene.material
-    return jnp.concatenate(
+    tbl = jnp.concatenate(
         [
             c, r[:, None], eps[:, None],
             jnp.asarray(m.emission, jnp.float32),
             jnp.asarray(m.albedo, jnp.float32),
             jnp.asarray(m.refl, jnp.float32)[:, None],
-            jnp.zeros((s, 3), jnp.float32),
+            jnp.zeros((s, 4), jnp.float32),  # pad cols 12..15 -> 16 total
         ],
         axis=1,
     )
+    pad = (-s) % 8  # VMEM-path chunks of 8; radius-0 rows never hit
+    if pad:
+        tbl = jnp.concatenate([tbl, jnp.zeros((pad, 16), jnp.float32)])
+    return tbl
 
 
 def build_camera_vec(camera, config: RenderConfig) -> jnp.ndarray:
@@ -520,10 +554,10 @@ def render_pass_megakernel(
         raise ValueError("megakernel requires split_budget == 1")
     if config.mode != Mode.FULL:
         raise ValueError("megakernel renders Mode.FULL only")
-    if scene.n_spheres > 512:
-        # sphere constants live in SMEM (scalar-broadcast sweep); huge scenes
-        # use the VMEM-tiled intersect kernel path (ops/intersect_pallas.py)
-        raise ValueError("megakernel supports <= 512 spheres")
+    if scene.n_spheres > MAX_VMEM_SPHERES:
+        raise ValueError(
+            f"megakernel supports <= {MAX_VMEM_SPHERES} spheres"
+        )
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
@@ -549,12 +583,20 @@ def render_pass_megakernel(
     f0, i0 = init_stream_state(config, n_rows)
 
     grid = (n_tiles,)
+    table_in_smem = scene.n_spheres <= MAX_SMEM_SPHERES
     kernel = functools.partial(
         _mega_kernel,
         config=config,
         n_spheres=scene.n_spheres,
         n_cols=n_cols,
         streaming=False,
+        table_in_smem=table_in_smem,
+    )
+    table_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+        if table_in_smem
+        else pl.BlockSpec((table.shape[0], 16), lambda t: (0, 0),
+                          memory_space=pltpu.VMEM)
     )
     call = pl.pallas_call(
         kernel,
@@ -563,7 +605,7 @@ def render_pass_megakernel(
             pl.BlockSpec(memory_space=pltpu.SMEM),                     # kw
             pl.BlockSpec(memory_space=pltpu.SMEM),                     # ip
             pl.BlockSpec(memory_space=pltpu.SMEM),                     # cam
-            pl.BlockSpec(memory_space=pltpu.SMEM),                     # table
+            table_spec,                                                # table
             pl.BlockSpec((_SUB * _NF, _LANE), lambda t: (0, t),
                          memory_space=pltpu.VMEM),                     # f
             pl.BlockSpec((_SUB * _NI, _LANE), lambda t: (0, t),
@@ -668,8 +710,10 @@ def stream_step(
         raise ValueError("streaming requires split_budget == 1")
     if config.mode != Mode.FULL:
         raise ValueError("streaming renders Mode.FULL only")
-    if scene.n_spheres > 512:
-        raise ValueError("megakernel supports <= 512 spheres")
+    if scene.n_spheres > MAX_VMEM_SPHERES:
+        raise ValueError(
+            f"megakernel supports <= {MAX_VMEM_SPHERES} spheres"
+        )
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n_rows, G, n_tiles, n_cols = _stream_geometry(config, n_rows)
@@ -684,12 +728,20 @@ def stream_step(
     cam_vec = build_camera_vec(camera, config)
     table = build_scene_table(scene, config)
 
+    table_in_smem = scene.n_spheres <= MAX_SMEM_SPHERES
     kernel = functools.partial(
         _mega_kernel,
         config=config,
         n_spheres=scene.n_spheres,
         n_cols=n_cols,
         streaming=True,
+        table_in_smem=table_in_smem,
+    )
+    table_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+        if table_in_smem
+        else pl.BlockSpec((table.shape[0], 16), lambda t: (0, 0),
+                          memory_space=pltpu.VMEM)
     )
     rays_before = jnp.sum(
         jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
@@ -702,7 +754,7 @@ def stream_step(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            table_spec,
             pl.BlockSpec((_SUB * _NF, _LANE), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUB * _NI, _LANE), lambda t: (0, t),
