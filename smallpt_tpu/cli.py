@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="continuous-wavefront streaming renderer (fastest; "
                         "sphere scenes, full transport only): renders spp x "
                         "passes samples/pixel in one persistent stream")
+    p.add_argument("--interactive", action="store_true",
+                   help="render progressively until EOF/quit, consuming "
+                        "line-delimited JSON commands from stdin (the "
+                        "reference's render-request protocol: update_camera/"
+                        "update_scene/reset/snapshot/quit, plus u/d camera "
+                        "nudges)")
     return p
 
 
@@ -179,6 +185,23 @@ def main(argv=None) -> int:
     r.log_stats = args.stats
     if args.resume:
         r.load_checkpoint(args.resume)
+
+    if args.interactive:
+        from smallpt_tpu.interactive import InteractiveSession
+
+        session = InteractiveSession(r, frame_pattern=args.frames)
+        passes = session.run(max_passes=args.passes)
+        if not args.quiet:
+            print(f"interactive session ended after {passes} passes",
+                  file=sys.stderr)
+        img = r.image
+        if args.out.endswith(".png"):
+            img_io.write_png(args.out, img)
+        else:
+            img_io.write_ppm(args.out, img)
+        if args.checkpoint:
+            r.save_checkpoint(args.checkpoint)
+        return 0
 
     frame_writer, frame_sync = make_frame_sink()
 

@@ -40,12 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 from smallpt_tpu.config import RenderConfig, Filter, CameraModel, Mode
 from smallpt_tpu.core.camera import LegacyCamera, MatrixCamera
 from smallpt_tpu.core.rng import _CAMERA_SALT, _GOLDEN, _pcg4d
+from smallpt_tpu.core.scene import SphereScene
 
 # sphere-table capacity: scalar SMEM sweep up to MAX_SMEM_SPHERES; chunked
 # VMEM sweep beyond (table bytes = S*16*4; 64k spheres = 4 MB of VMEM)
 MAX_SMEM_SPHERES = 512
 MAX_VMEM_SPHERES = 65536
-from smallpt_tpu.core.scene import SphereScene
 
 # Float-state planes (each (8, C) where C = lanes/8 columns per tile).
 _F_OX, _F_OY, _F_OZ = 0, 1, 2       # ray origin
@@ -83,7 +83,8 @@ def _mega_kernel(
                  #                step-by-step in streaming mode)
                  #   max_it     — wavefront iteration cap for this launch
     cam_ref,     # (1, 16) f32 SMEM: A(3) B(3) C(3) O(3) push
-    tbl_ref,     # (S, 16) f32 SMEM sphere+material table (scalar-read per sphere)
+    tbl_ref,     # (S, 16) f32 sphere+material table — SMEM (scalar reads)
+                 # for small scenes, VMEM (chunked loads) for big ones
     f_ref,       # (8*_NF, C) f32 state (aliased in/out)
     i_ref,       # (8*_NI, C) int32 state (aliased in/out)
     f_out,       # aliased output of f_ref
