@@ -37,8 +37,11 @@ from smallpt_tpu.config import RenderConfig
 from smallpt_tpu.core import rng as prng
 from smallpt_tpu.ops.megakernel import (
     init_stream_state,
-    stream_step,
+    set_sample_budget,
     stream_image,
+    stream_pending,
+    stream_step,
+    stream_variance,
 )
 from smallpt_tpu.utils.metrics import RenderStats
 
@@ -56,12 +59,15 @@ class StreamingRenderer:
         self.config = config
         self.key = prng.base_key(seed)  # ONE key for the whole stream
         self.f, self.i = init_stream_state(config)
-        self.budget = 0  # per-lane sample allowance so far
+        self.budget = 0  # scalar allowance (uniform mode); min of budgets
+        self._budget_max = 0
+        self._budgets = None  # per-pixel budgets once adaptive stepping used
         self.stats = RenderStats()
 
     def step(self, n_iters: int = 64, add_samples: int = 1) -> int:
         """Returns rays traced this step."""
         self.budget += add_samples
+        self._budget_max = max(self._budget_max, self.budget)
         t0 = time.perf_counter()
         self.f, self.i, rays = stream_step(
             self.scene, self.camera, self.config, self.key,
@@ -73,26 +79,66 @@ class StreamingRenderer:
         self.stats.passes += 1
         return n
 
+    def step_adaptive(self, n_iters: int = 256, add_samples_total: int | None = None) -> int:
+        """Variance-adaptive step: distribute a pool of new samples across
+        pixels proportionally to their luminance standard deviation (the
+        near-optimal allocation for per-pixel MC error), then advance the
+        wavefront. Uses the in-kernel per-sample moments (stream_variance)
+        and the per-lane budget plane — the capability the reference's
+        RenderOutputs design points at but never uses (smallpt.cpp:644-674).
+
+        Caveat (documented estimator property): allocating by observed
+        variance correlates sample counts with sample values, which the
+        per-pixel weight normalization (completed counts) handles; the
+        residual adaptive-sampling bias is the standard one and vanishes as
+        budgets grow."""
+        G = self.config.n_pixels
+        if add_samples_total is None:
+            add_samples_total = G  # ~1 sample/pixel worth of new work
+        _, var, n = stream_variance(self.f, self.i, self.config)
+        sigma = np.sqrt(np.asarray(var).reshape(-1)) + 1e-3
+        alloc = sigma / sigma.sum() * add_samples_total
+        extra = np.floor(alloc).astype(np.int32)
+        # keep every pixel progressing at least slowly
+        extra = np.maximum(extra, 0)
+        budgets = np.asarray(
+            jnp.asarray(self._budgets) if self._budgets is not None
+            else np.full((G,), self.budget, np.int32)
+        ) + extra
+        self._budgets = jnp.asarray(budgets, jnp.int32)
+        self.i = set_sample_budget(self.i, self._budgets, self.config)
+        self.budget = int(budgets.min())
+        self._budget_max = int(budgets.max())
+        t0 = time.perf_counter()
+        self.f, self.i, rays = stream_step(
+            self.scene, self.camera, self.config, self.key,
+            self.f, self.i, None, n_iters,
+        )
+        n_rays = int(rays)
+        self.stats.rays += n_rays
+        self.stats.wall_s += time.perf_counter() - t0
+        self.stats.passes += 1
+        return n_rays
+
     def flush(self) -> None:
         """Drain all in-flight paths (no new budget): after this, image() is
-        the exact MC estimate over exactly `budget` samples per pixel."""
+        the exact MC estimate over each pixel's budgeted sample count."""
         # per-round iteration cap scaled to the OUTSTANDING work (a lane may
         # still owe up to its whole budget of samples x max_depth bounces);
-        # progress is monitored via the min completed count, so a healthy
+        # progress is monitored via the pending counters, so a healthy
         # stream always terminates and a genuinely stuck one raises
-        cap = self.config.max_depth * max(self.budget, 1) + 64
-        last_min = -1
+        cap = self.config.max_depth * max(self._budget_max, 1) + 64
+        last_pending = None
         while True:
-            _, w = stream_image(self.f, self.i, self.config)
-            wmin = int(jnp.min(w))
-            if wmin >= self.budget:
+            pending = stream_pending(self.i)
+            if pending == (0, 0):
                 return
-            if wmin == last_min:
+            if pending == last_pending:
                 raise RuntimeError("flush made no progress (paths stuck?)")
-            last_min = wmin
+            last_pending = pending
             self.f, self.i, rays = stream_step(
                 self.scene, self.camera, self.config, self.key,
-                self.f, self.i, self.budget, cap,
+                self.f, self.i, None, cap,
             )
             self.stats.rays += int(rays)
 
@@ -105,6 +151,8 @@ class StreamingRenderer:
     def reset(self) -> None:
         self.f, self.i = init_stream_state(self.config)
         self.budget = 0
+        self._budget_max = 0
+        self._budgets = None
 
     def update_camera(self, camera) -> None:
         self.camera = camera

@@ -52,10 +52,11 @@ _F_OX, _F_OY, _F_OZ = 0, 1, 2       # ray origin
 _F_DX, _F_DY, _F_DZ = 3, 4, 5      # ray direction
 _F_WX, _F_WY, _F_WZ = 6, 7, 8      # throughput
 _F_RX, _F_RY, _F_RZ = 9, 10, 11    # accumulated radiance
-_NF = 12
+_F_M1, _F_M2 = 12, 13              # completed-sample luminance sum / sum sq
+_NF = 14
 # Int-state planes.
-_I_DEPTH, _I_SIDX, _I_ALIVE, _I_RAYS = 0, 1, 2, 3
-_NI = 4
+_I_DEPTH, _I_SIDX, _I_ALIVE, _I_RAYS, _I_BUDGET = 0, 1, 2, 3, 4
+_NI = 5
 
 _SUB = 8          # f32 sublane tile height
 _LANE = 1024      # lanes per tile column block (8 lane-tiles)
@@ -106,10 +107,13 @@ def _mega_kernel(
     dx0, dy0, dz0 = fplane(_F_DX), fplane(_F_DY), fplane(_F_DZ)
     wx0, wy0, wz0 = fplane(_F_WX), fplane(_F_WY), fplane(_F_WZ)
     rx0, ry0, rz0 = fplane(_F_RX), fplane(_F_RY), fplane(_F_RZ)
+    m10, m20 = fplane(_F_M1), fplane(_F_M2)
     depth0 = iplane(_I_DEPTH)
     s_idx0 = iplane(_I_SIDX)
     alive0 = iplane(_I_ALIVE) != 0
     nrays0 = iplane(_I_RAYS)
+    budget = iplane(_I_BUDGET)  # per-lane sample allowance (adaptive
+                                # sampling writes this plane between steps)
 
     k0 = kw_ref[0, 0]
     k1 = kw_ref[0, 1]
@@ -135,16 +139,24 @@ def _mega_kernel(
         it = carry[0]
         s_idx = carry[14]
         alive_i = carry[15]
-        more = jnp.logical_or(alive_i != 0, s_idx < k_samples - 1)
+        more = jnp.logical_or(alive_i != 0, s_idx < budget - 1)
         return jnp.logical_and(it < max_it, jnp.any(more))
 
     def loop_body(carry):
         (it, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz, depth,
-         s_idx, alive_i, nrays) = carry
+         s_idx, alive_i, nrays, m1, m2) = carry
         alive = alive_i != 0
 
         # ---- regenerate dead lanes with their pixel's next sample ----------
-        need = jnp.logical_and(jnp.logical_not(alive), s_idx < k_samples - 1)
+        need = jnp.logical_and(jnp.logical_not(alive), s_idx < budget - 1)
+        # per-sample statistics: at a sample boundary the just-finished
+        # sample's luminance is lum(radiance) - m1 (m1 == luminance at the
+        # previous boundary); m2 accumulates its square for the variance
+        # estimate driving adaptive sampling (engine/streaming.py)
+        cur_lum = (rx + ry + rz) * jnp.float32(1.0 / 3.0)
+        delta = cur_lum - m1
+        m2 = jnp.where(need, m2 + delta * delta, m2)
+        m1 = jnp.where(need, cur_lum, m1)
         s_new = jnp.where(need, s_idx + 1, s_idx)
         ip = ip_offset + s_new
         if streaming:
@@ -445,13 +457,13 @@ def _mega_kernel(
         depth = depth + 1
         alive = jnp.logical_and(parent, depth < config.max_depth)
         return (it + 1, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz,
-                depth, s_new, alive.astype(jnp.int32), nrays)
+                depth, s_new, alive.astype(jnp.int32), nrays, m1, m2)
 
     carry = (jnp.asarray(0, jnp.int32), ox0, oy0, oz0, dx0, dy0, dz0,
              wx0, wy0, wz0, rx0, ry0, rz0, depth0, s_idx0,
-             alive0.astype(jnp.int32), nrays0)
+             alive0.astype(jnp.int32), nrays0, m10, m20)
     (_, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz, depth, s_idx,
-     alive_i, nrays) = jax.lax.while_loop(loop_cond, loop_body, carry)
+     alive_i, nrays, m1, m2) = jax.lax.while_loop(loop_cond, loop_body, carry)
     alive = alive_i != 0
 
     # ---- write back ---------------------------------------------------------
@@ -465,10 +477,13 @@ def _mega_kernel(
     wf_(_F_DX, dx); wf_(_F_DY, dy); wf_(_F_DZ, dz)
     wf_(_F_WX, wx); wf_(_F_WY, wy); wf_(_F_WZ, wz)
     wf_(_F_RX, rx); wf_(_F_RY, ry); wf_(_F_RZ, rz)
+    wf_(_F_M1, m1); wf_(_F_M2, m2)
     wi_(_I_DEPTH, depth)
     wi_(_I_SIDX, s_idx)
     wi_(_I_ALIVE, alive.astype(jnp.int32))
     wi_(_I_RAYS, nrays)
+    # budget plane is read-only inside the kernel — copy through
+    i_out[pl.ds(8 * _I_BUDGET, 8), :] = budget
 
 
 def build_scene_table(scene: SphereScene, config: RenderConfig) -> jnp.ndarray:
@@ -582,6 +597,7 @@ def render_pass_megakernel(
     table = build_scene_table(scene, config)
 
     f0, i0 = init_stream_state(config, n_rows)
+    i0 = set_sample_budget(i0, k_samples, config, n_rows)
 
     grid = (n_tiles,)
     table_in_smem = scene.n_spheres <= MAX_SMEM_SPHERES
@@ -667,21 +683,57 @@ def _stream_geometry(config: RenderConfig, n_rows: int | None):
 
 
 def init_stream_state(config: RenderConfig, n_rows: int | None = None):
-    """Fresh (f, i) streaming state: all lanes dead with zero budget used."""
+    """Fresh (f, i) streaming state: all lanes dead, zero sample budget
+    (padded lanes beyond the image keep budget 0 forever)."""
     n_rows, G, n_tiles, n_cols = _stream_geometry(config, n_rows)
     f0 = jnp.zeros((_SUB * _NF, n_cols), jnp.float32)
-    lane = jnp.arange(_SUB)[:, None] * n_cols + jnp.arange(n_cols)[None, :]
-    sidx0 = jnp.where(lane < G, jnp.int32(-1), jnp.int32(0x3FFFFFFF))
     i0 = jnp.concatenate(
         [
-            jnp.zeros((_SUB, n_cols), jnp.int32),
-            sidx0,
-            jnp.zeros((_SUB, n_cols), jnp.int32),
-            jnp.zeros((_SUB, n_cols), jnp.int32),
+            jnp.zeros((_SUB, n_cols), jnp.int32),            # depth
+            jnp.full((_SUB, n_cols), -1, jnp.int32),         # s_idx
+            jnp.zeros((_SUB, n_cols), jnp.int32),            # alive
+            jnp.zeros((_SUB, n_cols), jnp.int32),            # rays
+            jnp.zeros((_SUB, n_cols), jnp.int32),            # budget
         ],
         axis=0,
     )
     return f0, i0
+
+
+def set_sample_budget(i, budgets, config: RenderConfig,
+                      n_rows: int | None = None, accumulate_max: bool = True):
+    """Write the per-lane sample-budget plane.
+
+    budgets: scalar (uniform) or a (G,) int array (adaptive sampling: each
+    pixel gets its own allowance). Padded lanes stay at 0. With
+    accumulate_max (default) the plane only grows — budgets are monotone
+    across a stream's life."""
+    n_rows, G, n_tiles, n_cols = _stream_geometry(config, n_rows)
+    lane = jnp.arange(_SUB)[:, None] * n_cols + jnp.arange(n_cols)[None, :]
+    b = jnp.asarray(budgets, jnp.int32)
+    if b.ndim == 0:
+        plane = jnp.broadcast_to(b, (_SUB, n_cols))
+    else:
+        pad = _SUB * n_cols - G
+        plane = jnp.concatenate(
+            [b, jnp.zeros((pad,), jnp.int32)]
+        ).reshape(_SUB, n_cols)
+    plane = jnp.where(lane < G, plane, 0)
+    old = jax.lax.dynamic_slice_in_dim(i, 8 * _I_BUDGET, 8, axis=0)
+    if accumulate_max:
+        plane = jnp.maximum(plane, old)
+    return jax.lax.dynamic_update_slice_in_dim(i, plane, 8 * _I_BUDGET, axis=0)
+
+
+def stream_pending(i):
+    """(n_alive, n_can_regen) — drain is complete when both are zero."""
+    s_idx = jax.lax.dynamic_slice_in_dim(i, 8 * _I_SIDX, 8, axis=0)
+    alive = jax.lax.dynamic_slice_in_dim(i, 8 * _I_ALIVE, 8, axis=0)
+    bud = jax.lax.dynamic_slice_in_dim(i, 8 * _I_BUDGET, 8, axis=0)
+    return (
+        int(jnp.sum(alive != 0)),
+        int(jnp.sum((alive == 0) & (s_idx < bud - 1))),
+    )
 
 
 @functools.partial(
@@ -704,9 +756,11 @@ def stream_step(
     """Advance the streaming wavefront by up to n_iters bounce iterations.
 
     sample_budget: total per-lane sample allowance so far (monotone across
-    steps); lanes regenerate while s_idx < budget-1. Returns (f, i, rays).
-    The keying is streaming-specific (sid = pixel + n_pixels * ip): one key
-    serves the whole stream, so do NOT fold per-step keys."""
+    steps); lanes regenerate while s_idx < budget-1. Pass None to leave the
+    per-lane budget plane untouched (adaptive sampling sets it directly via
+    set_sample_budget). Returns (f, i, rays). The keying is
+    streaming-specific (sid = pixel + n_pixels * ip): one key serves the
+    whole stream, so do NOT fold per-step keys."""
     if config.split_budget != 1:
         raise ValueError("streaming requires split_budget == 1")
     if config.mode != Mode.FULL:
@@ -718,12 +772,14 @@ def stream_step(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n_rows, G, n_tiles, n_cols = _stream_geometry(config, n_rows)
+    if sample_budget is not None:
+        i = set_sample_budget(i, sample_budget, config, n_rows)
 
     kw = jax.random.key_data(key).astype(jnp.uint32).reshape(1, -1)[:, :2]
     ip = jnp.stack([
         jnp.asarray(ip_offset, jnp.int32),
         jnp.asarray(row_offset, jnp.int32),
-        jnp.asarray(sample_budget, jnp.int32),
+        jnp.asarray(0, jnp.int32),  # (reserved; budget lives in its plane)
         jnp.asarray(n_iters, jnp.int32),
     ]).reshape(1, 4)
     cam_vec = build_camera_vec(camera, config)
@@ -804,4 +860,38 @@ def stream_image(f, i, config: RenderConfig, n_rows: int | None = None):
     return (
         rad.reshape(n_rows, config.width, 3),
         done.reshape(n_rows, config.width),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_rows"))
+def stream_variance(f, i, config: RenderConfig, n_rows: int | None = None):
+    """Per-pixel (mean, variance, n) of completed-sample luminances — the
+    signal driving adaptive sampling. The kernel records a sample's
+    luminance at the NEXT regeneration; a lane that went idle with budget
+    exhausted has its final sample completed here on the host side."""
+    n_rows, G, _, _ = _stream_geometry(config, n_rows)
+
+    def plane(buf, idx):
+        return jax.lax.dynamic_slice_in_dim(buf, 8 * idx, 8, axis=0)
+
+    m1 = plane(f, _F_M1)
+    m2 = plane(f, _F_M2)
+    rad_lum = (
+        plane(f, _F_RX) + plane(f, _F_RY) + plane(f, _F_RZ)
+    ) * jnp.float32(1.0 / 3.0)
+    alive = plane(i, _I_ALIVE) != 0
+    s_idx = plane(i, _I_SIDX)
+    # idle lanes: fold the unrecorded final sample in
+    delta = rad_lum - m1
+    m2 = jnp.where(~alive & (s_idx >= 0), m2 + delta * delta, m2)
+    m1 = jnp.where(~alive & (s_idx >= 0), rad_lum, m1)
+    n = (s_idx + 1 - alive.astype(jnp.int32)).astype(jnp.float32)
+    n_safe = jnp.maximum(n, 1.0)
+    mean = m1 / n_safe
+    var = jnp.maximum(m2 / n_safe - mean * mean, 0.0)
+    shape = (n_rows, config.width)
+    return (
+        mean.reshape(-1)[:G].reshape(shape),
+        var.reshape(-1)[:G].reshape(shape),
+        n.reshape(-1)[:G].reshape(shape),
     )

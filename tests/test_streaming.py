@@ -89,6 +89,41 @@ def test_camera_update_resets(tmp_path):
     assert int(np.asarray(w).sum()) == 0
 
 
+def test_adaptive_sampling_allocates_by_variance():
+    """Variance-adaptive stepping: noisy pixels (glass/caustics) receive
+    more samples than flat wall pixels, weights normalize per pixel, and
+    flush still drains to an exact heterogeneous estimate."""
+    from smallpt_tpu.ops.megakernel import stream_variance
+
+    r = StreamingRenderer(cornell_box_scene(), smallpt_camera(), CFG, seed=4)
+    # bootstrap: uniform samples to seed the variance estimate
+    r.step(n_iters=64, add_samples=4)
+    r.flush()
+    _, var, n = stream_variance(r.f, r.i, r.config)
+    var = np.asarray(var)
+    assert (np.asarray(n) == 4).all()
+    assert var.max() > 0  # some pixels are noisy
+
+    # two adaptive rounds
+    for _ in range(2):
+        r.step_adaptive(n_iters=400, add_samples_total=2 * CFG.n_pixels)
+    r.flush()
+    _, w = r.accumulators()
+    w = np.asarray(w)
+    assert w.min() >= 4  # bootstrap budget retained everywhere
+    assert w.max() > w.min()  # heterogeneous allocation happened
+    # allocation followed the variance signal: the noisiest decile of
+    # pixels got more average samples than the quietest decile
+    flat_v = var.reshape(-1)
+    flat_w = w.reshape(-1)
+    hi = flat_w[np.argsort(flat_v)[-len(flat_v) // 10:]]
+    lo = flat_w[np.argsort(flat_v)[: len(flat_v) // 10]]
+    assert hi.mean() > lo.mean() + 0.5, (hi.mean(), lo.mean())
+    # image remains a sane estimate under heterogeneous weights
+    img = r.image
+    assert np.isfinite(img).all() and img.mean() > 0.05
+
+
 def test_weights_monotone_and_capped():
     r = StreamingRenderer(cornell_box_scene(), smallpt_camera(), CFG, seed=5)
     r.step(n_iters=6, add_samples=2)
