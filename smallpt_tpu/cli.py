@@ -144,6 +144,10 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return None, (lambda img, idx: img_io.write_ppm(args.frames % idx, img))
 
+    if args.streaming and args.interactive:
+        build_parser().error("--streaming and --interactive are exclusive "
+                             "(the interactive protocol drives the "
+                             "progressive accumulator)")
     if args.streaming:
         from smallpt_tpu.engine.streaming import StreamingRenderer
         from smallpt_tpu.utils.metrics import log_json

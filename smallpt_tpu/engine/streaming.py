@@ -97,10 +97,20 @@ class StreamingRenderer:
             add_samples_total = G  # ~1 sample/pixel worth of new work
         _, var, n = stream_variance(self.f, self.i, self.config)
         sigma = np.sqrt(np.asarray(var).reshape(-1)) + 1e-3
-        alloc = sigma / sigma.sum() * add_samples_total
-        extra = np.floor(alloc).astype(np.int32)
-        # keep every pixel progressing at least slowly
-        extra = np.maximum(extra, 0)
+        # uniform floor of 1 when the pool allows it: a pixel whose bootstrap
+        # samples happened to agree (observed variance 0) must keep sampling,
+        # or its estimate (and its variance signal) never improves
+        base = 1 if add_samples_total >= 2 * G else 0
+        pool = add_samples_total - base * G
+        alloc = sigma / sigma.sum() * pool
+        extra = np.floor(alloc).astype(np.int64)
+        # largest-remainder rounding: hand the dropped fractions to the
+        # pixels with the biggest remainders so the pool is spent exactly
+        short = int(pool - extra.sum())
+        if short > 0:
+            order = np.argsort(alloc - extra)[::-1][:short]
+            extra[order] += 1
+        extra = (extra + base).astype(np.int32)
         budgets = np.asarray(
             jnp.asarray(self._budgets) if self._budgets is not None
             else np.full((G,), self.budget, np.int32)
@@ -176,10 +186,27 @@ class StreamingRenderer:
         )
 
     def load_checkpoint(self, path: str) -> None:
+        from smallpt_tpu.ops import megakernel as mk
+
         data = np.load(path)
-        self.f = jnp.asarray(data["f"])
-        self.i = jnp.asarray(data["i"])
-        self.budget = int(data["budget"])
+        f = jnp.asarray(data["f"])
+        i = jnp.asarray(data["i"])
+        if f.shape[0] != 8 * mk._NF or i.shape[0] != 8 * mk._NI:
+            raise ValueError(
+                f"incompatible stream checkpoint layout: f{f.shape}/i{i.shape}"
+                f" vs current {8 * mk._NF}/{8 * mk._NI} plane rows"
+            )
+        self.f, self.i = f, i
+        # per-pixel budgets live in the checkpointed budget plane — restore
+        # the host-side bookkeeping from it
+        G = self.config.n_pixels
+        plane = np.asarray(
+            i[8 * mk._I_BUDGET:8 * mk._I_BUDGET + 8]
+        ).reshape(-1)[:G]
+        self._budgets = jnp.asarray(plane, jnp.int32)
+        self.budget = int(plane.min())
+        self._budget_max = int(plane.max())
+        _ = int(data["budget"])  # legacy field, superseded by the plane
         self.key = jax.random.wrap_key_data(jnp.asarray(data["key"]))
         self.stats.rays = int(data["stats_rays"])
         self.stats.passes = int(data["stats_passes"])

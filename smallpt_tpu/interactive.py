@@ -88,6 +88,21 @@ class InteractiveSession:
                 with self._snap_lock:
                     self._snapshots.append(req.get("path", "snapshot.png"))
                 continue
+            # validate before enqueueing: a malformed protocol message must
+            # not kill the render thread (it is logged and dropped, like a
+            # malformed JSON line)
+            if action not in ("update_camera", "update_scene", "reset"):
+                log_json("bad_request", {"error": f"unknown action {action!r}"})
+                continue
+            if action == "update_camera":
+                org = req.get("org")
+                if not (isinstance(org, (list, tuple)) and len(org) == 3):
+                    log_json("bad_request",
+                             {"error": "update_camera needs org=[x,y,z]"})
+                    continue
+                # keep the UI-side origin copy in sync so subsequent u/d
+                # nudges build on the explicitly-set position
+                self._ui_org = np.asarray(org, dtype=np.float64)
             self.renderer.enqueue(req)
         self._quit.set()  # EOF ends the session (like closing the window)
 
@@ -98,8 +113,12 @@ class InteractiveSession:
         reader.start()
         writer = None
         if self.frame_pattern:
+            import os
+
             from smallpt_tpu.utils import native
 
+            os.makedirs(os.path.dirname(self.frame_pattern) or ".",
+                        exist_ok=True)
             if native.available():
                 writer = native.FrameWriter(
                     self.frame_pattern, self.renderer.config.width,
@@ -144,5 +163,7 @@ class InteractiveSession:
                     img_io.write_ppm(path, self.renderer.image)
         finally:
             if writer is not None:
+                if writer.errors:
+                    log_json("frame_writer_errors", {"count": writer.errors})
                 writer.close()
         return passes

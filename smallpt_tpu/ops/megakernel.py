@@ -77,11 +77,10 @@ def _normalize3(x, y, z):
 
 def _mega_kernel(
     kw_ref,      # (1, 2) uint32 SMEM: key words k0, k1
-    ip_ref,      # (1, 4) int32 SMEM: [ip_offset, row_offset, k_samples, max_it]
+    ip_ref,      # (1, 4) int32 SMEM: [ip_offset, row_offset, reserved, max_it]
                  #   ip_offset  — sample-axis shard offset (SURVEY.md §5.7)
                  #   row_offset — tile-axis shard's first global image row
-                 #   k_samples  — per-lane sample budget (spp_local; grows
-                 #                step-by-step in streaming mode)
+                 #   reserved   — (sample budgets live in the _I_BUDGET plane)
                  #   max_it     — wavefront iteration cap for this launch
     cam_ref,     # (1, 16) f32 SMEM: A(3) B(3) C(3) O(3) push
     tbl_ref,     # (S, 16) f32 sphere+material table — SMEM (scalar reads)
@@ -119,7 +118,6 @@ def _mega_kernel(
     k1 = kw_ref[0, 1]
     ip_offset = ip_ref[0, 0]
     row_offset = ip_ref[0, 1]
-    k_samples = ip_ref[0, 2]
     max_it_in = ip_ref[0, 3]
 
     # lane/pixel id: plane element (r, c) of tile t is global lane
@@ -590,7 +588,7 @@ def render_pass_megakernel(
     ip = jnp.stack([
         jnp.asarray(ip_offset, jnp.int32),
         jnp.asarray(row_offset, jnp.int32),
-        jnp.asarray(k_samples, jnp.int32),
+        jnp.asarray(0, jnp.int32),
         jnp.asarray(k_samples * config.max_depth, jnp.int32),
     ]).reshape(1, 4)
     cam_vec = build_camera_vec(camera, config)

@@ -47,10 +47,23 @@ def test_session_camera_update_resets_accumulation(tmp_path):
     passes = session.run(max_passes=200)
     assert passes >= 1
     assert os.path.exists(snap)
-    # camera actually moved and the accumulation restarted after the update
+    # camera actually moved
     assert float(np.asarray(r.camera.origin)[1]) == 53.0
-    assert r.sample_count <= passes  # reset happened at least once...
-    # (sample_count restarted after the camera request was applied)
+
+
+def test_camera_update_resets_accumulation_deterministic():
+    """The reset semantics pinned without reader-thread timing: a pass
+    accumulates, the camera request invalidates, the next pass restarts the
+    progressive count (smallpt.cpp:906-920,931-939)."""
+    r = ProgressiveRenderer(cornell_box_scene(), smallpt_camera(), CFG, seed=0)
+    r.step()
+    assert r.sample_count == 1
+    before = np.asarray(r.accum).copy()
+    r.enqueue({"action": "update_camera", "org": [50.0, 53.0, 295.6]})
+    r.step()
+    assert r.sample_count == 1  # reset + exactly one fresh pass
+    assert float(np.asarray(r.camera.origin)[1]) == 53.0
+    assert not np.array_equal(before, np.asarray(r.accum))
 
 
 def test_session_keyboard_nudges():
