@@ -31,6 +31,7 @@ from smallpt_tpu.utils import image as img_io
 SCENES = {
     "cornell": scenes.cornell_box_scene,
     "cornell_dim": scenes.cornell_box_dim_light_scene,
+    "cornell_small_light": scenes.cornell_box_small_light_scene,
     "two_sphere": scenes.two_sphere_scene,
     "triangle": scenes.single_triangle_scene,
     "procedural": scenes.procedural_sphere_scene,
@@ -63,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-depth", type=int, default=64)
     p.add_argument("--rr-depth", type=int, default=5)
     p.add_argument("--split-budget", type=int, default=1)
+    p.add_argument("--nee", type=int, nargs="*", default=None, metavar="LIGHT",
+                   help="next-event estimation: sphere indices of the lights "
+                        "to explicitly sample (e.g. --nee 8 for the Cornell "
+                        "light); huge variance reduction for small emitters")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--passes", type=int, default=None,
                    help="progressive passes (default: spp/4 like the reference)")
@@ -118,6 +123,7 @@ def main(argv=None) -> int:
         max_depth=args.max_depth,
         rr_depth=args.rr_depth,
         split_budget=args.split_budget,
+        nee_lights=tuple(args.nee) if args.nee else (),
     )
     camera = (
         default_matrix_camera()

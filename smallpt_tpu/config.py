@@ -145,6 +145,18 @@ class RenderConfig:
     # bias envelope (SURVEY.md §7 hard part #3).
     detach_sampling: bool = True
 
+    # Next-event estimation (explicit light sampling — the classic
+    # smallpt-explicit variant of the reference's lineage): at every diffuse
+    # hit, sample the solid-angle cone of each listed light sphere, cast a
+    # shadow ray, and add the direct term; emission pickup of those lights is
+    # then suppressed along diffuse continuations (specular chains keep it).
+    # Empty tuple = off (the reference's pure BSDF-sampling estimator).
+    # Indices are sphere ids in the scene (e.g. (8,) for the Cornell light).
+    # Hit points INSIDE a light sphere fall back to plain path tracing for
+    # that light (no suppression, no cone sample) — keeps the estimator
+    # unbiased under smallpt's giant ceiling-light geometry.
+    nee_lights: tuple = ()
+
     filter: Filter = Filter.BOX
     camera_model: CameraModel = CameraModel.MATRIX
 

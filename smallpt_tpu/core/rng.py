@@ -102,6 +102,33 @@ def camera_uniforms(key: jax.Array, sample_ids: jnp.ndarray, dtype=jnp.float32):
     return jnp.stack([_to_unit(a, dtype), _to_unit(b, dtype)], axis=-1)
 
 
+_NEE_SALT = 0x2545F491
+
+
+@functools.partial(jax.jit, static_argnames=("light_slot", "dtype"))
+def nee_uniforms(
+    key: jax.Array,
+    sample_ids: jnp.ndarray,
+    hist: jnp.ndarray,
+    depth: jnp.ndarray,
+    light_slot: int,
+    dtype=jnp.float32,
+):
+    """(N, 2) uniforms for next-event estimation's light-cone sample at one
+    shading event (one pair per sampled light). The c-lane salt offsets by
+    _NEE_SALT + light_slot, disjoint from the camera/shade tuples for all
+    reachable depths."""
+    k0, k1 = _key_words(key)
+    a, b, _, _ = _pcg4d(
+        sample_ids.astype(jnp.uint32) ^ k0,
+        hist.astype(jnp.uint32) ^ k1,
+        depth.astype(jnp.uint32)
+        + jnp.uint32((_NEE_SALT + light_slot) & 0xFFFFFFFF),
+        jnp.broadcast_to(k0 + k1, sample_ids.shape),
+    )
+    return jnp.stack([_to_unit(a, dtype), _to_unit(b, dtype)], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("dtype",))
 def shade_uniforms(
     key: jax.Array,

@@ -123,6 +123,25 @@ def cornell_box_dim_light_scene(dtype=jnp.float32) -> SphereScene:
     return scene._replace(material=scene.material._replace(emission=emission))
 
 
+def cornell_box_small_light_scene(dtype=jnp.float32) -> SphereScene:
+    """Cornell box with a small bright spherical light — the smallpt-explicit
+    variant's scene shape (tiny emitter, high radiance), where next-event
+    estimation pays off: BSDF rays almost never hit a 1.5-radius light, so
+    explicit cone sampling removes most direct-light variance."""
+    scene = cornell_box_scene(dtype=dtype)
+    center = scene.center.at[8].set(
+        jnp.asarray([50.0, 81.6 - 16.5, 81.6], dtype)
+    )
+    radius = scene.radius.at[8].set(jnp.asarray(1.5, dtype))
+    emission = scene.material.emission.at[8].set(
+        jnp.asarray([400.0, 400.0, 400.0], dtype)
+    )
+    return SphereScene(
+        center=center, radius=radius,
+        material=scene.material._replace(emission=emission),
+    )
+
+
 def procedural_sphere_scene(
     n: int = 10_000, seed: int = 0, dtype=jnp.float32
 ) -> SphereScene:

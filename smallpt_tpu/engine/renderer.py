@@ -86,6 +86,7 @@ def render_samples(
         else jnp.repeat(sample_ids, config.split_budget, axis=0)
     )
     intersect_fn = make_intersect_fn(scene, config)
+    nee_scene = scene if (config.nee_lights and isinstance(scene, SphereScene)) else None
     final, rays = wavefront.run_wavefront(
         state,
         intersect_fn,
@@ -94,6 +95,7 @@ def render_samples(
         key,
         lane_sample_ids,
         differentiable=differentiable,
+        nee_scene=nee_scene,
     )
     rad = final.radiance
     if config.split_budget > 1:
@@ -117,9 +119,10 @@ def render_pixels(
     """Regenerative-scheduler core: one lane per pixel consuming k_samples
     sequentially. Returns (per-pixel radiance (G,3), rays_traced)."""
     intersect_fn = make_intersect_fn(scene, config)
+    nee_scene = scene if (config.nee_lights and isinstance(scene, SphereScene)) else None
     return wavefront.run_wavefront_regen(
         camera, intersect_fn, scene.material, config, key,
-        pixel, col, row, ip_offset, k_samples,
+        pixel, col, row, ip_offset, k_samples, nee_scene=nee_scene,
     )
 
 
@@ -136,6 +139,7 @@ def _use_mega(scene, config: RenderConfig, differentiable: bool) -> bool:
         and config.split_budget == 1
         and config.mode == Mode.FULL
         and config.dtype == "float32"
+        and not config.nee_lights  # NEE runs on the JAX schedulers for now
         and isinstance(scene, SphereScene)
         # the fused kernel wins while per-bounce XLA glue dominates; at
         # ~10k spheres the sweep dominates and the split-sweep intersect

@@ -48,6 +48,8 @@ class PathState(NamedTuple):
     hist: jnp.ndarray  # (L,) int32 split-tree position (core/rng.py)
     alive: jnp.ndarray  # (L,) bool
     radiance: jnp.ndarray  # (L,3) accumulated contribution
+    suppress: jnp.ndarray  # (L,) int32 bitmask: bit j = light j's emission
+    #   was direct-sampled at the previous vertex (NEE) — don't double count
 
 
 def initial_state(org, dirs, budget: int, dtype) -> PathState:
@@ -62,6 +64,7 @@ def initial_state(org, dirs, budget: int, dtype) -> PathState:
             hist=jnp.zeros((n,), jnp.int32),
             alive=jnp.ones((n,), bool),
             radiance=jnp.zeros((n, 3), dtype),
+            suppress=jnp.zeros((n,), jnp.int32),
         )
     L = n * budget
     slot = jnp.tile(jnp.arange(budget, dtype=jnp.int32), n)
@@ -74,6 +77,7 @@ def initial_state(org, dirs, budget: int, dtype) -> PathState:
         hist=jnp.zeros((L,), jnp.int32),
         alive=slot == 0,
         radiance=jnp.zeros((L, 3), dtype),
+        suppress=jnp.zeros((L,), jnp.int32),
     )
 
 
@@ -138,8 +142,13 @@ def bounce_step(
     config: RenderConfig,
     key: jax.Array,
     sample_ids: jnp.ndarray,
+    nee_scene=None,
 ) -> PathState:
-    """One trace+shade wavefront iteration over all lanes (masked)."""
+    """One trace+shade wavefront iteration over all lanes (masked).
+
+    nee_scene: the SphereScene when config.nee_lights is non-empty — next-
+    event estimation needs the light spheres' geometry and a shadow query
+    through the same intersect_fn."""
     dtype = state.org.dtype
     L = state.org.shape[0]
     B = config.split_budget
@@ -165,8 +174,21 @@ def bounce_step(
         material, hit.inst, dtype
     )
 
+    if config.nee_lights:
+        # a light whose direct term was sampled at the previous vertex must
+        # not ALSO contribute through this BSDF-sampled hit (smallpt-explicit
+        # E-flag semantics, per light)
+        hit_suppressed = jnp.zeros_like(live_hit)
+        for slot, li in enumerate(config.nee_lights):
+            hit_suppressed = hit_suppressed | (
+                (hit.inst == li) & (((state.suppress >> slot) & 1) == 1)
+            )
+        emission_counted = jnp.where(hit_suppressed[:, None], 0.0, emission)
+    else:
+        emission_counted = emission
+
     radiance = state.radiance + jnp.where(
-        live_hit[:, None], state.weight * emission, 0.0
+        live_hit[:, None], state.weight * emission_counted, 0.0
     )
 
     u = prng.shade_uniforms(key, sample_ids, state.hist, state.depth, dtype)
@@ -252,6 +274,65 @@ def bounce_step(
     x = hit.x + (config.shading_eps * off_sign)[:, None] * nl
     x_trans = hit.x - config.shading_eps * nl  # for spawned refract children
 
+    new_suppress = jnp.zeros_like(state.suppress)
+    if config.nee_lights:
+        # ---- next-event estimation (explicit light sampling) --------------
+        # the smallpt-explicit estimator: at each surviving diffuse vertex,
+        # sample the solid-angle cone of every listed light sphere, cast a
+        # shadow ray, and add f * Le * cos * omega / pi. Hit points INSIDE a
+        # light sphere skip it (cone sampling is undefined there) and keep
+        # plain emission pickup — unbiased under smallpt's giant ceiling
+        # light, whose shell passes millimetres above the Cornell ceiling.
+        assert nee_scene is not None, "nee_lights set but no sphere scene"
+        two_pi = jnp.asarray(2.0 * jnp.pi, dtype)
+        for slot, li in enumerate(config.nee_lights):
+            lc = nee_scene.center[li].astype(dtype)
+            lr = nee_scene.radius[li].astype(dtype)
+            le = nee_scene.material.emission[li].astype(dtype)
+            sw = lc[None, :] - x  # (L,3)
+            d2 = jnp.sum(sw * sw, axis=-1)
+            inside = d2 <= lr * lr
+            cos_a_max = jnp.sqrt(
+                jnp.maximum(1.0 - (lr * lr) / jnp.maximum(d2, 1e-12), 0.0)
+            )
+            un = prng.nee_uniforms(
+                key, sample_ids, state.hist, state.depth, slot, dtype
+            )
+            cos_a = 1.0 - un[:, 0] + un[:, 0] * cos_a_max
+            sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+            phi = two_pi * un[:, 1]
+            swn = sw / jnp.sqrt(jnp.maximum(d2, 1e-12))[:, None]
+            up = jnp.where(
+                (jnp.abs(swn[:, 0]) > 0.1)[:, None],
+                jnp.asarray([0.0, 1.0, 0.0], dtype)[None, :],
+                jnp.asarray([1.0, 0.0, 0.0], dtype)[None, :],
+            )
+            su = jnp.cross(up, swn)
+            su = su / jnp.linalg.norm(su, axis=-1, keepdims=True)
+            sv = jnp.cross(swn, su)
+            ldir = (
+                su * (jnp.cos(phi) * sin_a)[:, None]
+                + sv * (jnp.sin(phi) * sin_a)[:, None]
+                + swn * cos_a[:, None]
+            )
+            ldir = ldir / jnp.linalg.norm(ldir, axis=-1, keepdims=True)
+            shadow = intersect_fn(x, ldir)
+            lit = shadow.valid & (shadow.inst == li)
+            cosine = jnp.maximum(jnp.sum(ldir * nl, axis=-1), 0.0)
+            omega = two_pi * (1.0 - cos_a_max)
+            sampled = live_hit & survive & is_diff & ~inside
+            active = sampled & lit
+            contrib = (
+                state.weight * f * le[None, :]
+                * (cosine * omega / jnp.pi)[:, None]
+            )
+            radiance = radiance + jnp.where(active[:, None], contrib, 0.0)
+            # suppress this light's emission at the NEXT (BSDF-sampled)
+            # vertex whenever the cone sample was attempted, lit or not
+            new_suppress = new_suppress | jnp.where(
+                sampled, jnp.int32(1 << slot), 0
+            )
+
     parent_alive = live_hit & survive
     new_state = PathState(
         org=jnp.where(parent_alive[:, None], x, state.org),
@@ -261,6 +342,7 @@ def bounce_step(
         hist=jnp.where(can_split, 2 * state.hist + 1, state.hist),
         alive=parent_alive,
         radiance=radiance,
+        suppress=new_suppress,
     )
 
     if B > 1:
@@ -278,6 +360,7 @@ def bounce_step(
             depth=jnp.where(filled, child_depth, new_state.depth),
             hist=jnp.where(filled, child_hist, new_state.hist),
             alive=new_state.alive | filled,
+            suppress=jnp.where(filled, 0, new_state.suppress),
         )
 
     return new_state
@@ -291,6 +374,7 @@ def run_wavefront(
     key: jax.Array,
     sample_ids: jnp.ndarray,
     differentiable: bool = False,
+    nee_scene=None,
 ):
     """Run the bounce loop to completion.
 
@@ -304,7 +388,8 @@ def run_wavefront(
     """
 
     def body(st):
-        return bounce_step(st, intersect_fn, material, config, key, sample_ids)
+        return bounce_step(st, intersect_fn, material, config, key, sample_ids,
+                           nee_scene=nee_scene)
 
     if differentiable:
         # fixed-length scan (reverse-differentiable); each bounce is
@@ -345,6 +430,8 @@ def run_wavefront_regen(
     row: jnp.ndarray,  # (G,)
     ip_offset: jnp.ndarray,  # (G,) or scalar: first in-pixel sample index
     k_samples: int,  # samples consumed sequentially per lane
+    *,
+    nee_scene=None,
 ):
     """Regenerative (persistent-lane) wavefront — the TPU-native occupancy
     fix.
@@ -378,6 +465,7 @@ def run_wavefront_regen(
         hist=jnp.zeros((G,), jnp.int32),
         alive=jnp.zeros((G,), bool),
         radiance=jnp.zeros((G, 3), dtype),
+        suppress=jnp.zeros((G,), jnp.int32),
     )
     s_idx0 = jnp.full((G,), -1, jnp.int32)  # last consumed sample slot
 
@@ -407,11 +495,13 @@ def run_wavefront_regen(
             hist=jnp.where(need, 0, st.hist),
             alive=st.alive | need,
             radiance=st.radiance,
+            suppress=jnp.where(need, 0, st.suppress),
         )
         sid = jnp.where(need, sid_new, sid)
         # --- one bounce -----------------------------------------------------
         rays = rays + jnp.sum(st.alive.astype(jnp.int32))
-        st = bounce_step(st, intersect_fn, material, config, key, sid)
+        st = bounce_step(st, intersect_fn, material, config, key, sid,
+                         nee_scene=nee_scene)
         # per-path depth cap (the flat scheduler's iteration cap equivalent)
         st = st._replace(alive=st.alive & (st.depth < config.max_depth))
         return st, s_new, sid, bounce + 1, rays

@@ -50,6 +50,16 @@ class JaxUniformProvider:
         )
         return np.asarray(u[0], dtype=np.float64)
 
+    def nee(self, sample_id: int, hist: int, depth: int, slot: int) -> np.ndarray:
+        u = prng.nee_uniforms(
+            self.key,
+            np.asarray([sample_id], np.int32),
+            np.asarray([hist], np.int32),
+            np.asarray([depth], np.int32),
+            slot,
+        )
+        return np.asarray(u[0], dtype=np.float64)
+
 
 class PrecomputedUniformProvider(JaxUniformProvider):
     """Same streams, but vectorized: camera uniforms fetched in one call and
@@ -82,6 +92,22 @@ class PrecomputedUniformProvider(JaxUniformProvider):
                 dtype=np.float64,
             )
             self._shade[(hist, depth)] = plane
+        return plane[sample_id]
+
+    def nee(self, sample_id: int, hist: int, depth: int, slot: int) -> np.ndarray:
+        plane = self._shade.get(("nee", hist, depth, slot))
+        if plane is None:
+            plane = np.asarray(
+                prng.nee_uniforms(
+                    self.key,
+                    self._sids,
+                    np.full((self.n,), hist, np.int32),
+                    np.full((self.n,), depth, np.int32),
+                    slot,
+                ),
+                dtype=np.float64,
+            )
+            self._shade[("nee", hist, depth, slot)] = plane
         return plane[sample_id]
 
 
@@ -167,8 +193,41 @@ class Oracle:
             d4 = m @ np.array([clip[0], clip[1], near, 0.0])
             return m[:3, 3].copy(), _norm(d4[:3])
 
+    # -- next-event estimation: smallpt-explicit's cone sample of one light
+    def _nee_direct(self, x, nl, f, sample_id, hist, depth):
+        """(direct-light contribution, suppression mask for the next hit)."""
+        cfg = self.config
+        e = np.zeros(3)
+        sup = 0
+        for slot, li in enumerate(cfg.nee_lights):
+            lc, lr = self.center[li], float(self.radius[li])
+            sw = lc - x
+            d2 = float(np.dot(sw, sw))
+            if d2 <= lr * lr:
+                continue  # inside the light shell: plain path tracing
+            cos_a_max = np.sqrt(max(1.0 - lr * lr / d2, 0.0))
+            u = self.u.nee(sample_id, hist, depth, slot)
+            cos_a = 1.0 - u[0] + u[0] * cos_a_max
+            sin_a = np.sqrt(max(1.0 - cos_a * cos_a, 0.0))
+            phi = 2.0 * np.pi * u[1]
+            swn = sw / np.sqrt(d2)
+            up = (np.array([0.0, 1.0, 0.0]) if abs(swn[0]) > 0.1
+                  else np.array([1.0, 0.0, 0.0]))
+            su = _norm(np.cross(up, swn))
+            sv = np.cross(swn, su)
+            l = _norm(su * np.cos(phi) * sin_a + sv * np.sin(phi) * sin_a
+                      + swn * cos_a)
+            sup |= 1 << slot  # sampled: suppress its emission next hit
+            ts, idx = self.intersect(x, l)
+            if idx != li:
+                continue  # shadowed
+            omega = 2.0 * np.pi * (1.0 - cos_a_max)
+            cosine = max(float(np.dot(l, nl)), 0.0)
+            e = e + f * self.emission[li] * (cosine * omega / np.pi)
+        return e, sup
+
     # -- recursive radiance following the wavefront's decision tree
-    def radiance(self, o, d, depth, hist, weight, sample_id):
+    def radiance(self, o, d, depth, hist, weight, sample_id, suppress=0):
         cfg = self.config
         if depth >= cfg.max_depth:
             # wavefront lanes die unprocessed once the bounce cap is reached
@@ -183,7 +242,12 @@ class Oracle:
         if cfg.mode == Mode.NORMAL:
             return nl.copy()
 
-        out = weight * self.emission[i]
+        emission = self.emission[i]
+        if cfg.nee_lights and i in cfg.nee_lights:
+            slot = cfg.nee_lights.index(i)
+            if (suppress >> slot) & 1:
+                emission = np.zeros(3)
+        out = weight * emission
         u = self.u.shade(sample_id, hist, depth)
         f = self.albedo[i].copy()
         p = float(np.max(f))
@@ -199,6 +263,10 @@ class Oracle:
 
         refl = int(self.refl[i])
         if refl == 0:  # DIFF (smallpt.cpp:208-216)
+            nee_e = np.zeros(3)
+            sup = 0
+            if cfg.nee_lights:
+                nee_e, sup = self._nee_direct(x_refl, nl, f, sample_id, hist, depth)
             r1 = 2 * np.pi * u[prng.U_BSDF_1]
             r2 = u[prng.U_BSDF_2]
             r2s = np.sqrt(r2)
@@ -207,7 +275,9 @@ class Oracle:
             uu = _norm(np.cross(up, w))
             vv = np.cross(w, uu)
             nd = _norm(uu * np.cos(r1) * r2s + vv * np.sin(r1) * r2s + w * np.sqrt(max(1 - r2, 0.0)))
-            return out + self.radiance(x_refl, nd, depth + 1, hist, weight * f, sample_id)
+            return (out + weight * nee_e
+                    + self.radiance(x_refl, nd, depth + 1, hist, weight * f,
+                                    sample_id, suppress=sup))
 
         refl_dir = d - n * 2.0 * np.dot(n, d)
         if refl == 1:  # SPEC (smallpt.cpp:218-223)

@@ -95,6 +95,7 @@ def occupancy_profile(scene, camera, config, key) -> np.ndarray:
             weight=jnp.zeros((G, 3), dtype), depth=jnp.zeros((G,), jnp.int32),
             hist=jnp.zeros((G,), jnp.int32), alive=jnp.zeros((G,), bool),
             radiance=jnp.zeros((G, 3), dtype),
+            suppress=jnp.zeros((G,), jnp.int32),
         )
         occ0 = jnp.zeros((max_it,), jnp.int32)
 
@@ -120,6 +121,7 @@ def occupancy_profile(scene, camera, config, key) -> np.ndarray:
                 depth=jnp.where(need, 0, st.depth),
                 hist=jnp.where(need, 0, st.hist),
                 alive=st.alive | need, radiance=st.radiance,
+                suppress=jnp.where(need, 0, st.suppress),
             )
             sid = jnp.where(need, sid_new, sid)
             occ = occ.at[bounce].set(jnp.sum(st.alive.astype(jnp.int32)))

@@ -1,0 +1,88 @@
+"""Next-event estimation (explicit light sampling) tests.
+
+The smallpt-explicit estimator: per diffuse vertex, cone-sample each light
+sphere + shadow ray, then suppress those lights' emission along the diffuse
+continuation. Pins: (1) wavefront/oracle parity with shared sample streams,
+(2) agreement in expectation with the plain BSDF-sampling estimator,
+(3) the point of NEE — much lower variance at equal sample count."""
+
+import numpy as np
+import pytest
+
+from smallpt_tpu.config import RenderConfig, Filter, CameraModel, Scheduler
+from smallpt_tpu.core.scene import cornell_box_scene
+from smallpt_tpu.core.camera import smallpt_camera
+from smallpt_tpu.core import rng as prng
+from smallpt_tpu.engine.renderer import render, render_image
+from smallpt_tpu.oracle.numpy_oracle import Oracle, PrecomputedUniformProvider
+
+NEE_CFG = RenderConfig(
+    width=12, height=12, spp_per_cell=1, max_depth=10, nee_lights=(8,),
+    camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+)
+
+
+def test_nee_oracle_parity():
+    """Same per-decision uniforms => wavefront and oracle agree path-for-path
+    with NEE enabled (FLAT scheduler: the differentiable-capable path)."""
+    cfg = NEE_CFG.replace(scheduler=Scheduler.FLAT)
+    scene, cam = cornell_box_scene(), smallpt_camera()
+    key = prng.base_key(0)
+    img = np.asarray(render(scene, cam, cfg, key))
+    oracle = Oracle(scene, cam, cfg,
+                    PrecomputedUniformProvider(key, cfg.n_pixels * cfg.spp))
+    oimg = oracle.render()
+    rel = np.abs(img - oimg) / (1.0 + np.abs(oimg))
+    assert np.isfinite(img).all()
+    assert (rel > 0.1).mean() <= 0.02, f"{(rel > 0.1).mean():.4f} diverge"
+    assert abs(img.mean() - oimg.mean()) < 0.1 * (abs(oimg.mean()) + 0.1)
+
+
+def test_nee_schedulers_agree():
+    """REGEN and FLAT consume identical streams in NEE mode too — equal up
+    to razor-edge shadow rays flipped by f32 op-ordering between the two
+    compiled loops (same budget as every cross-backend comparison)."""
+    scene, cam = cornell_box_scene(), smallpt_camera()
+    key = prng.base_key(2)
+    a = np.asarray(render(scene, cam, NEE_CFG.replace(scheduler=Scheduler.FLAT), key))
+    b = np.asarray(render(scene, cam, NEE_CFG.replace(scheduler=Scheduler.REGEN), key))
+    rel = np.abs(a - b) / (1.0 + np.abs(a))
+    assert (rel > 1e-3).mean() <= 0.02
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.05)
+
+
+def test_nee_unbiased_vs_plain():
+    """NEE and plain BSDF sampling estimate the same integral: means agree
+    within MC noise at moderate sample counts."""
+    scene, cam = cornell_box_scene(), smallpt_camera()
+    nee = np.asarray(render_image(scene, cam, NEE_CFG, seed=0, n_passes=8))
+    plain = np.asarray(render_image(
+        scene, cam, NEE_CFG.replace(nee_lights=()), seed=1, n_passes=40,
+    ))
+    assert abs(nee.mean() - plain.mean()) < 0.08 * (plain.mean() + 0.05), (
+        nee.mean(), plain.mean())
+
+
+def test_nee_reduces_variance_small_light():
+    """The headline property, on the scene shape it exists for: with a
+    small bright light (the smallpt-explicit variant scene), BSDF rays
+    almost never hit the emitter, so explicit cone sampling removes most
+    direct-light variance at equal spp. (On smallpt's giant 600-radius
+    ceiling light, NEE is measured as a wash — the light already subtends
+    ~half the hemisphere — which is exactly why smallpt-explicit ships the
+    small-light scene.)"""
+    from smallpt_tpu.core.scene import cornell_box_small_light_scene
+
+    scene, cam = cornell_box_small_light_scene(), smallpt_camera()
+    ref = np.asarray(render_image(scene, cam, NEE_CFG, seed=9, n_passes=32))
+    lo_nee = np.asarray(render_image(scene, cam, NEE_CFG, seed=3, n_passes=1))
+    lo_plain = np.asarray(render_image(
+        scene, cam, NEE_CFG.replace(nee_lights=()), seed=3, n_passes=1,
+    ))
+    # compare in display (tonemapped) space: linear-space MSE is dominated
+    # by the 400-radiance emitter pixels themselves. Measured ratio ~0.05
+    # (21x lower display error at equal spp).
+    tm = lambda x: np.power(np.clip(x, 0.0, 1.0), 1 / 2.2)
+    mse_nee = float(np.mean((tm(lo_nee) - tm(ref)) ** 2))
+    mse_plain = float(np.mean((tm(lo_plain) - tm(ref)) ** 2))
+    assert mse_nee < 0.25 * mse_plain, (mse_nee, mse_plain)
