@@ -139,7 +139,6 @@ def _use_mega(scene, config: RenderConfig, differentiable: bool) -> bool:
         and config.split_budget == 1
         and config.mode == Mode.FULL
         and config.dtype == "float32"
-        and not config.nee_lights  # NEE runs on the JAX schedulers for now
         and isinstance(scene, SphereScene)
         # the fused kernel wins while per-bounce XLA glue dominates; at
         # ~10k spheres the sweep dominates and the split-sweep intersect

@@ -55,8 +55,8 @@ _F_RX, _F_RY, _F_RZ = 9, 10, 11    # accumulated radiance
 _F_M1, _F_M2 = 12, 13              # completed-sample luminance sum / sum sq
 _NF = 14
 # Int-state planes.
-_I_DEPTH, _I_SIDX, _I_ALIVE, _I_RAYS, _I_BUDGET = 0, 1, 2, 3, 4
-_NI = 5
+_I_DEPTH, _I_SIDX, _I_ALIVE, _I_RAYS, _I_BUDGET, _I_SUP = 0, 1, 2, 3, 4, 5
+_NI = 6
 
 _SUB = 8          # f32 sublane tile height
 _LANE = 1024      # lanes per tile column block (8 lane-tiles)
@@ -73,6 +73,30 @@ def _to_unit(bits):
 def _normalize3(x, y, z):
     inv = jax.lax.rsqrt(x * x + y * y + z * z)
     return x * inv, y * inv, z * inv
+
+
+def _shadow_tt(ox, oy, oz, dx, dy, dz, scx, scy, scz, sr, seps):
+    """Candidate hit distance for the NEE shadow sweep — the same stable
+    citardauq form as the main sweep (giant wall spheres occlude too)."""
+    opx = scx - ox
+    opy = scy - oy
+    opz = scz - oz
+    b = opx * dx + opy * dy + opz * dz
+    fx = opx - b * dx
+    fy = opy - b * dy
+    fz = opz - b * dz
+    pp = fx * fx + fy * fy + fz * fz
+    sp = jnp.sqrt(pp)
+    det = (sr - sp) * (sr + sp)
+    s_ = jnp.sqrt(jnp.maximum(det, 0.0))
+    opn = jnp.sqrt(b * b + pp)
+    cc = (opn - sr) * (opn + sr)
+    denom = b + s_
+    t_near = jnp.where(denom > 0.0,
+                       cc / jnp.where(denom == 0.0, 1.0, denom), -_BIG)
+    tt = jnp.where(t_near > seps, t_near,
+                   jnp.where(denom > seps, denom, _BIG))
+    return jnp.where((det >= 0.0) & (sr > 0.0), tt, _BIG)
 
 
 def _mega_kernel(
@@ -111,6 +135,7 @@ def _mega_kernel(
     s_idx0 = iplane(_I_SIDX)
     alive0 = iplane(_I_ALIVE) != 0
     nrays0 = iplane(_I_RAYS)
+    sup0 = iplane(_I_SUP)
     budget = iplane(_I_BUDGET)  # per-lane sample allowance (adaptive
                                 # sampling writes this plane between steps)
 
@@ -142,7 +167,7 @@ def _mega_kernel(
 
     def loop_body(carry):
         (it, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz, depth,
-         s_idx, alive_i, nrays, m1, m2) = carry
+         s_idx, alive_i, nrays, m1, m2, sup) = carry
         alive = alive_i != 0
 
         # ---- regenerate dead lanes with their pixel's next sample ----------
@@ -226,6 +251,7 @@ def _mega_kernel(
         wy = jnp.where(need, one, wy)
         wz = jnp.where(need, one, wz)
         depth = jnp.where(need, 0, depth)
+        sup = jnp.where(need, 0, sup)
         alive = jnp.logical_or(alive, need)
         nrays = nrays + alive.astype(jnp.int32)
 
@@ -328,11 +354,31 @@ def _mega_kernel(
         else:
             nlx, nly, nlz = nx, ny, nz
 
-        # emission accumulation (pre-RR, smallpt.cpp:179)
+        # emission accumulation (pre-RR, smallpt.cpp:179); with NEE, a light
+        # sampled at the previous vertex is suppressed here (ops/wavefront.py
+        # semantics, bit per config.nee_lights slot)
         lh = live_hit
-        rx = rx + jnp.where(lh, wx * em_x, 0.0)
-        ry = ry + jnp.where(lh, wy * em_y, 0.0)
-        rz = rz + jnp.where(lh, wz * em_z, 0.0)
+        if config.nee_lights:
+            # nearest-sphere id for the suppression test: recover it from the
+            # winner's center/radius is ambiguous, so carry a light-hit mask
+            # from the sweep instead: compare against each light's center
+            hit_sup = jnp.zeros_like(lh)
+            for slot, li in enumerate(config.nee_lights):
+                is_li = (
+                    (bcx == tbl_ref[li, 0]) & (bcy == tbl_ref[li, 1])
+                    & (bcz == tbl_ref[li, 2]) & (br == tbl_ref[li, 3])
+                )
+                hit_sup = hit_sup | (
+                    is_li & (((sup >> slot) & 1) == 1)
+                )
+            keep = jnp.logical_not(hit_sup)
+            rx = rx + jnp.where(lh & keep, wx * em_x, 0.0)
+            ry = ry + jnp.where(lh & keep, wy * em_y, 0.0)
+            rz = rz + jnp.where(lh & keep, wz * em_z, 0.0)
+        else:
+            rx = rx + jnp.where(lh, wx * em_x, 0.0)
+            ry = ry + jnp.where(lh, wy * em_y, 0.0)
+            rz = rz + jnp.where(lh, wz * em_z, 0.0)
 
         # shade uniforms (bit-identical to core/rng.py::shade_uniforms, hist = 0)
         sidu = pltpu.bitcast(sid, jnp.uint32)
@@ -442,6 +488,121 @@ def _mega_kernel(
         noy = hy + eps_off * nly
         noz = hz + eps_off * nlz
 
+        new_sup = jnp.zeros_like(sup)
+        if config.nee_lights:
+            # ---- next-event estimation (ops/wavefront.py semantics, fused):
+            # cone-sample each light sphere at surviving diffuse vertices,
+            # shadow-sweep the scene, add f*Le*cos*omega/pi; inside-shell
+            # points skip (plain path tracing keeps them unbiased)
+            _NEE_SALT = 0x2545F491
+            for slot, li in enumerate(config.nee_lights):
+                lcx, lcy, lcz = tbl_ref[li, 0], tbl_ref[li, 1], tbl_ref[li, 2]
+                lrr = tbl_ref[li, 3]
+                lex, ley, lez = tbl_ref[li, 5], tbl_ref[li, 6], tbl_ref[li, 7]
+                swx = lcx - nox
+                swy = lcy - noy
+                swz = lcz - noz
+                d2 = swx * swx + swy * swy + swz * swz
+                inside = d2 <= lrr * lrr
+                cos_a_max = jnp.sqrt(
+                    jnp.maximum(1.0 - (lrr * lrr) / jnp.maximum(d2, 1e-12), 0.0)
+                )
+                na, nb, _, _ = _pcg4d(
+                    sidu ^ k0,
+                    jnp.broadcast_to(k1, sid.shape),
+                    pltpu.bitcast(depth, jnp.uint32)
+                    + jnp.uint32((_NEE_SALT + slot) & 0xFFFFFFFF),
+                    jnp.broadcast_to(k0 + k1, sid.shape),
+                )
+                nu0 = _to_unit(na)
+                nu1 = _to_unit(nb)
+                cos_a = 1.0 - nu0 + nu0 * cos_a_max
+                sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+                nphi = jnp.float32(2.0 * np.pi) * nu1
+                inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
+                swnx = swx * inv_d
+                swny = swy * inv_d
+                swnz = swz * inv_d
+                bigx2 = jnp.abs(swnx) > 0.1
+                upx2 = jnp.where(bigx2, 0.0, 1.0)
+                upy2 = jnp.where(bigx2, 1.0, 0.0)
+                sux = upy2 * swnz
+                suy = -upx2 * swnz
+                suz = upx2 * swny - upy2 * swnx
+                sux, suy, suz = _normalize3(sux, suy, suz)
+                svx = swny * suz - swnz * suy
+                svy = swnz * sux - swnx * suz
+                svz = swnx * suy - swny * sux
+                cphi = jnp.cos(nphi) * sin_a
+                sphi = jnp.sin(nphi) * sin_a
+                ldx = sux * cphi + svx * sphi + swnx * cos_a
+                ldy = suy * cphi + svy * sphi + swny * cos_a
+                ldz = suz * cphi + svz * sphi + swnz * cos_a
+                ldx, ldy, ldz = _normalize3(ldx, ldy, ldz)
+
+                # shadow sweep: nearest hit along (no*, ld*) — t and winner
+                # center identify whether the light itself is visible
+                def shadow_body_smem(si, carry2):
+                    sbt, shx, shy, shz, shr = carry2
+                    scx = tbl_ref[si, 0]
+                    scy = tbl_ref[si, 1]
+                    scz = tbl_ref[si, 2]
+                    sr = tbl_ref[si, 3]
+                    seps = tbl_ref[si, 4]
+                    tt = _shadow_tt(nox, noy, noz, ldx, ldy, ldz,
+                                    scx, scy, scz, sr, seps)
+                    bb = tt < sbt
+                    return (
+                        jnp.where(bb, tt, sbt),
+                        jnp.where(bb, scx, shx),
+                        jnp.where(bb, scy, shy),
+                        jnp.where(bb, scz, shz),
+                        jnp.where(bb, sr, shr),
+                    )
+
+                def shadow_body_vmem(c2, carry2):
+                    blk = tbl_ref[pl.ds(c2 * 8, 8), :]
+                    for r2 in range(8):
+                        scx, scy, scz = blk[r2, 0], blk[r2, 1], blk[r2, 2]
+                        sr, seps = blk[r2, 3], blk[r2, 4]
+                        tt = _shadow_tt(nox, noy, noz, ldx, ldy, ldz,
+                                        scx, scy, scz, sr, seps)
+                        sbt, shx, shy, shz, shr = carry2
+                        bb = tt < sbt
+                        carry2 = (
+                            jnp.where(bb, tt, sbt),
+                            jnp.where(bb, scx, shx),
+                            jnp.where(bb, scy, shy),
+                            jnp.where(bb, scz, shz),
+                            jnp.where(bb, sr, shr),
+                        )
+                    return carry2
+
+                sbig = jnp.full((_SUB, _LANE), _BIG, jnp.float32)
+                szero = jnp.zeros((_SUB, _LANE), jnp.float32)
+                c20 = (sbig, szero, szero, szero, szero)
+                if table_in_smem:
+                    sbt, shx, shy, shz, shr = jax.lax.fori_loop(
+                        0, n_spheres, shadow_body_smem, c20
+                    )
+                else:
+                    sbt, shx, shy, shz, shr = jax.lax.fori_loop(
+                        0, -(-n_spheres // 8), shadow_body_vmem, c20
+                    )
+                lit = (
+                    (sbt < _BIG) & (shx == lcx) & (shy == lcy)
+                    & (shz == lcz) & (shr == lrr)
+                )
+                cosine = jnp.maximum(ldx * nlx + ldy * nly + ldz * nlz, 0.0)
+                omega = jnp.float32(2.0 * np.pi) * (1.0 - cos_a_max)
+                sampled = live_hit & survive & is_diff & jnp.logical_not(inside)
+                active = sampled & lit
+                scale = cosine * omega * jnp.float32(1.0 / np.pi)
+                rx = rx + jnp.where(active, wx * fx_ * lex * scale, 0.0)
+                ry = ry + jnp.where(active, wy * fy_ * ley * scale, 0.0)
+                rz = rz + jnp.where(active, wz * fz_ * lez * scale, 0.0)
+                new_sup = new_sup | jnp.where(sampled, jnp.int32(1 << slot), 0)
+
         parent = jnp.logical_and(live_hit, survive)
         ox = jnp.where(parent, nox, ox)
         oy = jnp.where(parent, noy, oy)
@@ -455,13 +616,13 @@ def _mega_kernel(
         depth = depth + 1
         alive = jnp.logical_and(parent, depth < config.max_depth)
         return (it + 1, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz,
-                depth, s_new, alive.astype(jnp.int32), nrays, m1, m2)
+                depth, s_new, alive.astype(jnp.int32), nrays, m1, m2, new_sup)
 
     carry = (jnp.asarray(0, jnp.int32), ox0, oy0, oz0, dx0, dy0, dz0,
              wx0, wy0, wz0, rx0, ry0, rz0, depth0, s_idx0,
-             alive0.astype(jnp.int32), nrays0, m10, m20)
+             alive0.astype(jnp.int32), nrays0, m10, m20, sup0)
     (_, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz, depth, s_idx,
-     alive_i, nrays, m1, m2) = jax.lax.while_loop(loop_cond, loop_body, carry)
+     alive_i, nrays, m1, m2, sup) = jax.lax.while_loop(loop_cond, loop_body, carry)
     alive = alive_i != 0
 
     # ---- write back ---------------------------------------------------------
@@ -480,6 +641,7 @@ def _mega_kernel(
     wi_(_I_SIDX, s_idx)
     wi_(_I_ALIVE, alive.astype(jnp.int32))
     wi_(_I_RAYS, nrays)
+    wi_(_I_SUP, sup)
     # budget plane is read-only inside the kernel — copy through
     i_out[pl.ds(8 * _I_BUDGET, 8), :] = budget
 
@@ -692,6 +854,7 @@ def init_stream_state(config: RenderConfig, n_rows: int | None = None):
             jnp.zeros((_SUB, n_cols), jnp.int32),            # alive
             jnp.zeros((_SUB, n_cols), jnp.int32),            # rays
             jnp.zeros((_SUB, n_cols), jnp.int32),            # budget
+            jnp.zeros((_SUB, n_cols), jnp.int32),            # NEE suppress
         ],
         axis=0,
     )

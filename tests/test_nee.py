@@ -51,6 +51,25 @@ def test_nee_schedulers_agree():
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.05)
 
 
+def test_nee_megakernel_matches_regen():
+    """The fused Pallas kernel implements the same NEE estimator (shadow
+    sweep + suppression plane) — parity with the JAX scheduler."""
+    from smallpt_tpu.core.scene import cornell_box_small_light_scene
+    from smallpt_tpu.ops.megakernel import render_pass_megakernel
+
+    cfg = RenderConfig(width=24, height=16, spp_per_cell=1, max_depth=8,
+                       nee_lights=(8,), camera_model=CameraModel.LEGACY,
+                       filter=Filter.TENT)
+    scene, cam = cornell_box_small_light_scene(), smallpt_camera()
+    key = prng.base_key(0)
+    a = np.asarray(render(scene, cam, cfg.replace(scheduler=Scheduler.REGEN), key))
+    b, _ = render_pass_megakernel(scene, cam, cfg, key)
+    b = np.asarray(b)
+    rel = np.abs(a - b) / (1.0 + np.abs(a))
+    assert (rel > 0.1).mean() <= 0.01
+    assert abs(a.mean() - b.mean()) < 0.02 * (a.mean() + 0.1)
+
+
 def test_nee_unbiased_vs_plain():
     """NEE and plain BSDF sampling estimate the same integral: means agree
     within MC noise at moderate sample counts."""
