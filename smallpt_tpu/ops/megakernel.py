@@ -540,59 +540,38 @@ def _mega_kernel(
                 ldz = suz * cphi + svz * sphi + swnz * cos_a
                 ldx, ldy, ldz = _normalize3(ldx, ldy, ldz)
 
-                # shadow sweep: nearest hit along (no*, ld*) — t and winner
-                # center identify whether the light itself is visible
-                def shadow_body_smem(si, carry2):
-                    sbt, shx, shy, shz, shr = carry2
-                    scx = tbl_ref[si, 0]
-                    scy = tbl_ref[si, 1]
-                    scz = tbl_ref[si, 2]
-                    sr = tbl_ref[si, 3]
-                    seps = tbl_ref[si, 4]
-                    tt = _shadow_tt(nox, noy, noz, ldx, ldy, ldz,
-                                    scx, scy, scz, sr, seps)
-                    bb = tt < sbt
-                    return (
-                        jnp.where(bb, tt, sbt),
-                        jnp.where(bb, scx, shx),
-                        jnp.where(bb, scy, shy),
-                        jnp.where(bb, scz, shz),
-                        jnp.where(bb, sr, shr),
-                    )
+                # shadow sweep: occlusion only needs the running min t — the
+                # shadow ray is lit iff the light's own candidate IS that min
+                # (the light is part of the sweep, so sbt <= t_light always
+                # and equality identifies visibility; both values come from
+                # the same arithmetic, so the compare is exact)
+                t_light = _shadow_tt(nox, noy, noz, ldx, ldy, ldz,
+                                     lcx, lcy, lcz, lrr, tbl_ref[li, 4])
 
-                def shadow_body_vmem(c2, carry2):
+                def shadow_body_smem(si, sbt):
+                    tt = _shadow_tt(nox, noy, noz, ldx, ldy, ldz,
+                                    tbl_ref[si, 0], tbl_ref[si, 1],
+                                    tbl_ref[si, 2], tbl_ref[si, 3],
+                                    tbl_ref[si, 4])
+                    return jnp.minimum(sbt, tt)
+
+                def shadow_body_vmem(c2, sbt):
                     blk = tbl_ref[pl.ds(c2 * 8, 8), :]
                     for r2 in range(8):
-                        scx, scy, scz = blk[r2, 0], blk[r2, 1], blk[r2, 2]
-                        sr, seps = blk[r2, 3], blk[r2, 4]
                         tt = _shadow_tt(nox, noy, noz, ldx, ldy, ldz,
-                                        scx, scy, scz, sr, seps)
-                        sbt, shx, shy, shz, shr = carry2
-                        bb = tt < sbt
-                        carry2 = (
-                            jnp.where(bb, tt, sbt),
-                            jnp.where(bb, scx, shx),
-                            jnp.where(bb, scy, shy),
-                            jnp.where(bb, scz, shz),
-                            jnp.where(bb, sr, shr),
-                        )
-                    return carry2
+                                        blk[r2, 0], blk[r2, 1], blk[r2, 2],
+                                        blk[r2, 3], blk[r2, 4])
+                        sbt = jnp.minimum(sbt, tt)
+                    return sbt
 
-                sbig = jnp.full((_SUB, _LANE), _BIG, jnp.float32)
-                szero = jnp.zeros((_SUB, _LANE), jnp.float32)
-                c20 = (sbig, szero, szero, szero, szero)
+                c20 = jnp.full((_SUB, _LANE), _BIG, jnp.float32)
                 if table_in_smem:
-                    sbt, shx, shy, shz, shr = jax.lax.fori_loop(
-                        0, n_spheres, shadow_body_smem, c20
-                    )
+                    sbt = jax.lax.fori_loop(0, n_spheres, shadow_body_smem, c20)
                 else:
-                    sbt, shx, shy, shz, shr = jax.lax.fori_loop(
+                    sbt = jax.lax.fori_loop(
                         0, -(-n_spheres // 8), shadow_body_vmem, c20
                     )
-                lit = (
-                    (sbt < _BIG) & (shx == lcx) & (shy == lcy)
-                    & (shz == lcz) & (shr == lrr)
-                )
+                lit = (t_light < _BIG) & (sbt >= t_light)
                 cosine = jnp.maximum(ldx * nlx + ldy * nly + ldz * nlz, 0.0)
                 omega = jnp.float32(2.0 * np.pi) * (1.0 - cos_a_max)
                 sampled = live_hit & survive & is_diff & jnp.logical_not(inside)
