@@ -289,46 +289,71 @@ def _mega_kernel(
                 out.append(jnp.where(better, v, c))
             return tuple(out)
 
-        def isect_body(s, carry):
-            # SMEM path: 12 dynamic scalar reads per sphere
-            scx = tbl_ref[s, 0]
-            scy = tbl_ref[s, 1]
-            scz = tbl_ref[s, 2]
-            sr = tbl_ref[s, 3]
-            seps = tbl_ref[s, 4]
-            tt = sphere_tt(scx, scy, scz, sr, seps)
-            return fold(carry, tt, (
-                tbl_ref[s, 5], tbl_ref[s, 6], tbl_ref[s, 7],
-                tbl_ref[s, 8], tbl_ref[s, 9], tbl_ref[s, 10], tbl_ref[s, 11],
-                scx, scy, scz, sr,
-            ))
+        def isect_body(si, carry):
+            # SMEM path; carry only (best_t, best_id) — material/geometry of
+            # the winner is selected in one post-sweep pass, keeping the hot
+            # loop's live-register set minimal (measured 5x on the NEE sweep)
+            bt, bi = carry
+            tt = sphere_tt(tbl_ref[si, 0], tbl_ref[si, 1], tbl_ref[si, 2],
+                           tbl_ref[si, 3], tbl_ref[si, 4])
+            better = tt < bt
+            return (jnp.where(better, tt, bt),
+                    jnp.where(better, si.astype(jnp.float32), bi))
 
         def isect_chunk_body(c, carry):
             # VMEM path: one (8, 16) vector load per 8 spheres, then static
             # per-row scalar extracts — big sphere tables don't fit SMEM
+            bt, bi = carry
             blk = tbl_ref[pl.ds(c * 8, 8), :]
             for r in range(8):
-                scx, scy, scz = blk[r, 0], blk[r, 1], blk[r, 2]
-                sr, seps = blk[r, 3], blk[r, 4]
-                tt = sphere_tt(scx, scy, scz, sr, seps)
-                carry = fold(carry, tt, (
-                    blk[r, 5], blk[r, 6], blk[r, 7],
-                    blk[r, 8], blk[r, 9], blk[r, 10], blk[r, 11],
-                    scx, scy, scz, sr,
-                ))
-            return carry
+                tt = sphere_tt(blk[r, 0], blk[r, 1], blk[r, 2],
+                               blk[r, 3], blk[r, 4])
+                better = tt < bt
+                sid_f = (c * 8 + r).astype(jnp.float32)
+                bt = jnp.where(better, tt, bt)
+                bi = jnp.where(better, sid_f, bi)
+            return (bt, bi)
+
+        def select_winner(bt, bi):
+            # one pass over the table turning the winner id into its
+            # material + geometry (12 selects per sphere, once per bounce)
+            zero = jnp.zeros((_SUB, _LANE), jnp.float32)
+            vals = [zero] * 10 + [jnp.ones((_SUB, _LANE), jnp.float32)]
+
+            def pick(si, vals):
+                m = bi == si.astype(jnp.float32)
+                cols = (5, 6, 7, 8, 9, 10, 11, 0, 1, 2, 3)
+                return [
+                    jnp.where(m, tbl_ref[si, col], v)
+                    for col, v in zip(cols, vals)
+                ]
+
+            def pick_chunk(c, vals):
+                blk = tbl_ref[pl.ds(c * 8, 8), :]
+                for r in range(8):
+                    m = bi == (c * 8 + r).astype(jnp.float32)
+                    cols = (5, 6, 7, 8, 9, 10, 11, 0, 1, 2, 3)
+                    vals = [
+                        jnp.where(m, blk[r, col], v)
+                        for col, v in zip(cols, vals)
+                    ]
+                return vals
+
+            if table_in_smem:
+                return jax.lax.fori_loop(0, n_spheres, pick, vals)
+            return jax.lax.fori_loop(0, -(-n_spheres // 8), pick_chunk, vals)
 
         big = jnp.full((_SUB, _LANE), _BIG, jnp.float32)
-        zero = jnp.zeros((_SUB, _LANE), jnp.float32)
-        carry0 = (big, zero, zero, zero, zero, zero, zero, zero, zero, zero,
-                  zero, jnp.ones((_SUB, _LANE), jnp.float32))
+        carry0 = (big, jnp.full((_SUB, _LANE), -1.0, jnp.float32))
         if table_in_smem:
-            carry1 = jax.lax.fori_loop(0, n_spheres, isect_body, carry0)
+            bt, bi = jax.lax.fori_loop(0, n_spheres, isect_body, carry0)
         else:
-            carry1 = jax.lax.fori_loop(
+            bt, bi = jax.lax.fori_loop(
                 0, -(-n_spheres // 8), isect_chunk_body, carry0
             )
-        (bt, em_x, em_y, em_z, al_x, al_y, al_z, refl, bcx, bcy, bcz, br) = carry1
+        (em_x, em_y, em_z, al_x, al_y, al_z, refl, bcx, bcy, bcz, br) = (
+            select_winner(bt, bi)
+        )
 
         hit = bt < _BIG
         live_hit = jnp.logical_and(alive, hit)
@@ -364,10 +389,7 @@ def _mega_kernel(
             # from the sweep instead: compare against each light's center
             hit_sup = jnp.zeros_like(lh)
             for slot, li in enumerate(config.nee_lights):
-                is_li = (
-                    (bcx == tbl_ref[li, 0]) & (bcy == tbl_ref[li, 1])
-                    & (bcz == tbl_ref[li, 2]) & (br == tbl_ref[li, 3])
-                )
+                is_li = bi == jnp.float32(li)
                 hit_sup = hit_sup | (
                     is_li & (((sup >> slot) & 1) == 1)
                 )
