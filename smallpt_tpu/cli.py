@@ -64,7 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-depth", type=int, default=64)
     p.add_argument("--rr-depth", type=int, default=5)
     p.add_argument("--split-budget", type=int, default=1)
-    p.add_argument("--nee", type=int, nargs="*", default=None, metavar="LIGHT",
+    p.add_argument("--nee", type=int, nargs="+", default=None, metavar="LIGHT",
                    help="next-event estimation: sphere indices of the lights "
                         "to explicitly sample (e.g. --nee 8 for the Cornell "
                         "light); huge variance reduction for small emitters")
@@ -130,6 +130,21 @@ def main(argv=None) -> int:
         if camera_model == CameraModel.MATRIX
         else smallpt_camera()
     )
+
+    if args.nee:
+        if mesh_scene:
+            build_parser().error("--nee requires a sphere scene")
+        import numpy as _np
+
+        n_sph = int(scene.center.shape[0])
+        for li in args.nee:
+            if not (0 <= li < n_sph):
+                build_parser().error(
+                    f"--nee index {li} out of range (scene has {n_sph} spheres)"
+                )
+            if float(_np.asarray(scene.material.emission[li]).max()) <= 0:
+                print(f"warning: --nee sphere {li} has zero emission",
+                      file=sys.stderr)
 
     def make_frame_sink():
         """Native async frame writer, or a synchronous fallback (never a

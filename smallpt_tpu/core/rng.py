@@ -103,6 +103,10 @@ def camera_uniforms(key: jax.Array, sample_ids: jnp.ndarray, dtype=jnp.float32):
 
 
 _NEE_SALT = 0x2545F491
+# per-light-slot salt stride: a bare "+ slot" would alias slot s+1 at depth d
+# with slot s at depth d+1 (the c-word is depth + salt), correlating direct
+# samples across bounces in multi-light configs
+_NEE_SLOT_STRIDE = 0x632BE59B
 
 
 @functools.partial(jax.jit, static_argnames=("light_slot", "dtype"))
@@ -123,7 +127,7 @@ def nee_uniforms(
         sample_ids.astype(jnp.uint32) ^ k0,
         hist.astype(jnp.uint32) ^ k1,
         depth.astype(jnp.uint32)
-        + jnp.uint32((_NEE_SALT + light_slot) & 0xFFFFFFFF),
+        + jnp.uint32((_NEE_SALT + light_slot * _NEE_SLOT_STRIDE) & 0xFFFFFFFF),
         jnp.broadcast_to(k0 + k1, sample_ids.shape),
     )
     return jnp.stack([_to_unit(a, dtype), _to_unit(b, dtype)], axis=-1)

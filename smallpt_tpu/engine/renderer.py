@@ -86,7 +86,7 @@ def render_samples(
         else jnp.repeat(sample_ids, config.split_budget, axis=0)
     )
     intersect_fn = make_intersect_fn(scene, config)
-    nee_scene = scene if (config.nee_lights and isinstance(scene, SphereScene)) else None
+    nee_scene = _nee_scene_for(scene, config)
     final, rays = wavefront.run_wavefront(
         state,
         intersect_fn,
@@ -119,11 +119,22 @@ def render_pixels(
     """Regenerative-scheduler core: one lane per pixel consuming k_samples
     sequentially. Returns (per-pixel radiance (G,3), rays_traced)."""
     intersect_fn = make_intersect_fn(scene, config)
-    nee_scene = scene if (config.nee_lights and isinstance(scene, SphereScene)) else None
+    nee_scene = _nee_scene_for(scene, config)
     return wavefront.run_wavefront_regen(
         camera, intersect_fn, scene.material, config, key,
         pixel, col, row, ip_offset, k_samples, nee_scene=nee_scene,
     )
+
+
+def _nee_scene_for(scene, config: RenderConfig):
+    if not config.nee_lights:
+        return None
+    if not isinstance(scene, SphereScene):
+        raise ValueError(
+            "config.nee_lights requires a SphereScene (explicit light "
+            "sampling is defined for sphere emitters)"
+        )
+    return scene
 
 
 def _use_mega(scene, config: RenderConfig, differentiable: bool) -> bool:

@@ -39,7 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from smallpt_tpu.config import RenderConfig, Filter, CameraModel, Mode
 from smallpt_tpu.core.camera import LegacyCamera, MatrixCamera
-from smallpt_tpu.core.rng import _CAMERA_SALT, _GOLDEN, _pcg4d
+from smallpt_tpu.core.rng import (
+    _CAMERA_SALT, _GOLDEN, _NEE_SALT, _NEE_SLOT_STRIDE, _pcg4d,
+)
 from smallpt_tpu.core.scene import SphereScene
 
 # sphere-table capacity: scalar SMEM sweep up to MAX_SMEM_SPHERES; chunked
@@ -258,36 +260,10 @@ def _mega_kernel(
         # ---- closest-hit sphere sweep (stable citardauq form, ----------------
         # ops/intersect.py::sphere_hit_t math) -----------------------------------
         def sphere_tt(scx, scy, scz, sr, seps):
-            """Candidate hit distance of one sphere vs the whole tile."""
-            opx = scx - ox
-            opy = scy - oy
-            opz = scz - oz
-            b = opx * dx + opy * dy + opz * dz
-            fx = opx - b * dx
-            fy = opy - b * dy
-            fz = opz - b * dz
-            pp = fx * fx + fy * fy + fz * fz
-            sp = jnp.sqrt(pp)
-            det = (sr - sp) * (sr + sp)
-            s_ = jnp.sqrt(jnp.maximum(det, 0.0))
-            opn = jnp.sqrt(b * b + pp)
-            cc = (opn - sr) * (opn + sr)
-            denom = b + s_
-            t_near = jnp.where(denom > 0.0,
-                               cc / jnp.where(denom == 0.0, 1.0, denom), -_BIG)
-            tt = jnp.where(t_near > seps, t_near,
-                           jnp.where(denom > seps, denom, _BIG))
-            return jnp.where((det >= 0.0) & (sr > 0.0), tt, _BIG)
-
-        def fold(carry, tt, vals):
-            """Fold one sphere's candidates + 11 per-sphere scalars into the
-            running-best carry."""
-            bt = carry[0]
-            better = tt < bt
-            out = [jnp.where(better, tt, bt)]
-            for v, c in zip(vals, carry[1:]):
-                out.append(jnp.where(better, v, c))
-            return tuple(out)
+            """Candidate hit distance of one sphere vs the whole tile —
+            the shared citardauq form (exactness of the NEE lit-test depends
+            on main and shadow sweeps using identical arithmetic)."""
+            return _shadow_tt(ox, oy, oz, dx, dy, dz, scx, scy, scz, sr, seps)
 
         def isect_body(si, carry):
             # SMEM path; carry only (best_t, best_id) — material/geometry of
@@ -516,7 +492,6 @@ def _mega_kernel(
             # cone-sample each light sphere at surviving diffuse vertices,
             # shadow-sweep the scene, add f*Le*cos*omega/pi; inside-shell
             # points skip (plain path tracing keeps them unbiased)
-            _NEE_SALT = 0x2545F491
             for slot, li in enumerate(config.nee_lights):
                 lcx, lcy, lcz = tbl_ref[li, 0], tbl_ref[li, 1], tbl_ref[li, 2]
                 lrr = tbl_ref[li, 3]
@@ -533,7 +508,9 @@ def _mega_kernel(
                     sidu ^ k0,
                     jnp.broadcast_to(k1, sid.shape),
                     pltpu.bitcast(depth, jnp.uint32)
-                    + jnp.uint32((_NEE_SALT + slot) & 0xFFFFFFFF),
+                    + jnp.uint32(
+                        (_NEE_SALT + slot * _NEE_SLOT_STRIDE) & 0xFFFFFFFF
+                    ),
                     jnp.broadcast_to(k0 + k1, sid.shape),
                 )
                 nu0 = _to_unit(na)

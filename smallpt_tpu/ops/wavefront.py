@@ -283,7 +283,11 @@ def bounce_step(
         # light sphere skip it (cone sampling is undefined there) and keep
         # plain emission pickup — unbiased under smallpt's giant ceiling
         # light, whose shell passes millimetres above the Cornell ceiling.
-        assert nee_scene is not None, "nee_lights set but no sphere scene"
+        if nee_scene is None:
+            raise ValueError(
+                "config.nee_lights requires a SphereScene (explicit light "
+                "sampling is defined for sphere emitters)"
+            )
         two_pi = jnp.asarray(2.0 * jnp.pi, dtype)
         for slot, li in enumerate(config.nee_lights):
             lc = nee_scene.center[li].astype(dtype)
@@ -316,6 +320,10 @@ def bounce_step(
                 + swn * cos_a[:, None]
             )
             ldir = ldir / jnp.linalg.norm(ldir, axis=-1, keepdims=True)
+            if config.detach_sampling:
+                # same policy as the cosine sample: the stochastic direction
+                # is a constant of the backward pass
+                ldir = jax.lax.stop_gradient(ldir)
             shadow = intersect_fn(x, ldir)
             lit = shadow.valid & (shadow.inst == li)
             cosine = jnp.maximum(jnp.sum(ldir * nl, axis=-1), 0.0)

@@ -125,7 +125,9 @@ def occupancy_profile(scene, camera, config, key) -> np.ndarray:
             )
             sid = jnp.where(need, sid_new, sid)
             occ = occ.at[bounce].set(jnp.sum(st.alive.astype(jnp.int32)))
-            st = bounce_step(st, intersect_fn, scene.material, config, key, sid)
+            nee_scene = scene if config.nee_lights else None
+            st = bounce_step(st, intersect_fn, scene.material, config, key, sid,
+                             nee_scene=nee_scene)
             st = st._replace(alive=st.alive & (st.depth < config.max_depth))
             return st, s_new, sid, bounce + 1, occ
 
