@@ -122,6 +122,7 @@ def bench_streaming(width=1024, height=768, spp=24, warmup_s=3.0, rounds=3):
 def main():
     quick = "--quick" in sys.argv
     use_pallas = "--pallas" in sys.argv
+    metric = "rays_per_sec_per_chip_cornell_1024x768_fullbsdf"
     kw = dict(width=256, height=192, passes=2) if quick else {}
     if use_pallas:
         kw["intersector"] = Intersector.PALLAS
@@ -130,6 +131,7 @@ def main():
         # O(S) sweep — Pallas split kernel is the fast backend for it)
         kw.update(scene_name="procedural", width=512, height=384,
                   max_depth=24, passes=3, intersector=Intersector.PALLAS)
+        metric = "rays_per_sec_per_chip_procedural10k_512x384_fullbsdf"
         rays_per_s, total_rays, dt, img = bench(**kw)
     elif "--perpass" in sys.argv or quick:
         rays_per_s, total_rays, dt, img = bench(**kw)
@@ -144,7 +146,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "rays_per_sec_per_chip_cornell_1024x768_fullbsdf",
+                "metric": metric,
                 "value": round(rays_per_s),
                 "unit": "rays/s",
                 "vs_baseline": round(vs, 4),

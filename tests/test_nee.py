@@ -82,6 +82,40 @@ def test_nee_unbiased_vs_plain():
         nee.mean(), plain.mean())
 
 
+def test_nee_gradients_match_fd():
+    """NEE composes with the differentiable pass: reverse-mode gradients of
+    the L2 loss through the explicit-light estimator match finite
+    differences (lower-variance gradients for inverse rendering)."""
+    import jax.numpy as jnp
+    from smallpt_tpu.core.scene import cornell_box_small_light_scene
+    from smallpt_tpu.grad.diff import (
+        render_mean, image_loss_and_grads, split_scene, merge_scene,
+    )
+
+    cfg = RenderConfig(width=12, height=12, spp_per_cell=1, max_depth=5,
+                       nee_lights=(8,), camera_model=CameraModel.LEGACY,
+                       filter=Filter.TENT)
+    cam = smallpt_camera()
+    key = prng.base_key(0)
+    scene = cornell_box_small_light_scene()
+    target = render_mean(scene, cam, cfg, key)
+    params, refl = split_scene(scene)
+    wrong = params._replace(
+        albedo=params.albedo.at[0].set(jnp.asarray([0.3, 0.6, 0.4]))
+    )
+    moved = merge_scene(wrong, refl)
+    _, _, g = image_loss_and_grads(moved, cam, cfg, key, target)
+
+    def loss_at(d):
+        p2 = wrong._replace(albedo=wrong.albedo.at[0, 0].add(d))
+        img = render_mean(merge_scene(p2, refl), cam, cfg, key)
+        return float(jnp.mean((img - target) ** 2))
+
+    fd = (loss_at(1e-3) - loss_at(-1e-3)) / 2e-3
+    an = float(g.albedo[0, 0])
+    assert abs(an - fd) < 5e-3 * max(abs(fd), 1e-4), (an, fd)
+
+
 def test_nee_reduces_variance_small_light():
     """The headline property, on the scene shape it exists for: with a
     small bright light (the smallpt-explicit variant scene), BSDF rays
