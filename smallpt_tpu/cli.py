@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-depth", type=int, default=64)
     p.add_argument("--rr-depth", type=int, default=5)
     p.add_argument("--split-budget", type=int, default=1)
+    p.add_argument("--aperture", type=float, default=0.0,
+                   help="thin-lens aperture radius in scene units "
+                        "(0 = pinhole)")
+    p.add_argument("--focus", type=float, default=100.0,
+                   help="focal distance (along-ray) for --aperture > 0")
     p.add_argument("--nee", type=int, nargs="+", default=None, metavar="LIGHT",
                    help="next-event estimation: sphere indices of the lights "
                         "to explicitly sample (e.g. --nee 8 for the Cornell "
@@ -124,6 +129,8 @@ def main(argv=None) -> int:
         rr_depth=args.rr_depth,
         split_budget=args.split_budget,
         nee_lights=tuple(args.nee) if args.nee else (),
+        aperture=args.aperture,
+        focal_distance=args.focus,
     )
     camera = (
         default_matrix_camera()

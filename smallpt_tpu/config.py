@@ -157,6 +157,12 @@ class RenderConfig:
     # unbiased under smallpt's giant ceiling-light geometry.
     nee_lights: tuple = ()
 
+    # Thin-lens depth of field (beyond the reference's pinhole cameras):
+    # aperture is the lens radius in scene units (0 = pinhole), and
+    # focal_distance is the along-ray distance to the plane in focus.
+    aperture: float = 0.0
+    focal_distance: float = 100.0
+
     filter: Filter = Filter.BOX
     camera_model: CameraModel = CameraModel.MATRIX
 

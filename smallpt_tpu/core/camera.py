@@ -113,10 +113,25 @@ def filter_offsets(u: jnp.ndarray, config: RenderConfig, cell_x, cell_y):
     raise ValueError(config.filter)
 
 
-def generate_rays(camera, u: jnp.ndarray, config: RenderConfig, col, row, cell_x, cell_y):
+def _thin_lens(org, dirs, right, up, config: RenderConfig, u_lens):
+    """Thin-lens depth of field: jitter the origin on the aperture disk and
+    re-aim at the along-ray focus point (pinhole when aperture == 0)."""
+    r = config.aperture * jnp.sqrt(u_lens[:, 0])
+    theta = 2.0 * jnp.pi * u_lens[:, 1]
+    lx = (r * jnp.cos(theta))[:, None]
+    ly = (r * jnp.sin(theta))[:, None]
+    focus = org + dirs * config.focal_distance
+    org2 = org + right[None, :] * lx + up[None, :] * ly
+    d2 = focus - org2
+    return org2, d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+
+
+def generate_rays(camera, u: jnp.ndarray, config: RenderConfig, col, row, cell_x, cell_y,
+                  u_lens=None):
     """Primary rays for a flat sample batch.
 
-    u: (N,2) uniforms. Returns (origins (N,3), directions (N,3) normalized).
+    u: (N,2) uniforms; u_lens: (N,2) aperture uniforms (required when
+    config.aperture > 0). Returns (origins (N,3), dirs (N,3) normalized).
     """
     offset = filter_offsets(u, config, cell_x, cell_y)
     if config.camera_model == CameraModel.LEGACY:
@@ -135,6 +150,10 @@ def generate_rays(camera, u: jnp.ndarray, config: RenderConfig, col, row, cell_x
         d = sx[:, None] * cx[None, :] + sy[:, None] * cy[None, :] + camera.direction[None, :]
         org = camera.origin[None, :] + d * camera.push_forward
         dirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        if config.aperture > 0.0:
+            right = cx / jnp.linalg.norm(cx)
+            up = cy / jnp.linalg.norm(cy)
+            return _thin_lens(org, dirs, right, up, config, u_lens)
         return org, dirs
     elif config.camera_model == CameraModel.MATRIX:
         if not isinstance(camera, MatrixCamera):
@@ -157,5 +176,10 @@ def generate_rays(camera, u: jnp.ndarray, config: RenderConfig, col, row, cell_x
         d = d4[:, :3]
         dirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         org = jnp.broadcast_to(camera.local_to_world[:3, 3][None, :], dirs.shape)
+        if config.aperture > 0.0:
+            m = camera.local_to_world
+            right = m[:3, 0] / jnp.linalg.norm(m[:3, 0])
+            up = m[:3, 1] / jnp.linalg.norm(m[:3, 1])
+            return _thin_lens(org, dirs, right, up, config, u_lens)
         return org, dirs
     raise ValueError(config.camera_model)

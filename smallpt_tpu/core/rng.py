@@ -102,11 +102,27 @@ def camera_uniforms(key: jax.Array, sample_ids: jnp.ndarray, dtype=jnp.float32):
     return jnp.stack([_to_unit(a, dtype), _to_unit(b, dtype)], axis=-1)
 
 
+_LENS_SALT = 0x94D049BB
 _NEE_SALT = 0x2545F491
 # per-light-slot salt stride: a bare "+ slot" would alias slot s+1 at depth d
 # with slot s at depth d+1 (the c-word is depth + salt), correlating direct
 # samples across bounces in multi-light configs
 _NEE_SLOT_STRIDE = 0x632BE59B
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def lens_uniforms(key: jax.Array, sample_ids: jnp.ndarray, dtype=jnp.float32):
+    """(N,2) uniforms for the thin-lens aperture sample, keyed per global
+    sample id (depth-of-field; RenderConfig.aperture)."""
+    k0, k1 = _key_words(key)
+    sid = sample_ids.astype(jnp.uint32)
+    a, b, _, _ = _pcg4d(
+        sid ^ k0,
+        k1,
+        jnp.full_like(sid, jnp.uint32(_LENS_SALT)),
+        jnp.broadcast_to(k0 + k1, sid.shape),
+    )
+    return jnp.stack([_to_unit(a, dtype), _to_unit(b, dtype)], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("light_slot", "dtype"))

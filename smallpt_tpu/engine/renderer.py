@@ -76,8 +76,13 @@ def render_samples(
     """
     dtype = jnp.dtype(config.dtype)
     u_cam = prng.camera_uniforms(key, sample_ids, dtype)
+    u_lens = (
+        prng.lens_uniforms(key, sample_ids, dtype)
+        if config.aperture > 0.0 else None
+    )
     org, dirs = cam.generate_rays(
-        camera, u_cam, config, pixel_cols, pixel_rows, cell_x, cell_y
+        camera, u_cam, config, pixel_cols, pixel_rows, cell_x, cell_y,
+        u_lens=u_lens,
     )
     state = wavefront.initial_state(org, dirs, config.split_budget, dtype)
     lane_sample_ids = (

@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from smallpt_tpu.config import RenderConfig, Filter, CameraModel, Mode
 from smallpt_tpu.core.camera import LegacyCamera, MatrixCamera
 from smallpt_tpu.core.rng import (
-    _CAMERA_SALT, _GOLDEN, _NEE_SALT, _NEE_SLOT_STRIDE, _pcg4d,
+    _CAMERA_SALT, _GOLDEN, _LENS_SALT, _NEE_SALT, _NEE_SLOT_STRIDE, _pcg4d,
 )
 from smallpt_tpu.core.scene import SphereScene
 
@@ -241,6 +241,40 @@ def _mega_kernel(
         goy = o0y + gdy * push
         goz = o0z + gdz * push
         ndx, ndy, ndz = _normalize3(gdx, gdy, gdz)
+        if config.aperture > 0.0:
+            # thin-lens: jitter origin on the aperture disk, re-aim at the
+            # along-ray focus point (core/camera.py::_thin_lens, same streams
+            # as core/rng.py::lens_uniforms)
+            la, lb, _, _ = _pcg4d(
+                pltpu.bitcast(sid, jnp.uint32) ^ k0,
+                jnp.broadcast_to(k1, sid.shape),
+                jnp.full(sid.shape, jnp.uint32(_LENS_SALT)),
+                jnp.broadcast_to(k0 + k1, sid.shape),
+            )
+            lu0 = _to_unit(la)
+            lu1 = _to_unit(lb)
+            lrad = jnp.float32(config.aperture) * jnp.sqrt(lu0)
+            lth = jnp.float32(2.0 * np.pi) * lu1
+            lx_ = lrad * jnp.cos(lth)
+            ly_ = lrad * jnp.sin(lth)
+            rnx, rny, rnz = _normalize3(
+                jnp.broadcast_to(ax, lx_.shape),
+                jnp.broadcast_to(ay, lx_.shape),
+                jnp.broadcast_to(az, lx_.shape),
+            )
+            unx, uny, unz = _normalize3(
+                jnp.broadcast_to(bx, lx_.shape),
+                jnp.broadcast_to(by, lx_.shape),
+                jnp.broadcast_to(bz, lx_.shape),
+            )
+            fdist = jnp.float32(config.focal_distance)
+            fpx = gox + ndx * fdist
+            fpy = goy + ndy * fdist
+            fpz = goz + ndz * fdist
+            gox = gox + rnx * lx_ + unx * ly_
+            goy = goy + rny * lx_ + uny * ly_
+            goz = goz + rnz * lx_ + unz * ly_
+            ndx, ndy, ndz = _normalize3(fpx - gox, fpy - goy, fpz - goz)
 
         ox = jnp.where(need, gox, ox)
         oy = jnp.where(need, goy, oy)

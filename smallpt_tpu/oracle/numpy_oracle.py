@@ -50,6 +50,10 @@ class JaxUniformProvider:
         )
         return np.asarray(u[0], dtype=np.float64)
 
+    def lens(self, sample_id: int) -> np.ndarray:
+        u = prng.lens_uniforms(self.key, np.asarray([sample_id], np.int32))
+        return np.asarray(u[0], dtype=np.float64)
+
     def nee(self, sample_id: int, hist: int, depth: int, slot: int) -> np.ndarray:
         u = prng.nee_uniforms(
             self.key,
@@ -92,6 +96,15 @@ class PrecomputedUniformProvider(JaxUniformProvider):
                 dtype=np.float64,
             )
             self._shade[(hist, depth)] = plane
+        return plane[sample_id]
+
+    def lens(self, sample_id: int) -> np.ndarray:
+        plane = self._shade.get("lens")
+        if plane is None:
+            plane = np.asarray(
+                prng.lens_uniforms(self.key, self._sids), dtype=np.float64
+            )
+            self._shade["lens"] = plane
         return plane[sample_id]
 
     def nee(self, sample_id: int, hist: int, depth: int, slot: int) -> np.ndarray:
@@ -184,14 +197,24 @@ class Oracle:
             sy = (row + 0.5 + off[1]) / h - 0.5
             d = cx * sx + cy * sy + camd
             org = np.asarray(c.origin, np.float64) + d * float(c.push_forward)
-            return org, _norm(d)
+            org, d = org, _norm(d)
+            right, up = _norm(cx), _norm(cy)
         else:
             m = np.asarray(self.camera.local_to_world, np.float64)
             near = float(self.camera.near_plane)
             raster = np.array([col + 0.5 + off[0], row + 0.5 + off[1]])
             clip = 2.0 * raster / np.array([cfg.width, cfg.height]) - 1.0
             d4 = m @ np.array([clip[0], clip[1], near, 0.0])
-            return m[:3, 3].copy(), _norm(d4[:3])
+            org, d = m[:3, 3].copy(), _norm(d4[:3])
+            right, up = _norm(m[:3, 0]), _norm(m[:3, 1])
+        if cfg.aperture > 0.0:
+            ul = self.u.lens(sample_id)
+            r = cfg.aperture * np.sqrt(ul[0])
+            theta = 2.0 * np.pi * ul[1]
+            focus = org + d * cfg.focal_distance
+            org = org + right * (r * np.cos(theta)) + up * (r * np.sin(theta))
+            d = _norm(focus - org)
+        return org, d
 
     # -- next-event estimation: smallpt-explicit's cone sample of one light
     def _nee_direct(self, x, nl, f, sample_id, hist, depth):
