@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-depth", type=int, default=64)
     p.add_argument("--rr-depth", type=int, default=5)
     p.add_argument("--split-budget", type=int, default=1)
+    p.add_argument("--exposure", type=float, default=1.0,
+                   help="linear exposure multiplier applied before the "
+                        "gamma-2.2 display mapping")
     p.add_argument("--aperture", type=float, default=0.0,
                    help="thin-lens aperture radius in scene units "
                         "(0 = pinhole)")
@@ -202,7 +205,7 @@ def main(argv=None) -> int:
                   file=sys.stderr)
         if args.stats:
             log_json("stream_done", sr.stats.as_dict())
-        img = sr.image
+        img = sr.image * args.exposure
         if args.out.endswith(".png"):
             img_io.write_png(args.out, img)
         else:
@@ -226,7 +229,7 @@ def main(argv=None) -> int:
         if not args.quiet:
             print(f"interactive session ended after {passes} passes",
                   file=sys.stderr)
-        img = r.image
+        img = r.image * args.exposure
         if args.out.endswith(".png"):
             img_io.write_png(args.out, img)
         else:
@@ -257,7 +260,7 @@ def main(argv=None) -> int:
     if not args.quiet:
         print(f"\nElapsed time: {(time.time() - t0) * 1000:.0f} ms", file=sys.stderr)
 
-    img = r.image
+    img = r.image * args.exposure
     if args.out.endswith(".png"):
         img_io.write_png(args.out, img)
     elif args.out.endswith(".p6.ppm"):
