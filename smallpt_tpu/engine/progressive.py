@@ -149,7 +149,8 @@ class ProgressiveRenderer:
         n = max(self.sample_count, 1)
         return np.asarray(self.accum) / (n * self.config.spp)
 
-    # -- checkpoint / resume (SURVEY.md §5.4) --------------------------------
+    # -- checkpoint / resume (SURVEY.md §5.4: the full resumable state is
+    # (accum, sample_count, rng seed, scene, camera)) -------------------------
     def save_checkpoint(self, path: str) -> None:
         np.savez(
             path,
@@ -160,6 +161,9 @@ class ProgressiveRenderer:
             camera_leaves=np.asarray(
                 np.concatenate([np.ravel(x) for x in jax.tree.leaves(self.camera)])
             ),
+            scene_leaves=np.asarray(
+                np.concatenate([np.ravel(x) for x in jax.tree.leaves(self.scene)])
+            ),
         )
 
     def load_checkpoint(self, path: str) -> None:
@@ -169,14 +173,22 @@ class ProgressiveRenderer:
                              "different sample streams")
         self.accum = jnp.asarray(data["accum"])
         self.sample_count = int(data["sample_count"])
-        flat = data["camera_leaves"]
-        leaves = jax.tree.leaves(self.camera)
-        out, off = [], 0
-        for leaf in leaves:
-            n = int(np.prod(leaf.shape)) if leaf.shape else 1
-            out.append(jnp.asarray(flat[off : off + n]).reshape(leaf.shape).astype(leaf.dtype))
-            off += n
-        self.camera = jax.tree.unflatten(jax.tree.structure(self.camera), out)
+
+        def unflatten_like(template, flat):
+            leaves = jax.tree.leaves(template)
+            out, off = [], 0
+            for leaf in leaves:
+                n = int(np.prod(leaf.shape)) if leaf.shape else 1
+                out.append(
+                    jnp.asarray(flat[off: off + n])
+                    .reshape(leaf.shape).astype(leaf.dtype)
+                )
+                off += n
+            return jax.tree.unflatten(jax.tree.structure(template), out)
+
+        self.camera = unflatten_like(self.camera, data["camera_leaves"])
+        if "scene_leaves" in data:  # older checkpoints lack the scene
+            self.scene = unflatten_like(self.scene, data["scene_leaves"])
 
     # -- headless interactive loop ------------------------------------------
     def run(
