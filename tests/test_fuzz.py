@@ -1,0 +1,70 @@
+"""Seeded configuration fuzz: random (but reproducible) combinations of
+resolution, sampling, filters, cameras, schedulers, NEE, DoF, and split
+budgets must render finite images, and the schedulers must agree on the
+result — a catch-all net for cross-feature interactions that the targeted
+suites don't enumerate."""
+
+import numpy as np
+import pytest
+
+from smallpt_tpu.config import RenderConfig, Filter, CameraModel, Scheduler
+from smallpt_tpu.core.scene import (
+    cornell_box_scene, cornell_box_small_light_scene, two_sphere_scene,
+)
+from smallpt_tpu.core.camera import smallpt_camera, default_matrix_camera
+from smallpt_tpu.core import rng as prng
+from smallpt_tpu.engine.renderer import render
+
+SCENES = [cornell_box_scene, cornell_box_small_light_scene, two_sphere_scene]
+
+
+def _random_config(rng):
+    camera_model = rng.choice([CameraModel.LEGACY, CameraModel.MATRIX])
+    split = int(rng.choice([1, 1, 1, 4]))
+    cfg = RenderConfig(
+        width=int(rng.integers(5, 20)),
+        height=int(rng.integers(5, 16)),
+        jitter_size=int(rng.choice([1, 2])),
+        spp_per_cell=int(rng.integers(1, 3)),
+        max_depth=int(rng.integers(3, 12)),
+        rr_depth=int(rng.integers(2, 7)),
+        split_budget=split,
+        split_depth=int(rng.integers(1, 3)),
+        scheduler=Scheduler.FLAT if split > 1 else Scheduler(
+            str(rng.choice(["flat", "regen", "mega"]))
+        ),
+        filter=Filter(str(rng.choice(["box", "tent"]))),
+        camera_model=camera_model,
+        nee_lights=(8,) if (rng.random() < 0.4 and split == 1) else (),
+        aperture=float(rng.choice([0.0, 0.0, 2.0, 5.0])),
+        focal_distance=float(rng.uniform(40.0, 200.0)),
+    )
+    return cfg
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_config_renders_finite_and_consistent(seed):
+    rng = np.random.default_rng(1000 + seed)
+    cfg = _random_config(rng)
+    scene = SCENES[int(rng.integers(0, len(SCENES)))]()
+    if cfg.nee_lights and scene.n_spheres <= max(cfg.nee_lights):
+        cfg = cfg.replace(nee_lights=())
+    cam = (default_matrix_camera()
+           if cfg.camera_model == CameraModel.MATRIX else smallpt_camera())
+    key = prng.base_key(seed)
+
+    img = np.asarray(render(scene, cam, cfg, key))
+    assert img.shape == (cfg.height, cfg.width, 3)
+    assert np.isfinite(img).all(), cfg
+    assert (img >= 0).all(), cfg
+
+    if cfg.split_budget == 1:
+        # cross-scheduler agreement (identical streams, razor-edge budget)
+        other = (Scheduler.FLAT if cfg.scheduler != Scheduler.FLAT
+                 else Scheduler.REGEN)
+        img2 = np.asarray(render(scene, cam, cfg.replace(scheduler=other), key))
+        rel = np.abs(img - img2) / (1.0 + np.abs(img))
+        n_div = int((rel > 1e-3).sum())
+        # fractional budget with an absolute floor: at fuzz sizes a single
+        # razor-edge pixel (3 channels) is within f32 op-ordering tolerance
+        assert n_div <= max(0.03 * rel.size, 6), (cfg, n_div, rel.size)
