@@ -102,7 +102,11 @@ class StreamingRenderer:
         # or its estimate (and its variance signal) never improves
         base = 1 if add_samples_total >= 2 * G else 0
         pool = add_samples_total - base * G
-        alloc = sigma / sigma.sum() * pool
+        # cap each pixel's share at 8x the mean: raw sigma-proportional
+        # allocation dumps the whole pool onto a handful of firefly pixels
+        # (caustic spikes have enormous sample variance) and starves the rest
+        w_alloc = np.minimum(sigma, 8.0 * sigma.mean())
+        alloc = w_alloc / w_alloc.sum() * pool
         extra = np.floor(alloc).astype(np.int64)
         # largest-remainder rounding: hand the dropped fractions to the
         # pixels with the biggest remainders so the pool is spent exactly
