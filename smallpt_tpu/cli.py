@@ -194,9 +194,9 @@ def main(argv=None) -> int:
         for c in range(chunks):
             sr.step(n_iters=1_000_000, add_samples=per)
             if frame_writer is not None:
-                frame_writer.push(sr.image[::-1], c + 1)
+                frame_writer.push(sr.image[::-1] * args.exposure, c + 1)
             elif frame_sync is not None:
-                frame_sync(sr.image, c + 1)
+                frame_sync(sr.image * args.exposure, c + 1)
         sr.flush()
         if frame_writer is not None:
             frame_writer.close()
@@ -244,9 +244,9 @@ def main(argv=None) -> int:
     for i in range(n_passes):
         r.step()
         if frame_writer is not None:
-            frame_writer.push(r.image[::-1], i + 1)
+            frame_writer.push(r.image[::-1] * args.exposure, i + 1)
         elif frame_sync is not None:
-            frame_sync(r.image, i + 1)
+            frame_sync(r.image * args.exposure, i + 1)
         if not args.quiet:
             done = 100.0 * (i + 1) / n_passes
             print(

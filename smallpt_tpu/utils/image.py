@@ -14,11 +14,10 @@ import os
 import numpy as np
 
 
-def to_int(x: np.ndarray, exposure: float = 1.0) -> np.ndarray:
+def to_int(x: np.ndarray) -> np.ndarray:
     """Gamma 2.2 + [0,1] clamp to 8-bit, int(pow(clamp(x),1/2.2)*255+.5)
-    (smallpt.cpp:52). exposure scales linear radiance before the clamp."""
-    if exposure != 1.0:
-        x = x * exposure
+    (smallpt.cpp:52). Exposure scaling happens on the linear image before
+    any writer (CLI --exposure) so the native fast path sees it too."""
     return (np.power(np.clip(x, 0.0, 1.0), 1.0 / 2.2) * 255.0 + 0.5).astype(np.uint8)
 
 

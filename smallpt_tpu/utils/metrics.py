@@ -113,7 +113,12 @@ def occupancy_profile(scene, camera, config, key) -> np.ndarray:
             cx = group % config.jitter_size
             cy = group // config.jitter_size
             u_cam = prng.camera_uniforms(key, sid_new, dtype)
-            org0, dir0 = cam_mod.generate_rays(camera, u_cam, config, col, row, cx, cy)
+            u_lens = (
+                prng.lens_uniforms(key, sid_new, dtype)
+                if config.aperture > 0.0 else None
+            )
+            org0, dir0 = cam_mod.generate_rays(camera, u_cam, config, col, row,
+                                               cx, cy, u_lens=u_lens)
             nm = need[:, None]
             st = PathState(
                 org=jnp.where(nm, org0, st.org), dir=jnp.where(nm, dir0, st.dir),

@@ -25,7 +25,9 @@ def test_aperture_zero_is_pinhole():
     scene, cam = cornell_box_scene(), smallpt_camera()
     key = prng.base_key(0)
     a = np.asarray(render(scene, cam, BASE, key))
-    b = np.asarray(render(scene, cam, BASE.replace(aperture=0.0), key))
+    # DOF config with the aperture zeroed: the lens branch must compile away
+    # to exactly the pinhole program (focal_distance alone changes nothing)
+    b = np.asarray(render(scene, cam, DOF.replace(aperture=0.0), key))
     np.testing.assert_array_equal(a, b)
 
 
