@@ -60,7 +60,12 @@ print("WORKER_OK", pid, r0, nr, flush=True)
 
 
 def test_two_process_render_matches_single(tmp_path):
-    port = "52917"
+    import socket
+
+    # pick a free port dynamically — a fixed one collides with stale workers
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        port = str(sock.getsockname()[1])
     out = str(tmp_path / "img")
     script = str(tmp_path / "worker.py")
     with open(script, "w") as f:
