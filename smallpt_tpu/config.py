@@ -180,6 +180,12 @@ class RenderConfig:
     def __post_init__(self):
         if self.split_budget not in (1, 2, 4, 8, 16):
             raise ValueError("split_budget must be a power of two in [1,16]")
+        if not isinstance(self.nee_lights, tuple) or not all(
+            isinstance(i, int) and i >= 0 for i in self.nee_lights
+        ):
+            raise ValueError("nee_lights must be a tuple of sphere indices")
+        if self.aperture < 0:
+            raise ValueError("aperture must be >= 0")
         if self.jitter_size < 1:
             raise ValueError("jitter_size must be >= 1")
 

@@ -8,10 +8,17 @@ separate fused kernels per bounce, each paying launch + HBM round-trip for
 the 786k-lane path state — profiling shows the loop runs at ~1% of VPU peak,
 bound by that per-op overhead.
 
-This module is the TPU-native answer: ONE Mosaic kernel per bounce. Path
-state streams HBM->VMEM->HBM exactly once per iteration; ray regeneration
-(camera sampling), PCG4D uniforms, the closest-hit sphere sweep, material
-select, and the full smallpt BSDF/RR shading all happen in vector registers.
+This module is the TPU-native answer: ONE persistent Mosaic kernel renders
+the whole pass. Each grid tile owns 8192 rays and drains them with an
+in-kernel while loop — ray regeneration (camera sampling, thin-lens DoF),
+PCG4D uniforms, the closest-hit sphere sweep (SMEM scalar reads for small
+scenes, chunked VMEM loads for big ones), material winner-select, the full
+smallpt BSDF/RR shading, and optional next-event estimation (shadow sweep +
+per-light suppression bits) all happen in vector registers; path state
+crosses HBM once per kernel launch, not per bounce. Streaming mode keeps
+that state alive ACROSS launches (engine/streaming.py), so lanes regenerate
+at ~100% occupancy indefinitely — measured ~1.1 Grays/s on one TPU v5 lite
+chip for the full-BSDF Cornell box.
 
 Semantics are identical to the regenerative scheduler
 (ops/wavefront.py::run_wavefront_regen): split_budget == 1 (probabilistic
