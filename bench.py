@@ -69,7 +69,7 @@ def bench(width=1024, height=768, spp_per_cell=1, passes=10, warmup=3,
     # two measurement windows, report the better: the chip throttles under
     # sustained load, so a single window can land in a thermal dip
     best = None
-    for window in range(2):
+    for window in range(3):
         total_rays = 0
         t0 = time.perf_counter()
         for p in range(passes):
@@ -114,7 +114,7 @@ def bench_streaming(width=1024, height=768, spp=24, warmup_s=3.0, rounds=3):
         one_round(s)
         s += 1
     best = None
-    for window in range(2):
+    for window in range(3):
         total = 0
         t0 = time.perf_counter()
         for r in range(rounds):
