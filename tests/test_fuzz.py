@@ -42,7 +42,7 @@ def _random_config(rng):
     return cfg
 
 
-@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("seed", range(20))
 def test_random_config_renders_finite_and_consistent(seed):
     rng = np.random.default_rng(1000 + seed)
     cfg = _random_config(rng)
