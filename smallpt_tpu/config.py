@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import numbers
 
 
 class Mode(enum.Enum):
@@ -71,7 +72,9 @@ class Scheduler(enum.Enum):
     program, path state crossing HBM once per bounce — ~5-6x over REGEN.
     Same sample streams as REGEN (bit-identical PCG4D keying); falls back to
     REGEN/FLAT automatically where unsupported (AOV modes, split budgets,
-    mesh scenes, >512 spheres, differentiable replay, non-f32).
+    mesh scenes, scenes above megakernel.MEGA_MAX_SPHERES spheres,
+    differentiable replay, non-f32, non-TPU/CPU backends) — the exact gate
+    is engine/renderer.py::_use_mega.
     """
 
     FLAT = "flat"
@@ -181,9 +184,19 @@ class RenderConfig:
         if self.split_budget not in (1, 2, 4, 8, 16):
             raise ValueError("split_budget must be a power of two in [1,16]")
         if not isinstance(self.nee_lights, tuple) or not all(
-            isinstance(i, int) and i >= 0 for i in self.nee_lights
+            isinstance(i, numbers.Integral) and not isinstance(i, bool)
+            and i >= 0
+            for i in self.nee_lights
         ):
             raise ValueError("nee_lights must be a tuple of sphere indices")
+        # coerce numpy/other Integral indices (np.int64 from argmax/argsort
+        # is the common source of light ids) to plain hashable ints
+        if self.nee_lights and not all(
+            type(i) is int for i in self.nee_lights
+        ):
+            object.__setattr__(
+                self, "nee_lights", tuple(int(i) for i in self.nee_lights)
+            )
         if self.aperture < 0:
             raise ValueError("aperture must be >= 0")
         if self.jitter_size < 1:

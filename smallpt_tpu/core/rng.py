@@ -104,6 +104,42 @@ def camera_uniforms(key: jax.Array, sample_ids: jnp.ndarray, dtype=jnp.float32):
 
 _LENS_SALT = 0x94D049BB
 _NEE_SALT = 0x2545F491
+# STREAMING sample keying (v2): (pixel, ip) enter PCG4D as SEPARATE words —
+# word a = pixel ^ k0, word b = k1 ^ ip * _STREAM_IP_MULT (odd => injective
+# in ip). v1 packed sid = pixel + n_pixels*ip into ONE int32 word, which
+# collides once n_pixels * ip wraps 2^32 (e.g. every 16384 samples/pixel at
+# 1024x768, and ~once per ~2070 sample indices per pixel pair at 1920x1080)
+# — inside config 5's 5000-spp envelope. Streaming checkpoints carry
+# STREAM_KEY_VERSION; v1 checkpoints are refused on load.
+_STREAM_IP_MULT = 0x9E3779B1
+STREAM_KEY_VERSION = 2
+
+
+def stream_key_words(key: jax.Array, pixel: jnp.ndarray, ip: jnp.ndarray):
+    """(a, b) PCG4D input words for a streaming sample (pixel, ip) — the
+    single definition shared by the host mirror below and (bit-identically)
+    the megakernel's in-kernel streaming keying (ops/megakernel.py)."""
+    k0, k1 = _key_words(key)
+    a = pixel.astype(jnp.uint32) ^ k0
+    b = k1 ^ (ip.astype(jnp.uint32) * jnp.uint32(_STREAM_IP_MULT))
+    return a, b
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def stream_camera_uniforms(
+    key: jax.Array, pixel: jnp.ndarray, ip: jnp.ndarray, dtype=jnp.float32
+):
+    """Host mirror of the megakernel's streaming camera-filter uniforms —
+    used by tests to pin stream uniqueness across the v1 wrap boundary."""
+    a_w, b_w = stream_key_words(key, pixel, ip)
+    k0, k1 = _key_words(key)
+    a, b, _, _ = _pcg4d(
+        a_w,
+        b_w,
+        jnp.full_like(a_w, jnp.uint32(_CAMERA_SALT)),
+        jnp.broadcast_to(k0 + k1, a_w.shape),
+    )
+    return jnp.stack([_to_unit(a, dtype), _to_unit(b, dtype)], axis=-1)
 # per-light-slot salt stride: a bare "+ slot" would alias slot s+1 at depth d
 # with slot s at depth d+1 (the c-word is depth + salt), correlating direct
 # samples across bounces in multi-light configs

@@ -148,10 +148,15 @@ def _use_mega(scene, config: RenderConfig, differentiable: bool) -> bool:
     else falls back to the pure-JAX schedulers (graceful degradation, like
     the reference's intersector backend switch smallpt.cpp:605)."""
     from smallpt_tpu.config import Mode
+    from smallpt_tpu.ops.megakernel import MEGA_MAX_SPHERES
 
     return (
         config.scheduler == Scheduler.MEGA
         and not differentiable
+        # the megakernel runs real Mosaic lowering on TPU and the Pallas
+        # interpreter on CPU (tests); on any other backend (e.g. jax[cuda])
+        # fall back to the pure-JAX schedulers rather than crash in Mosaic
+        and jax.default_backend() in ("tpu", "cpu")
         and config.split_budget == 1
         and config.mode == Mode.FULL
         and config.dtype == "float32"
@@ -160,7 +165,7 @@ def _use_mega(scene, config: RenderConfig, differentiable: bool) -> bool:
         # ~10k spheres the sweep dominates and the split-sweep intersect
         # kernel (per-chunk argmin vs per-sphere 12-way material fold) is
         # faster — measured 3.15 vs 2.18 Mrays/s on the 10k scene
-        and scene.n_spheres <= 2048
+        and scene.n_spheres <= MEGA_MAX_SPHERES
     )
 
 

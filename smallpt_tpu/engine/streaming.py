@@ -20,9 +20,11 @@ While streaming, the live image includes the in-flight sample's partial
 radiance (a mild brightness underestimate on deep-path pixels, exactly the
 kind of approximation a live viewer shows); ``flush()`` drains all in-flight
 paths, after which the estimate is the exact per-pixel MC mean. Sample
-streams are keyed sid = pixel + n_pixels * ip (unique for unbounded ip; the
-int32 keying space wraps after ~2^31 / n_pixels samples per pixel — ~2.7k
-spp at 1024x768, far past visual convergence).
+streams use the v2 streaming keying (core/rng.py::stream_key_words): pixel
+and the unbounded in-pixel sample index enter PCG4D as separate words, so
+streams stay unique for any budget (< 2^32 spp) at any resolution. v1
+packed both into one int32 word and collided inside config 5's
+1920x1080@5000spp envelope; v1 checkpoints are refused on load.
 """
 
 from __future__ import annotations
@@ -187,12 +189,20 @@ class StreamingRenderer:
             stats_rays=self.stats.rays,
             stats_passes=self.stats.passes,
             stats_wall=self.stats.wall_s,
+            stream_key_version=prng.STREAM_KEY_VERSION,
         )
 
     def load_checkpoint(self, path: str) -> None:
         from smallpt_tpu.ops import megakernel as mk
 
         data = np.load(path)
+        ck_ver = int(data["stream_key_version"]) if "stream_key_version" in data else 1
+        if ck_ver != prng.STREAM_KEY_VERSION:
+            raise ValueError(
+                f"stream checkpoint uses sample-keying v{ck_ver}; this build "
+                f"uses v{prng.STREAM_KEY_VERSION} (resuming would mix "
+                "incompatible sample streams) — re-render from scratch"
+            )
         f = jnp.asarray(data["f"])
         i = jnp.asarray(data["i"])
         if f.shape[0] != 8 * mk._NF or i.shape[0] != 8 * mk._NI:

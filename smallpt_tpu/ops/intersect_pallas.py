@@ -243,9 +243,10 @@ def intersect_spheres_pallas(
     smallpt.cpp:427-605). interpret=None auto-selects the Pallas interpreter
     on non-TPU backends (the CPU test platform)."""
     if interpret is None:
-        # real Mosaic lowering on TPU (incl. the axon tunnel platform);
-        # interpreter on the CPU test platform
-        interpret = jax.default_backend() == "cpu"
+        # real Mosaic lowering on TPU (incl. the axon tunnel platform, which
+        # reports backend "tpu"); interpreter on every other backend (CPU
+        # tests, and e.g. jax[cuda] where Mosaic TPU lowering would crash)
+        interpret = jax.default_backend() != "tpu"
     n = org.shape[0]
     s = scene.n_spheres
     if not isinstance(scene.radius, jax.core.Tracer):

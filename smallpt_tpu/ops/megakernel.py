@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 from smallpt_tpu.config import RenderConfig, Filter, CameraModel, Mode
 from smallpt_tpu.core.camera import LegacyCamera, MatrixCamera
 from smallpt_tpu.core.rng import (
-    _CAMERA_SALT, _GOLDEN, _LENS_SALT, _NEE_SALT, _NEE_SLOT_STRIDE, _pcg4d,
+    _CAMERA_SALT, _GOLDEN, _LENS_SALT, _NEE_SALT, _NEE_SLOT_STRIDE,
+    _STREAM_IP_MULT, _pcg4d,
 )
 from smallpt_tpu.core.scene import SphereScene
 
@@ -55,6 +56,10 @@ from smallpt_tpu.core.scene import SphereScene
 # VMEM sweep beyond (table bytes = S*16*4; 64k spheres = 4 MB of VMEM)
 MAX_SMEM_SPHERES = 512
 MAX_VMEM_SPHERES = 65536
+# renderer.py routes scenes above this to the split-sweep REGEN path: the
+# in-kernel material fold makes the fused sweep lose to the standalone
+# intersect kernel at large S (engine/renderer.py::_use_mega)
+MEGA_MAX_SPHERES = 2048
 
 # Float-state planes (each (8, C) where C = lanes/8 columns per tile).
 _F_OX, _F_OY, _F_OZ = 0, 1, 2       # ray origin
@@ -126,7 +131,8 @@ def _mega_kernel(
     config: RenderConfig,
     n_spheres: int,
     n_cols: int,  # total state columns (G_pad / 8)
-    streaming: bool,  # streaming keying: sid = pixel + n_pixels * ip
+    streaming: bool,  # streaming keying v2: (pixel, ip) as separate PCG4D
+                      # words (core/rng.py::stream_key_words)
     table_in_smem: bool,  # True: per-sphere scalar reads from SMEM (small
                           # scenes); False: chunked VMEM loads (big scenes)
 ):
@@ -192,11 +198,17 @@ def _mega_kernel(
         s_new = jnp.where(need, s_idx + 1, s_idx)
         ip = ip_offset + s_new
         if streaming:
-            # unbounded in-pixel sample index: unique for any ip (wraps only
-            # past ~2^31 / n_pixels samples/pixel — documented in streaming.py)
-            sid = pixel + config.n_pixels * ip
+            # streaming keying v2 (core/rng.py::stream_key_words): pixel and
+            # the unbounded in-pixel index ip enter PCG4D as SEPARATE words —
+            # unique streams for any ip < 2^32 (v1 packed both into one int32
+            # and collided inside config 5's 5000-spp envelope)
+            wa = pltpu.bitcast(pixel, jnp.uint32) ^ k0
+            wb = k1 ^ (pltpu.bitcast(ip, jnp.uint32)
+                       * jnp.uint32(_STREAM_IP_MULT))
         else:
             sid = pixel * config.spp + ip  # matches wavefront regen keying
+            wa = pltpu.bitcast(sid, jnp.uint32) ^ k0
+            wb = jnp.broadcast_to(k1, sid.shape)
         # jitter cell cycles over the js x js grid; the modulo matters in
         # streaming mode where ip grows beyond spp (per-pass: ip < spp makes
         # it a no-op, matching foreachSampleInRow's cell decomposition,
@@ -206,12 +218,13 @@ def _mega_kernel(
         cx_cell = (group % js).astype(jnp.float32)
         cy_cell = (group // js).astype(jnp.float32)
 
-        # camera uniforms (bit-identical to core/rng.py::camera_uniforms)
+        # camera uniforms (bit-identical to core/rng.py::camera_uniforms in
+        # per-pass mode / stream_camera_uniforms in streaming mode)
         ua, ub, _, _ = _pcg4d(
-            pltpu.bitcast(sid, jnp.uint32) ^ k0,
-            jnp.broadcast_to(k1, sid.shape),
-            jnp.full(sid.shape, jnp.uint32(_CAMERA_SALT)),
-            jnp.broadcast_to(k0 + k1, sid.shape),
+            wa,
+            wb,
+            jnp.full(wa.shape, jnp.uint32(_CAMERA_SALT)),
+            jnp.broadcast_to(k0 + k1, wa.shape),
         )
         u0 = _to_unit(ua)
         u1 = _to_unit(ub)
@@ -253,10 +266,10 @@ def _mega_kernel(
             # along-ray focus point (core/camera.py::_thin_lens, same streams
             # as core/rng.py::lens_uniforms)
             la, lb, _, _ = _pcg4d(
-                pltpu.bitcast(sid, jnp.uint32) ^ k0,
-                jnp.broadcast_to(k1, sid.shape),
-                jnp.full(sid.shape, jnp.uint32(_LENS_SALT)),
-                jnp.broadcast_to(k0 + k1, sid.shape),
+                wa,
+                wb,
+                jnp.full(wa.shape, jnp.uint32(_LENS_SALT)),
+                jnp.broadcast_to(k0 + k1, wa.shape),
             )
             lu0 = _to_unit(la)
             lu1 = _to_unit(lb)
@@ -419,13 +432,13 @@ def _mega_kernel(
             ry = ry + jnp.where(lh, wy * em_y, 0.0)
             rz = rz + jnp.where(lh, wz * em_z, 0.0)
 
-        # shade uniforms (bit-identical to core/rng.py::shade_uniforms, hist = 0)
-        sidu = pltpu.bitcast(sid, jnp.uint32)
+        # shade uniforms (bit-identical to core/rng.py::shade_uniforms, hist = 0
+        # — streaming substitutes the v2 (pixel, ip) words for (sid, hist))
         sa, sb, sc, sd_ = _pcg4d(
-            sidu ^ k0,
-            jnp.broadcast_to(k1, sid.shape),
+            wa,
+            wb,
             pltpu.bitcast(depth, jnp.uint32) + jnp.uint32(_GOLDEN),
-            jnp.broadcast_to(k0 + k1, sid.shape),
+            jnp.broadcast_to(k0 + k1, wa.shape),
         )
         u_rr = _to_unit(sa)
         u_b1 = _to_unit(sb)
@@ -546,13 +559,13 @@ def _mega_kernel(
                     jnp.maximum(1.0 - (lrr * lrr) / jnp.maximum(d2, 1e-12), 0.0)
                 )
                 na, nb, _, _ = _pcg4d(
-                    sidu ^ k0,
-                    jnp.broadcast_to(k1, sid.shape),
+                    wa,
+                    wb,
                     pltpu.bitcast(depth, jnp.uint32)
                     + jnp.uint32(
                         (_NEE_SALT + slot * _NEE_SLOT_STRIDE) & 0xFFFFFFFF
                     ),
-                    jnp.broadcast_to(k0 + k1, sid.shape),
+                    jnp.broadcast_to(k0 + k1, wa.shape),
                 )
                 nu0 = _to_unit(na)
                 nu1 = _to_unit(nb)
@@ -754,7 +767,7 @@ def render_pass_megakernel(
             f"megakernel supports <= {MAX_VMEM_SPHERES} spheres"
         )
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
 
     if n_rows is None:
         n_rows = config.height
@@ -939,7 +952,8 @@ def stream_step(
     steps); lanes regenerate while s_idx < budget-1. Pass None to leave the
     per-lane budget plane untouched (adaptive sampling sets it directly via
     set_sample_budget). Returns (f, i, rays). The keying is
-    streaming-specific (sid = pixel + n_pixels * ip): one key serves the
+    streaming-specific (v2: pixel and ip as separate PCG4D words,
+    core/rng.py::stream_key_words — unique streams for any ip): one key serves the
     whole stream, so do NOT fold per-step keys."""
     if config.split_budget != 1:
         raise ValueError("streaming requires split_budget == 1")
@@ -950,7 +964,7 @@ def stream_step(
             f"megakernel supports <= {MAX_VMEM_SPHERES} spheres"
         )
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     n_rows, G, n_tiles, n_cols = _stream_geometry(config, n_rows)
     if sample_budget is not None:
         i = set_sample_budget(i, sample_budget, config, n_rows)

@@ -164,7 +164,7 @@ def intersect_mesh_pallas(
     ops.intersect.intersect_mesh (rejects t <= eps like the reference's
     t <= 0 check, scene.cpp:105)."""
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     n = org.shape[0]
     table = build_tri_table(scene)
     n_chunks = table.shape[0] // _T_CHUNK

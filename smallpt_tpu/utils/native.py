@@ -33,10 +33,17 @@ _LIB_PATHS = [
 
 
 def _try_build() -> None:
-    """Build the shared library in-tree if the source + make are present."""
+    """Build the shared library in-tree if the source + make are present.
+
+    The attempt (and any failure) is logged via log_json so the implicit
+    compile side effect is observable; SMALLPT_TPU_NO_NATIVE=1 disables the
+    native path (and with it this build) entirely."""
+    from smallpt_tpu.utils.metrics import log_json
+
     src = os.path.join(_NATIVE_DIR, "smallpt_host.cpp")
     if not os.path.exists(src):
         return
+    log_json("native_build", {"dir": _NATIVE_DIR, "status": "start"})
     try:
         subprocess.run(
             ["make", "-C", _NATIVE_DIR, "libsmallpt_host.so"],
@@ -44,8 +51,12 @@ def _try_build() -> None:
             capture_output=True,
             timeout=120,
         )
-    except (OSError, subprocess.SubprocessError):
-        pass
+        log_json("native_build", {"dir": _NATIVE_DIR, "status": "ok"})
+    except (OSError, subprocess.SubprocessError) as e:
+        log_json(
+            "native_build",
+            {"dir": _NATIVE_DIR, "status": "failed", "error": str(e)[:200]},
+        )
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:

@@ -133,3 +133,60 @@ def test_weights_monotone_and_capped():
     w1, w2 = np.asarray(w1), np.asarray(w2)
     assert (w2 >= w1).all()
     assert w2.max() <= 4
+
+
+def test_stream_keying_v2_unique_across_v1_wrap():
+    """v1 packed sid = pixel + n_pixels*ip into ONE int32: at 1024x768
+    (n_pixels = 3*2^18), (pixel, ip) and (pixel, ip + 16384) produced the
+    IDENTICAL key word (3*2^18 * 2^14 = 3*2^32 === 0 mod 2^32) — duplicated
+    uniforms well inside config 5's 5000-spp budget. v2 keys (pixel, ip) as
+    separate PCG4D words (core/rng.py::stream_key_words); this pins that the
+    colliding pairs now draw distinct streams."""
+    n_pixels = 1024 * 768
+    key = prng.base_key(7)
+    pixel = jnp.arange(0, n_pixels, 12345, dtype=jnp.int32)
+    ip0 = jnp.full_like(pixel, 100)
+    ip1 = ip0 + 16384
+
+    # the v1 scheme's collision, pinned explicitly (int32 wraparound)
+    with np.errstate(over="ignore"):
+        sid0 = np.asarray(pixel) + np.int32(n_pixels) * np.asarray(ip0)
+        sid1 = np.asarray(pixel) + np.int32(n_pixels) * np.asarray(ip1)
+    assert (sid0 == sid1).all(), "v1 wrap premise broken — update the test"
+
+    u0 = np.asarray(prng.stream_camera_uniforms(key, pixel, ip0))
+    u1 = np.asarray(prng.stream_camera_uniforms(key, pixel, ip1))
+    # every formerly-colliding pair now has an independent draw
+    per_pair_equal = np.all(u0 == u1, axis=-1)
+    assert not per_pair_equal.any()
+
+
+def test_stream_keying_v2_well_distributed_past_wrap():
+    """Uniforms drawn for ip far past the v1 wrap stay uniform (mean ~0.5,
+    no collapsed variance) — the v1 failure mode was duplicated streams,
+    i.e. added samples stopped reducing variance."""
+    key = prng.base_key(3)
+    pixel = jnp.zeros((4096,), jnp.int32) + 12345
+    ip = jnp.arange(4096, dtype=jnp.int32) + 2_000_000  # >> any real budget
+    u = np.asarray(prng.stream_camera_uniforms(key, pixel, ip))
+    assert abs(u.mean() - 0.5) < 0.02
+    assert abs(np.var(u) - 1.0 / 12.0) < 0.01
+    # all draws distinct (collision prob over 4096 24-bit pairs is ~tiny)
+    packed = (u[:, 0] * (1 << 24)).astype(np.int64) * (1 << 25) + (
+        u[:, 1] * (1 << 24)
+    ).astype(np.int64)
+    assert len(np.unique(packed)) > 4090
+
+
+def test_v1_checkpoint_refused(tmp_path):
+    """A checkpoint without the v2 stream-key version marker must be refused
+    (resuming it would mix v1 and v2 sample streams)."""
+    r = StreamingRenderer(cornell_box_scene(), smallpt_camera(), CFG, seed=0)
+    r.step(n_iters=4, add_samples=1)
+    p = str(tmp_path / "ck.npz")
+    r.save_checkpoint(p)
+    data = dict(np.load(p))
+    del data["stream_key_version"]  # forge a v1-era checkpoint
+    np.savez(p, **data)
+    with pytest.raises(ValueError, match="keying v1"):
+        r.load_checkpoint(p)
