@@ -128,6 +128,59 @@ def bench_streaming(width=1024, height=768, spp=24, warmup_s=3.0, rounds=3):
     return best
 
 
+def bench_diff(width=512, height=512, max_depth=16, warmup_s=3.0, rounds=5,
+               use_pallas=True):
+    """BASELINE config 4: one inverse-rendering training step (render +
+    L2 loss + reverse-mode scene gradients + SGD update) at 512x512.
+
+    use_pallas routes intersection through the hybrid diff path (Mosaic
+    winner search + per-lane differentiable replay); False measures the
+    pure-JAX chunked-sweep gradient path. Reports wall ms per training step
+    and forward rays/s (the backward sweep re-traces the same paths via
+    rematerialization, so total traversal work is ~2-3x the forward count)."""
+    from smallpt_tpu.grad.diff import image_loss_and_grads, render_mean
+
+    config = RenderConfig(
+        width=width, height=height, spp_per_cell=1,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+        max_depth=max_depth,
+        intersector=Intersector.PALLAS if use_pallas else Intersector.JAX,
+    )
+    scene = cornell_box_scene()
+    camera = smallpt_camera()
+    base = prng.base_key(0)
+    target = render_mean(scene, camera, config, prng.base_key(99))
+    np.asarray(target)
+
+    # forward ray count at this config (same sample streams => same paths)
+    _, rays_fwd = render_with_stats(
+        scene, camera, config.replace(scheduler=
+                                      config.scheduler), prng.base_key(0)
+    )
+    rays_fwd = int(rays_fwd)
+
+    def one_step(seed):
+        loss, img, grads = image_loss_and_grads(
+            scene, camera, config, jax.random.fold_in(base, seed), target
+        )
+        return float(loss)
+
+    t_warm = time.perf_counter()
+    s = 1000
+    while time.perf_counter() - t_warm < warmup_s:
+        one_step(s)
+        s += 1
+    best = None
+    for window in range(3):
+        t0 = time.perf_counter()
+        for r in range(rounds):
+            one_step(r + 10 * window)
+        dt = (time.perf_counter() - t0) / rounds
+        if best is None or dt < best:
+            best = dt
+    return best, rays_fwd
+
+
 def main():
     quick = "--quick" in sys.argv
     use_pallas = "--pallas" in sys.argv
@@ -135,6 +188,29 @@ def main():
     kw = dict(width=256, height=192, passes=2) if quick else {}
     if use_pallas:
         kw["intersector"] = Intersector.PALLAS
+    if "--diff" in sys.argv:
+        # BASELINE config 4: training-step latency (forward+backward+update)
+        use_pallas = "--jax-diff" not in sys.argv
+        kw2 = dict(width=128, height=128, rounds=2) if quick else {}
+        step_s, rays_fwd = bench_diff(use_pallas=use_pallas, **kw2)
+        metric = "train_step_ms_cornell_512x512_fullbsdf"
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(step_s * 1e3, 1),
+                    "unit": "ms",
+                    "vs_baseline": 1.0,
+                }
+            )
+        )
+        print(
+            f"# diff path={'pallas-hybrid' if use_pallas else 'pure-jax'}; "
+            f"forward rays/step {rays_fwd}; fwd rays/s "
+            f"{rays_fwd/step_s/1e6:.1f}M",
+            file=sys.stderr,
+        )
+        return
     if "--procedural" in sys.argv:
         # BASELINE.json config 5 scene: 10k procedural spheres (the brute
         # O(S) sweep — Pallas split kernel is the fast backend for it)

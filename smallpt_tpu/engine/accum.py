@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -52,3 +53,14 @@ class WeightedAccum(NamedTuple):
         w = self.weight[..., None]
         safe = jnp.where(w > eps, w, 1.0)
         return jnp.where(w > eps, self.color / safe, 0.0)
+
+
+@jax.jit
+def normalize_weighted(color: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """Device-side display normalization: color / max(weight, 1), zero where
+    weight == 0. The reference normalizes in the blit shader (uWeight,
+    glutils.cpp:252) — i.e. on the GPU; dividing in host numpy costs real
+    milliseconds at 4K, so display normalization stays on device and only
+    the final 8-bit-ready image crosses to the host."""
+    w = weight[..., None]
+    return jnp.where(w > 0, color / jnp.maximum(w, 1.0), 0.0)

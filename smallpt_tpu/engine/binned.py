@@ -1,0 +1,173 @@
+"""Binned streaming renderer — the big-scene scheduler.
+
+Couples the continuous-wavefront stream (engine/streaming.py semantics:
+per-pixel budgets, completed-sample weights, exact after flush) with the
+grid-binned culled sweep (ops/accel.py + ops/megakernel.py::
+stream_step_binned). This is the acceleration-structure slot of the
+reference — OptiX Prime's GPU BVH build + closest-hit query
+(/root/reference/smallpt.cpp:489-530,578-582) — rebuilt TPU-first: tile
+coherence by periodic bin sort, conservative per-tile chunk lists, and a
+bounce kernel that sweeps only what a tile can reach.
+
+Sample streams are identical to the classic streaming scheduler (keying v2
+is placement-invariant: a lane's uniforms depend only on (pixel, sample
+index)), and sorting/culling are pure scheduling: within the binned path,
+sorting on/off and culled/full-sweep produce BIT-EQUAL images (tests pin
+this). Against the CLASSIC megakernel the match is exact up to the
+codebase's documented razor-flip floor: the two kernels compile the same
+citardauq sweep with different FMA contraction, so wall-sphere hit
+positions differ at the ~1e-4 cancellation scale, which flips rare
+discrete path events on deep paths (the same noise class as the
+megakernel-vs-JAX-scheduler precedent, ops/megakernel.py docstring).
+
+Restrictions (v1 of the binned path): Mode.FULL, split_budget == 1, no
+next-event estimation (the shadow sweep would need its own toward-the-light
+chunk lists), no thin-lens aperture (lens jitter moves the regeneration
+origin out of the precomputed camera-ray bin ranges).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from smallpt_tpu.config import RenderConfig, Mode
+from smallpt_tpu.core import rng as prng
+from smallpt_tpu.core.scene import SphereScene
+from smallpt_tpu.ops import accel as acc
+from smallpt_tpu.ops.megakernel import (
+    binned_image,
+    build_camera_vec,
+    build_scene_table,
+    init_binned_state,
+    set_binned_budget,
+    stream_pending,
+    stream_step_binned,
+)
+from smallpt_tpu.utils.metrics import RenderStats
+
+
+class BinnedStreamingRenderer:
+    """Continuous-wavefront renderer with grid-binned sweep culling.
+
+    step(add_samples, n_bounces): extend every pixel's budget and advance
+    the wavefront n_bounces culled bounces (one kernel launch each; chunk
+    lists recomputed per bounce, state re-sorted every ``sort_every``
+    bounces to keep tiles bin-coherent).
+    """
+
+    def __init__(
+        self,
+        scene: SphereScene,
+        camera,
+        config: RenderConfig,
+        seed: int = 0,
+        accel: acc.GridAccel | None = None,
+        sort_every: int = 2,
+    ):
+        if config.mode != Mode.FULL or config.split_budget != 1:
+            raise ValueError("binned streaming: Mode.FULL, split_budget=1")
+        if config.nee_lights:
+            raise ValueError(
+                "binned streaming does not support nee_lights yet (the "
+                "shadow sweep needs its own chunk lists)"
+            )
+        if config.aperture > 0:
+            raise ValueError(
+                "binned streaming does not support aperture (DoF) yet"
+            )
+        if not isinstance(scene, SphereScene):
+            raise TypeError("binned streaming renders SphereScenes")
+        self.scene = scene
+        self.camera = camera
+        self.config = config
+        self.accel = accel if accel is not None else acc.build_grid_accel(scene)
+        self.sort_every = sort_every
+        self.key = prng.base_key(seed)
+        base_table = build_scene_table(scene, config)
+        self.table = jnp.take(base_table, self.accel.order, axis=0)
+        self.cam_vec = build_camera_vec(camera, config)
+        self.f, self.i = init_binned_state(config)
+        self.budget = 0
+        self._bounce_idx = 0
+        self.stats = RenderStats()
+        self._bounce = self._make_bounce()
+
+    def _make_bounce(self):
+        config, accel = self.config, self.accel
+
+        @jax.jit
+        def bounce(table, cam_vec, key, f, i):
+            lists, counts = acc.tile_chunk_lists(f, i, cam_vec, config, accel)
+            return stream_step_binned(
+                table, cam_vec, config, key, f, i, lists, counts,
+                n_glob_chunks=accel.n_glob_chunks,
+                n_chunks=accel.n_chunks,
+            )
+
+        @jax.jit
+        def shuffle(f, i):
+            keys = acc.state_bin_keys(f, i, accel)
+            return acc.shuffle_state(f, i, keys)
+
+        return bounce, shuffle
+
+    def _advance(self, n_bounces: int) -> int:
+        bounce, shuffle = self._bounce
+        t0 = time.perf_counter()
+        total = 0
+        for _ in range(n_bounces):
+            if self.sort_every and self._bounce_idx % self.sort_every == 0:
+                self.f, self.i = shuffle(self.f, self.i)
+            self.f, self.i, rays = bounce(
+                self.table, self.cam_vec, self.key, self.f, self.i
+            )
+            total += int(rays)
+            self._bounce_idx += 1
+        self.stats.rays += total
+        self.stats.wall_s += time.perf_counter() - t0
+        self.stats.passes += 1
+        return total
+
+    def step(self, add_samples: int = 1, n_bounces: int = 8) -> int:
+        """Returns rays traced this step."""
+        self.budget += add_samples
+        self.i = set_binned_budget(self.i, self.budget, self.config)
+        return self._advance(n_bounces)
+
+    def flush(self) -> None:
+        """Drain all in-flight paths and remaining budget; afterwards
+        image() is the exact per-pixel MC estimate."""
+        while True:
+            pending = stream_pending(self.i)
+            if pending == (0, 0):
+                return
+            # progress = rays traced: pending counts alone can legitimately
+            # repeat (lanes die and regenerate in equal numbers)
+            if self._advance(8) == 0:
+                raise RuntimeError("flush made no progress (paths stuck?)")
+
+    def accumulators(self):
+        """(radiance sums (H,W,3), completed-sample weights (H,W))."""
+        return binned_image(self.f, self.i, self.config)
+
+    def reset(self) -> None:
+        self.f, self.i = init_binned_state(self.config)
+        self.budget = 0
+        self._bounce_idx = 0
+
+    def update_camera(self, camera) -> None:
+        self.camera = camera
+        self.cam_vec = build_camera_vec(camera, self.config)
+        self.reset()
+
+    @property
+    def image(self) -> np.ndarray:
+        from smallpt_tpu.engine.accum import normalize_weighted
+
+        rad, w = self.accumulators()
+        return np.asarray(normalize_weighted(rad, w))

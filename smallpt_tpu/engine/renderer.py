@@ -26,11 +26,24 @@ from smallpt_tpu.ops import intersect as isect
 from smallpt_tpu.ops import wavefront
 
 
-def make_intersect_fn(scene, config: RenderConfig):
+def make_intersect_fn(scene, config: RenderConfig, differentiable: bool = False):
     """Backend selection — the ``using Intersector = ...`` switch
-    (smallpt.cpp:605), at runtime instead of compile time."""
+    (smallpt.cpp:605), at runtime instead of compile time.
+
+    differentiable + PALLAS selects the hybrid: Mosaic kernel winner search
+    (non-differentiable, fast) + per-lane differentiable replay of the hit
+    equation (ops/intersect_pallas.py::intersect_spheres_hybrid_diff)."""
     if isinstance(scene, SphereScene):
         if config.intersector == Intersector.PALLAS:
+            if differentiable:
+                from smallpt_tpu.ops.intersect_pallas import (
+                    intersect_spheres_hybrid_diff,
+                )
+
+                return lambda o, d: intersect_spheres_hybrid_diff(
+                    o, d, scene, eps=config.intersect_eps,
+                    eps_rel=config.intersect_eps_rel,
+                )
             from smallpt_tpu.ops.intersect_pallas import intersect_spheres_pallas
 
             return lambda o, d: intersect_spheres_pallas(
@@ -90,7 +103,7 @@ def render_samples(
         if config.split_budget == 1
         else jnp.repeat(sample_ids, config.split_budget, axis=0)
     )
-    intersect_fn = make_intersect_fn(scene, config)
+    intersect_fn = make_intersect_fn(scene, config, differentiable)
     nee_scene = _nee_scene_for(scene, config)
     final, rays = wavefront.run_wavefront(
         state,

@@ -81,6 +81,34 @@ class StreamingRenderer:
         self.stats.passes += 1
         return n
 
+    def step_timed(self, target_ms: float = 33.0, add_samples: int = 1) -> int:
+        """Equal-time display step: advance the wavefront for ~target_ms of
+        wall clock by converting the measured iteration rate into an
+        iteration budget (EMA-tracked across steps). This is the interactive
+        cadence the reference's UI loop implies (one render pass per display
+        frame, smallpt.cpp:946-988) without tying frame time to pass
+        structure: each display frame costs ~target_ms regardless of scene
+        or resolution, and the streaming weights keep the displayed estimate
+        consistent at any interruption point.
+
+        A larger budget also amortizes the per-launch state round-trip
+        (every stream_step reads+writes the full plane state through HBM
+        once per launch — the dominant cost of tiny steps at 1080p+).
+        Returns rays traced."""
+        rate = getattr(self, "_iters_per_s", None)
+        if rate is None:
+            n = 32  # bootstrap guess; corrected after one measurement
+        else:
+            n = max(1, int(rate * target_ms / 1e3))
+        t0 = time.perf_counter()
+        rays = self.step(n_iters=n, add_samples=add_samples)
+        dt = max(time.perf_counter() - t0, 1e-4)
+        inst = n / dt
+        self._iters_per_s = (
+            inst if rate is None else 0.7 * rate + 0.3 * inst
+        )
+        return rays
+
     def step_adaptive(self, n_iters: int = 256, add_samples_total: int | None = None) -> int:
         """Variance-adaptive step: distribute a pool of new samples across
         pixels proportionally to their luminance standard deviation (the
@@ -228,8 +256,9 @@ class StreamingRenderer:
 
     @property
     def image(self) -> np.ndarray:
-        """Weight-normalized display image."""
+        """Weight-normalized display image (normalization happens on device
+        — engine/accum.py::normalize_weighted, the uWeight-shader analog)."""
+        from smallpt_tpu.engine.accum import normalize_weighted
+
         rad, w = self.accumulators()
-        w = np.asarray(w)[..., None]
-        rad = np.asarray(rad)
-        return np.where(w > 0, rad / np.maximum(w, 1), 0.0)
+        return np.asarray(normalize_weighted(rad, w))

@@ -1,0 +1,435 @@
+"""Grid-binned ray acceleration for large sphere scenes — the BVH-role
+component (OptiX Prime's acceleration structure, /root/reference/
+smallpt.cpp:489-530 model build, :578-582 closest-hit query), redesigned for
+the TPU's lock-step vector model.
+
+A GPU BVH gives every ray an independent traversal; the TPU VPU executes
+8x128 lanes in lock step, so per-ray divergent traversal buys nothing.
+What works on TPU is restoring *coherence* and then culling at TILE
+granularity:
+
+1. **Scene preprocessing** (host, once per scene): spheres split into a
+   GLOBAL set (giant wall/light spheres — always swept, they're hit from
+   everywhere) and a LOCAL set, sorted by uniform-grid cell of their center
+   and grouped into chunks of 8 consecutive table rows with chunk AABBs.
+2. **Ray binning**: each ray maps to a bin = (origin grid cell) x (one of
+   24 direction-sign cones: dominant axis x component-sign octant). A
+   conservative reach table `masks[bin, chunk]` — can ANY ray in this bin
+   hit this chunk's AABB? — is precomputed by interval arithmetic
+   (displacement-box vs axis cone).
+3. **Tile coherence via sort**: the streaming path state is periodically
+   re-ordered by bin key with ONE multi-operand lax.sort (all state planes
+   ride the same sort network — no post-hoc gathers, which measure ~10x
+   slower on this chip). Lane identity is carried in a pixel plane, so
+   sample streams stay placement-invariant (keying v2 depends only on
+   (pixel, sample index)).
+4. **Per-tile chunk lists**: each 1024-lane kernel tile takes the min/max
+   RANGE of its lanes' bin keys (plus the range of camera-ray keys its
+   lanes would regenerate into) and unions the reach masks over that range
+   (one MXU matmul). Ranges make correctness independent of sort
+   freshness: a stale sort only widens ranges (slower), never drops a
+   reachable chunk (wrong).
+
+The bounce kernel (ops/megakernel.py::stream_step_binned) then sweeps the
+global spheres plus ONLY the listed chunks — the pair-count reduction that
+a BVH provides, at tile granularity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from smallpt_tpu.core.scene import SphereScene
+
+# Lanes per binned-kernel tile (the coherence granularity).
+LANE_B = 128
+SUB = 8
+TILE_B = SUB * LANE_B  # 1024 rays
+
+N_DIR = 24  # dominant axis (3) x component-sign octant (8)
+
+# Spheres with radius >= this are "global": swept unconditionally. smallpt's
+# walls are r=1e5, its light r=600; procedural content is r ~ 1.
+GLOBAL_RADIUS = 50.0
+
+CHUNK = 8  # local spheres per chunk (matches the kernel's 8-row VMEM loads)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridAccel:
+    """Static acceleration tables for one (scene, binning) pair.
+
+    Built eagerly with numpy (scenes are eager values); the jnp arrays are
+    closed over by the jitted helpers below. NOT a pytree — pass the object
+    around on the host side only.
+    """
+
+    order: jnp.ndarray        # (S_pad,) int32 — new table order: global
+                              # spheres (padded to a CHUNK multiple by
+                              # repeating the last one — duplicate closest-
+                              # hit candidates are harmless), then
+                              # cell-sorted local spheres (same padding)
+    n_glob_chunks: int        # global chunks (always swept)
+    n_chunks: int             # local chunks of CHUNK rows each
+    lo: jnp.ndarray           # (3,) f32 — origin-grid lower corner
+    inv_cell: jnp.ndarray     # (3,) f32 — 1 / cell size
+    nb: tuple                 # (bx, by, bz) origin-grid dims
+    masks: jnp.ndarray        # (B, C) f32 in {0, 1} — bin -> chunk reach
+    l_max: int                # per-tile chunk-list capacity
+
+    @property
+    def n_bins(self) -> int:
+        bx, by, bz = self.nb
+        return bx * by * bz * N_DIR
+
+
+def _chunk_aabbs(centers: np.ndarray, radii: np.ndarray):
+    """(C, 3) mins / maxs over CHUNK-sized groups of sphere extents."""
+    c = centers.reshape(-1, CHUNK, 3)
+    r = radii.reshape(-1, CHUNK, 1)
+    return (c - r).min(axis=1), (c + r).max(axis=1)
+
+
+def _reach_masks(cell_lo, cell_hi, k_lo, k_hi):
+    """Conservative bin->chunk reachability.
+
+    cell_lo/hi: (Bo, 3) origin-cell AABBs (border cells pre-extended to
+    +-inf); k_lo/hi: (C, 3) chunk AABBs. Returns (Bo, N_DIR, C) bool.
+
+    Test: does the displacement box D = [k_lo - cell_hi, k_hi - cell_lo]
+    contain any vector v with the cone's sign pattern and |v_dom| maximal?
+    Choosing v_dom at its largest feasible magnitude m relaxes the other
+    components monotonically, so the test reduces to per-axis interval
+    checks (conservative, never misses a reachable chunk)."""
+    d_lo = k_lo[None, :, :] - cell_hi[:, None, :]  # (Bo, C, 3)
+    d_hi = k_hi[None, :, :] - cell_lo[:, None, :]
+
+    out = np.zeros((d_lo.shape[0], N_DIR, d_lo.shape[1]), dtype=bool)
+    for dom in range(3):
+        o1, o2 = [a for a in range(3) if a != dom]
+        for bits in range(8):
+            sg = [1 - 2 * ((bits >> (2 - a)) & 1) for a in range(3)]
+            # dominant-axis magnitude bound m = max |v_dom| with the right sign
+            if sg[dom] > 0:
+                m = d_hi[..., dom]
+                ok = m > 0
+            else:
+                m = -d_lo[..., dom]
+                ok = m > 0
+            for o in (o1, o2):
+                if sg[o] > 0:
+                    # need [d_lo, d_hi]_o to meet [0, m]
+                    ok &= (d_hi[..., o] >= 0) & (d_lo[..., o] <= m)
+                else:
+                    ok &= (d_lo[..., o] <= 0) & (d_hi[..., o] >= -m)
+            dbin = dom * 8 + bits
+            out[:, dbin, :] = ok
+    return out
+
+
+def build_grid_accel(
+    scene: SphereScene,
+    nb=(8, 8, 8),
+    l_max: int = 256,
+    global_radius: float = GLOBAL_RADIUS,
+) -> GridAccel:
+    """Build the acceleration tables for an (eager) sphere scene."""
+    c = np.asarray(scene.center, np.float64)
+    r = np.asarray(scene.radius, np.float64)
+    s = c.shape[0]
+    is_global = r >= global_radius
+    gids = np.nonzero(is_global)[0]
+    lids = np.nonzero(~is_global)[0]
+
+    if lids.size == 0:
+        raise ValueError("scene has no local spheres — use the plain sweep")
+
+    # local bounds over sphere extents
+    ext_lo = (c[lids] - r[lids, None]).min(axis=0)
+    ext_hi = (c[lids] + r[lids, None]).max(axis=0)
+    span = np.maximum(ext_hi - ext_lo, 1e-6)
+    nb = tuple(int(x) for x in nb)
+    cell = span / np.asarray(nb, np.float64)
+
+    # sort local spheres by center cell id (z fastest, matching key packing)
+    ci = np.clip(
+        ((c[lids] - ext_lo) / cell).astype(np.int64), 0,
+        np.asarray(nb) - 1,
+    )
+    cell_lin = (ci[:, 0] * nb[1] + ci[:, 1]) * nb[2] + ci[:, 2]
+    lorder = lids[np.argsort(cell_lin, kind="stable")]
+
+    # pad both sets to CHUNK multiples with copies of their last sphere
+    # (duplicate closest-hit candidates are harmless: equal t, same
+    # material; the strict '<' sweep keeps the first)
+    if gids.size == 0:
+        raise ValueError(
+            "scene has no global spheres — binned mode expects wall-class "
+            f"spheres (radius >= {global_radius}); lower global_radius"
+        )
+    gids_p = np.concatenate(
+        [gids, np.repeat(gids[-1:], (-gids.size) % CHUNK)]
+    )
+    lorder_p = np.concatenate(
+        [lorder, np.repeat(lorder[-1:], (-lorder.size) % CHUNK)]
+    )
+    order = np.concatenate([gids_p, lorder_p]).astype(np.int32)
+    n_glob_chunks = gids_p.size // CHUNK
+    n_chunks = lorder_p.size // CHUNK
+
+    k_lo, k_hi = _chunk_aabbs(c[lorder_p], r[lorder_p])
+
+    # origin-cell AABBs; border cells extend to +-inf so rays whose origin
+    # clamps into them (e.g. the camera outside the volume) stay covered
+    bx, by, bz = nb
+    ii, jj, kk = np.meshgrid(
+        np.arange(bx), np.arange(by), np.arange(bz), indexing="ij"
+    )
+    idx = np.stack([ii, jj, kk], axis=-1).reshape(-1, 3)
+    cell_lo = ext_lo + idx * cell
+    cell_hi = cell_lo + cell
+    for a in range(3):
+        cell_lo[:, a] = np.where(idx[:, a] == 0, -np.inf, cell_lo[:, a])
+        cell_hi[:, a] = np.where(
+            idx[:, a] == nb[a] - 1, np.inf, cell_hi[:, a]
+        )
+
+    reach = _reach_masks(cell_lo, cell_hi, k_lo, k_hi)  # (Bo, N_DIR, C)
+    masks = reach.reshape(-1, n_chunks).astype(np.float32)
+
+    return GridAccel(
+        order=jnp.asarray(order),
+        n_glob_chunks=int(n_glob_chunks),
+        n_chunks=int(n_chunks),
+        lo=jnp.asarray(ext_lo, jnp.float32),
+        inv_cell=jnp.asarray(1.0 / cell, jnp.float32),
+        nb=nb,
+        masks=jnp.asarray(masks),
+        l_max=int(l_max),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bin keys, tile ranges, chunk lists (XLA, between kernel launches)
+# ---------------------------------------------------------------------------
+
+
+def _dir_bin(dx, dy, dz):
+    ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    dom = jnp.where(
+        (ax >= ay) & (ax >= az), 0, jnp.where(ay >= az, 1, 2)
+    )
+    bits = (
+        (dx < 0).astype(jnp.int32) * 4
+        + (dy < 0).astype(jnp.int32) * 2
+        + (dz < 0).astype(jnp.int32)
+    )
+    return dom * 8 + bits
+
+
+def _cell_lin(px, py, pz, lo, inv_cell, nb):
+    bx, by, bz = nb
+    cx = jnp.clip(((px - lo[0]) * inv_cell[0]).astype(jnp.int32), 0, bx - 1)
+    cy = jnp.clip(((py - lo[1]) * inv_cell[1]).astype(jnp.int32), 0, by - 1)
+    cz = jnp.clip(((pz - lo[2]) * inv_cell[2]).astype(jnp.int32), 0, bz - 1)
+    return (cx * by + cy) * bz + cz
+
+
+def ray_bin_keys(ox, oy, oz, dx, dy, dz, accel: GridAccel):
+    """Bin key per lane, any shape. key = cell_lin * N_DIR + dir_bin."""
+    cl = _cell_lin(ox, oy, oz, accel.lo, accel.inv_cell, accel.nb)
+    return cl * N_DIR + _dir_bin(dx, dy, dz)
+
+
+def _masked_minmax(key, valid, n_bins):
+    """Per-tile (lo, hi) over valid lanes; empty tiles give lo > hi.
+
+    key/valid: (8, C) planes; tiles are LANE_B-column blocks."""
+    c = key.shape[1]
+    t = c // LANE_B
+    k = key.reshape(SUB, t, LANE_B)
+    v = valid.reshape(SUB, t, LANE_B)
+    lo = jnp.min(jnp.where(v, k, n_bins + 1), axis=(0, 2))
+    hi = jnp.max(jnp.where(v, k, -1), axis=(0, 2))
+    return lo, hi
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "l_max", "n_chunks"))
+def _lists_from_ranges(
+    lo1, hi1, lo2, hi2, masks, n_bins: int, l_max: int, n_chunks: int
+):
+    """Union reach masks over two per-tile bin ranges -> padded chunk lists.
+
+    Returns (lists (T, l_max) int32, counts (T,) int32). counts == -1 flags
+    an overflowing tile (list capacity exceeded): the kernel falls back to
+    sweeping every local chunk for that tile — slower, never wrong."""
+    bins = jnp.arange(n_bins, dtype=jnp.int32)
+    in1 = (bins[None, :] >= lo1[:, None]) & (bins[None, :] <= hi1[:, None])
+    in2 = (bins[None, :] >= lo2[:, None]) & (bins[None, :] <= hi2[:, None])
+    sel = (in1 | in2).astype(jnp.bfloat16)
+    reach = (
+        jax.lax.dot(
+            sel, masks.astype(jnp.bfloat16),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        > 0.0
+    )  # (T, C)
+    counts = jnp.sum(reach, axis=1).astype(jnp.int32)
+
+    def row_list(row):
+        (idx,) = jnp.nonzero(row, size=l_max, fill_value=0)
+        return idx.astype(jnp.int32)
+
+    lists = jax.vmap(row_list)(reach)
+    counts = jnp.where(counts > l_max, -1, counts)
+    return lists, counts
+
+
+def tile_chunk_lists(f, i, cam_vec, config, accel: GridAccel):
+    """Per-tile chunk lists for the CURRENT state (correct regardless of
+    when the state was last sorted).
+
+    Range 1 covers the lanes' live rays; range 2 covers the camera rays any
+    lane could regenerate into this bounce (pixel-corner direction keys —
+    conservative over sub-pixel jitter; binned mode rejects DoF, whose lens
+    jitter would move the origin)."""
+    from smallpt_tpu.ops import megakernel as mk
+
+    n_bins = accel.n_bins
+
+    def plane(buf, idx):
+        return jax.lax.dynamic_slice_in_dim(buf, 8 * idx, 8, axis=0)
+
+    ox, oy, oz = plane(f, mk._F_OX), plane(f, mk._F_OY), plane(f, mk._F_OZ)
+    dx, dy, dz = plane(f, mk._F_DX), plane(f, mk._F_DY), plane(f, mk._F_DZ)
+    alive = plane(i, mk._I_ALIVE) != 0
+    key_live = ray_bin_keys(ox, oy, oz, dx, dy, dz, accel)
+    lo1, hi1 = _masked_minmax(key_live, alive, n_bins)
+
+    pixel_plane = plane(i, mk._I_PIXEL)
+    budget_plane = plane(i, mk._I_BUDGET)
+    s_idx_plane = plane(i, mk._I_SIDX)
+
+    # regeneration keys: 4 pixel-corner camera rays per lane
+    can_regen = (s_idx_plane < budget_plane - 1)
+    w = jnp.float32(config.width)
+    h = jnp.float32(config.height)
+    pix = pixel_plane
+    col = (pix % config.width).astype(jnp.float32)
+    row = (pix // config.width).astype(jnp.float32)
+    # filter support: box offsets stay within +-0.5 px; tent extends to
+    # +-(0.5 + 0.5/jitter_size)
+    from smallpt_tpu.config import Filter, CameraModel
+
+    e = 0.5 if config.filter == Filter.BOX else 0.5 + 0.5 / config.jitter_size
+    scale = 2.0 if config.camera_model == CameraModel.MATRIX else 1.0
+    ax_, ay_, az_ = cam_vec[0, 0], cam_vec[0, 1], cam_vec[0, 2]
+    bx_, by_, bz_ = cam_vec[0, 3], cam_vec[0, 4], cam_vec[0, 5]
+    cx_, cy_, cz_ = cam_vec[0, 6], cam_vec[0, 7], cam_vec[0, 8]
+    o0x, o0y, o0z = cam_vec[0, 9], cam_vec[0, 10], cam_vec[0, 11]
+    push = cam_vec[0, 12]
+
+    # Per-axis cell-coordinate min/max over the corners, packed at the END
+    # (the packed key is monotone per coordinate, so the product box of
+    # corner coords maps INSIDE the packed range; taking min/max of packed
+    # corner keys directly would miss intermediate cells whose packing
+    # falls below both corners). All 24 direction bins are spanned — regen
+    # rays share a camera cell, so this costs little coverage.
+    bx, by, bz = accel.nb
+    cmin = [None, None, None]
+    cmax = [None, None, None]
+    for cx in (-e, e):
+        for cy in (-e, e):
+            sx = scale * ((col + 0.5 + cx) / w - 0.5)
+            sy = scale * ((row + 0.5 + cy) / h - 0.5)
+            gdx = sx * ax_ + sy * bx_ + cx_
+            gdy = sx * ay_ + sy * by_ + cy_
+            gdz = sx * az_ + sy * bz_ + cz_
+            gox = o0x + gdx * push
+            goy = o0y + gdy * push
+            goz = o0z + gdz * push
+            for a, p in enumerate((gox, goy, goz)):
+                cc = jnp.clip(
+                    ((p - accel.lo[a]) * accel.inv_cell[a]).astype(jnp.int32),
+                    0, accel.nb[a] - 1,
+                )
+                cmin[a] = cc if cmin[a] is None else jnp.minimum(cmin[a], cc)
+                cmax[a] = cc if cmax[a] is None else jnp.maximum(cmax[a], cc)
+    key_lo = ((cmin[0] * by + cmin[1]) * bz + cmin[2]) * N_DIR
+    key_hi = ((cmax[0] * by + cmax[1]) * bz + cmax[2]) * N_DIR + (N_DIR - 1)
+    lo2, _ = _masked_minmax(key_lo, can_regen, n_bins)
+    _, hi2 = _masked_minmax(key_hi, can_regen, n_bins)
+
+    return _lists_from_ranges(
+        lo1, hi1, lo2, hi2, accel.masks,
+        n_bins=n_bins, l_max=accel.l_max, n_chunks=accel.n_chunks,
+    )
+
+
+# ---------------------------------------------------------------------------
+# State shuffle (periodic re-sort for tile coherence)
+# ---------------------------------------------------------------------------
+
+
+def _planes_to_flat(p):
+    """(8, C) plane -> (G,) flat in TILE-MAJOR rank order: rank k lives at
+    (sublane (k % TILE_B) // LANE_B, column (k // TILE_B) * LANE_B
+    + k % LANE_B) — consecutive sorted ranks land in the same kernel tile."""
+    c = p.shape[1]
+    t = c // LANE_B
+    return p.reshape(8, t, LANE_B).transpose(1, 0, 2).reshape(-1)
+
+
+def _flat_to_planes(x):
+    g = x.shape[0]
+    t = g // TILE_B
+    return x.reshape(t, 8, LANE_B).transpose(1, 0, 2).reshape(8, t * LANE_B)
+
+
+@jax.jit
+def shuffle_state(f, i, keys):
+    """Sort ALL state planes by per-lane bin key (one fused multi-operand
+    sort — payloads ride the sort network; separate gathers measure ~10x
+    slower at this scale). keys: (8, C) int32 plane; dead-unregenerable
+    lanes should carry a past-the-end key so they sink to the tail."""
+    nf = f.shape[0] // 8
+    ni = i.shape[0] // 8
+    flat = [_planes_to_flat(keys)]
+    for n in range(nf):
+        flat.append(_planes_to_flat(f[8 * n:8 * n + 8]))
+    for n in range(ni):
+        flat.append(_planes_to_flat(i[8 * n:8 * n + 8]))
+    out = jax.lax.sort(tuple(flat), num_keys=1)
+    f2 = jnp.concatenate([_flat_to_planes(x) for x in out[1:1 + nf]], axis=0)
+    i2 = jnp.concatenate(
+        [_flat_to_planes(x) for x in out[1 + nf:]], axis=0
+    )
+    return f2, i2
+
+
+def state_bin_keys(f, i, accel: GridAccel):
+    """Sort keys for the current state: live rays use their bin; exhausted
+    lanes (dead, no budget left) sink past the end so their tiles drain to
+    empty chunk lists. Dead-but-regenerable lanes keep their stale ray's
+    bin — only a coherence (perf) approximation, never a correctness one
+    (tile_chunk_lists folds the exact regen range in separately)."""
+    from smallpt_tpu.ops import megakernel as mk
+
+    def plane(buf, idx):
+        return jax.lax.dynamic_slice_in_dim(buf, 8 * idx, 8, axis=0)
+
+    key = ray_bin_keys(
+        plane(f, mk._F_OX), plane(f, mk._F_OY), plane(f, mk._F_OZ),
+        plane(f, mk._F_DX), plane(f, mk._F_DY), plane(f, mk._F_DZ), accel,
+    )
+    alive = plane(i, mk._I_ALIVE) != 0
+    s_idx = plane(i, mk._I_SIDX)
+    budget_plane = plane(i, mk._I_BUDGET)
+    exhausted = (~alive) & (s_idx >= budget_plane - 1)
+    return jnp.where(exhausted, accel.n_bins, key)

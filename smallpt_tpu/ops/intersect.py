@@ -75,6 +75,20 @@ def _pad_spheres(scene: SphereScene, chunk: int) -> SphereScene:
     return SphereScene(c, r, mat)
 
 
+def sphere_uv(n):
+    """Spherical (u, v) of a unit normal, matching the lat/long grid of the
+    reference's sphere tessellation (makeSphereTriMesh, scene.cpp:3-48:
+    vertex = (sin(phi)cos(th), sin(th), cos(phi)cos(th)), phi in [0, 2pi),
+    th in [-pi/2, pi/2]) — so Mode.UV on an analytic sphere shows the same
+    parameterization the reference's mesh-sphere uv AOV (smallpt.cpp:181)
+    wraps per-quad. n: (..., 3) unit; returns (..., 2) in [0, 1)."""
+    two_pi = 2.0 * float(jnp.pi)
+    phi = jnp.arctan2(n[..., 0], n[..., 2])  # [-pi, pi]
+    u = jnp.mod(phi, two_pi) / two_pi
+    v = jnp.arcsin(jnp.clip(n[..., 1], -1.0, 1.0)) / float(jnp.pi) + 0.5
+    return jnp.stack([u, v], axis=-1)
+
+
 def sphere_hit_t(org, dirs, center, radius, eps, stable: bool = True):
     """Per (lane, sphere) hit distance; inf on miss.
 
@@ -186,7 +200,7 @@ def intersect_spheres(
         prim=inst,
         x=x,
         n=nrm,
-        uv=jnp.zeros((n, 2), org.dtype),
+        uv=jnp.where(ok, sphere_uv(nrm), 0.0).astype(org.dtype),
     )
 
 

@@ -282,11 +282,87 @@ def intersect_spheres_pallas(
     x = org + jnp.where(ok, t[:, None], 0.0) * dirs
     ctr = jnp.take(scene.center, best_i, axis=0)
     nrm = safe_normalize(jnp.where(ok, x - ctr, 1.0))
+    from smallpt_tpu.ops.intersect import sphere_uv
+
     return Hit(
         t=t,
         inst=best_i,
         prim=best_i,
         x=jnp.where(ok, x, 0.0),
         n=nrm,
-        uv=jnp.zeros((n, 2), org.dtype),
+        uv=jnp.where(ok, sphere_uv(nrm), 0.0).astype(org.dtype),
+    )
+
+
+def intersect_spheres_hybrid_diff(
+    org: jnp.ndarray,
+    dirs: jnp.ndarray,
+    scene: SphereScene,
+    eps: float = 1e-4,
+    eps_rel: float = 5e-7,
+    interpret: bool | None = None,
+) -> Hit:
+    """Differentiable closest hit at Pallas speed: non-differentiable winner
+    search through the Mosaic kernel, then a differentiable single-sphere
+    replay of the stable hit equation for each lane's winner only.
+
+    The pure-JAX differentiable path (ops/intersect.py::intersect_spheres)
+    differentiates the FULL chunked (lanes x spheres) sweep — correct but
+    ~the whole sweep again on the backward pass. Here the discrete argmin
+    (which sphere is closest) is detached — exactly the detached-sampling
+    estimator's semantics (RenderConfig.detach_sampling docstring): the
+    winner choice is a discrete event whose flip is a visibility
+    discontinuity, already outside the documented bias envelope — while
+    t(center, radius), the hit point, and the normal stay differentiable
+    through a per-lane replay that costs O(lanes), not O(lanes x spheres).
+
+    The replay uses the same cancellation-stable citardauq arithmetic as the
+    kernel, so primal values match the kernel's up to compilation-level FMA
+    noise (razor-edge paths only — the same floor as mega-vs-JAX parity).
+    """
+    from smallpt_tpu.core.math import safe_sqrt
+
+    sg = jax.lax.stop_gradient
+    nd_scene = jax.tree.map(sg, scene)
+    hit_nd = intersect_spheres_pallas(
+        sg(org), sg(dirs), nd_scene, eps=eps, eps_rel=eps_rel,
+        interpret=interpret,
+    )
+    idx = hit_nd.inst
+    kernel_hit = jnp.isfinite(hit_nd.t)
+
+    c = jnp.take(scene.center, idx, axis=0)  # (N,3) differentiable gather
+    r = jnp.take(scene.radius, idx)          # (N,)
+    eps_i = jnp.maximum(jnp.asarray(eps, org.dtype), eps_rel * r)
+
+    # per-lane stable replay (sphere_hit_t math, S==1 specialization)
+    op = c - org
+    b = jnp.sum(op * dirs, axis=-1)
+    fp = op - b[:, None] * dirs
+    pp = jnp.sum(fp * fp, axis=-1)
+    sp = safe_sqrt(pp)
+    det = (r - sp) * (r + sp)
+    s = safe_sqrt(jnp.maximum(det, 0.0))
+    opn = safe_sqrt(b * b + pp)
+    cc = (opn - r) * (opn + r)
+    denom = b + s
+    t_near = jnp.where(
+        denom > 0.0, cc / jnp.where(denom == 0.0, 1.0, denom), -jnp.inf
+    )
+    t = jnp.where(t_near > eps_i, t_near,
+                  jnp.where(denom > eps_i, denom, jnp.inf))
+    # a lane is a hit iff the KERNEL said so (primal/replay disagreement is
+    # confined to razor-edge roots; the kernel's verdict keeps the forward
+    # image identical to the forward-only path)
+    t = jnp.where(kernel_hit & (det >= 0.0), t, jnp.inf)
+    ok = jnp.isfinite(t)[:, None]
+    x = org + jnp.where(ok, t[:, None], 0.0) * dirs
+    nrm = safe_normalize(jnp.where(ok, x - c, 1.0))
+    return Hit(
+        t=t,
+        inst=idx,
+        prim=idx,
+        x=jnp.where(ok, x, 0.0),
+        n=nrm,
+        uv=jnp.zeros((org.shape[0], 2), org.dtype),
     )

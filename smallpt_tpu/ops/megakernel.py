@@ -1089,3 +1089,502 @@ def stream_variance(f, i, config: RenderConfig, n_rows: int | None = None):
         var.reshape(-1)[:G].reshape(shape),
         n.reshape(-1)[:G].reshape(shape),
     )
+
+
+# ---------------------------------------------------------------------------
+# BINNED streaming: the culled-sweep bounce kernel for big scenes.
+#
+# One bounce per launch (chunk lists are computed per bounce outside —
+# ops/accel.py::tile_chunk_lists — so an in-kernel multi-bounce loop would
+# outrun its own lists). Tiles are 1024 lanes (accel.LANE_B columns) — the
+# coherence granularity of the sort-binned scheduler. State carries an
+# explicit pixel plane (_I_PIXEL): lanes are free to move between tiles
+# (periodic bin sort), and sample streams stay placement-invariant because
+# streaming keying v2 depends only on (pixel, ip).
+#
+# Sweep = global spheres (giant walls/light, always) + ONLY the tile's
+# listed local chunks; the winner-select material pass walks the same short
+# sequence, so the material-fold cost that capped the classic megakernel at
+# MEGA_MAX_SPHERES scales down with culling too.
+# ---------------------------------------------------------------------------
+
+_LANE_B = 128          # lanes per binned tile column block (accel.LANE_B)
+_I_PIXEL = 6           # extra int plane in binned state (after classic 6)
+_NI_B = _NI + 1
+
+
+def _binned_kernel(
+    cnt_ref,     # (T,) int32 scalar-prefetch: per-tile list length; -1 =>
+                 # overflow, sweep every local chunk (slow, never wrong)
+    lst_ref,     # (T, l_max) int32 scalar-prefetch: local chunk ids
+    kw_ref,      # (1, 2) uint32 SMEM key words
+    ipv_ref,     # (1, 4) int32 SMEM: [ip_offset, 0, 0, 0]
+    cam_ref,     # (1, 16) f32 SMEM camera vec
+    tbl_ref,     # (S_pad, 16) f32 VMEM: global chunks then local chunks
+    f_ref, i_ref, f_out, i_out,
+    *,
+    config: RenderConfig,
+    n_glob_chunks: int,
+    n_chunks: int,
+):
+    t = pl.program_id(0)
+    shp = (_SUB, _LANE_B)
+
+    fplane = lambda idx: f_ref[pl.ds(8 * idx, 8), :]
+    iplane = lambda idx: i_ref[pl.ds(8 * idx, 8), :]
+
+    ox = fplane(_F_OX); oy = fplane(_F_OY); oz = fplane(_F_OZ)
+    dx = fplane(_F_DX); dy = fplane(_F_DY); dz = fplane(_F_DZ)
+    wx = fplane(_F_WX); wy = fplane(_F_WY); wz = fplane(_F_WZ)
+    rx = fplane(_F_RX); ry = fplane(_F_RY); rz = fplane(_F_RZ)
+    m1 = fplane(_F_M1); m2 = fplane(_F_M2)
+    depth = iplane(_I_DEPTH)
+    s_idx = iplane(_I_SIDX)
+    alive = iplane(_I_ALIVE) != 0
+    nrays = iplane(_I_RAYS)
+    budget = iplane(_I_BUDGET)
+    pixel = iplane(_I_PIXEL)
+
+    k0 = kw_ref[0, 0]
+    k1 = kw_ref[0, 1]
+    ip_offset = ipv_ref[0, 0]
+
+    W, H = config.width, config.height
+    pix_col = pixel % W
+    pix_row = pixel // W
+
+    # ---- regenerate dead lanes (identical math to _mega_kernel, pixel from
+    # the plane; streaming keying v2) --------------------------------------
+    need = jnp.logical_and(jnp.logical_not(alive), s_idx < budget - 1)
+    cur_lum = (rx + ry + rz) * jnp.float32(1.0 / 3.0)
+    delta = cur_lum - m1
+    m2 = jnp.where(need, m2 + delta * delta, m2)
+    m1 = jnp.where(need, cur_lum, m1)
+    s_idx = jnp.where(need, s_idx + 1, s_idx)
+    ip = ip_offset + s_idx
+    wa = pltpu.bitcast(pixel, jnp.uint32) ^ k0
+    wb = k1 ^ (pltpu.bitcast(ip, jnp.uint32) * jnp.uint32(_STREAM_IP_MULT))
+    js = config.jitter_size
+    group = (ip // config.spp_per_cell) % (js * js)
+    cx_cell = (group % js).astype(jnp.float32)
+    cy_cell = (group // js).astype(jnp.float32)
+
+    ua, ub, _, _ = _pcg4d(
+        wa, wb,
+        jnp.full(shp, jnp.uint32(_CAMERA_SALT)),
+        jnp.broadcast_to(k0 + k1, shp),
+    )
+    u0 = _to_unit(ua)
+    u1 = _to_unit(ub)
+    if config.filter == Filter.TENT:
+        r0 = 2.0 * u0
+        r1t = 2.0 * u1
+        f0 = jnp.where(r0 < 1.0, jnp.sqrt(r0) - 1.0,
+                       1.0 - jnp.sqrt(jnp.maximum(2.0 - r0, 0.0)))
+        f1 = jnp.where(r1t < 1.0, jnp.sqrt(r1t) - 1.0,
+                       1.0 - jnp.sqrt(jnp.maximum(2.0 - r1t, 0.0)))
+        off0 = (cx_cell + 0.5 + f0) / js - 0.5
+        off1 = (cy_cell + 0.5 + f1) / js - 0.5
+    else:
+        off0 = (cx_cell + u0) / js - 0.5
+        off1 = (cy_cell + u1) / js - 0.5
+
+    sx = (pix_col.astype(jnp.float32) + 0.5 + off0) / W - 0.5
+    sy = (pix_row.astype(jnp.float32) + 0.5 + off1) / H - 0.5
+    if config.camera_model == CameraModel.MATRIX:
+        sx = 2.0 * sx
+        sy = 2.0 * sy
+    ax, ay, az = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    bx, by, bz = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+    cxv, cyv, czv = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+    o0x, o0y, o0z = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+    push = cam_ref[0, 12]
+    gdx = sx * ax + sy * bx + cxv
+    gdy = sx * ay + sy * by + cyv
+    gdz = sx * az + sy * bz + czv
+    gox = o0x + gdx * push
+    goy = o0y + gdy * push
+    goz = o0z + gdz * push
+    ndx, ndy, ndz = _normalize3(gdx, gdy, gdz)
+
+    ox = jnp.where(need, gox, ox)
+    oy = jnp.where(need, goy, oy)
+    oz = jnp.where(need, goz, oz)
+    dx = jnp.where(need, ndx, dx)
+    dy = jnp.where(need, ndy, dy)
+    dz = jnp.where(need, ndz, dz)
+    one = jnp.float32(1.0)
+    wx = jnp.where(need, one, wx)
+    wy = jnp.where(need, one, wy)
+    wz = jnp.where(need, one, wz)
+    depth = jnp.where(need, 0, depth)
+    alive = jnp.logical_or(alive, need)
+    nrays = nrays + alive.astype(jnp.int32)
+
+    # ---- culled closest-hit sweep ----------------------------------------
+    def chunk_fold(cid, carry):
+        bt, bi = carry
+        blk = tbl_ref[pl.ds(cid * 8, 8), :]
+        for r in range(8):
+            tt = _shadow_tt(ox, oy, oz, dx, dy, dz,
+                            blk[r, 0], blk[r, 1], blk[r, 2],
+                            blk[r, 3], blk[r, 4])
+            better = tt < bt
+            sid_f = (cid * 8 + r).astype(jnp.float32)
+            bt = jnp.where(better, tt, bt)
+            bi = jnp.where(better, sid_f, bi)
+        return (bt, bi)
+
+    # overflow (n_list < 0) degrades to sweeping every local chunk; both
+    # cases share ONE loop with a scalar select on the chunk id (a lax.cond
+    # duplicating the unrolled loop bodies compiles pathologically slowly
+    # in Mosaic)
+    n_list = cnt_ref[t]
+    full_sweep = n_list < 0
+    n_eff = jnp.where(full_sweep, n_chunks, n_list)
+
+    def local_cid(j):
+        return n_glob_chunks + jnp.where(full_sweep, j, lst_ref[t, j])
+
+    carry0 = (
+        jnp.full(shp, _BIG, jnp.float32),
+        jnp.full(shp, -1.0, jnp.float32),
+    )
+    carry = jax.lax.fori_loop(
+        0, n_glob_chunks, lambda c, cr: chunk_fold(c, cr), carry0
+    )
+    bt, bi = jax.lax.fori_loop(
+        0, n_eff, lambda j, c: chunk_fold(local_cid(j), c), carry
+    )
+
+    # winner-select walks the SAME short chunk sequence (fold cost scales
+    # with the culled set, not the scene)
+    def pick_chunk(cid, vals):
+        blk = tbl_ref[pl.ds(cid * 8, 8), :]
+        for r in range(8):
+            m = bi == (cid * 8 + r).astype(jnp.float32)
+            cols = (5, 6, 7, 8, 9, 10, 11, 0, 1, 2, 3)
+            vals = [
+                jnp.where(m, blk[r, col], v) for col, v in zip(cols, vals)
+            ]
+        return vals
+
+    vals0 = [jnp.zeros(shp, jnp.float32)] * 10 + [jnp.ones(shp, jnp.float32)]
+    vals = jax.lax.fori_loop(
+        0, n_glob_chunks, lambda c, v: pick_chunk(c, v), vals0
+    )
+    vals = jax.lax.fori_loop(
+        0, n_eff, lambda j, v: pick_chunk(local_cid(j), v), vals
+    )
+    (em_x, em_y, em_z, al_x, al_y, al_z, refl, bcx, bcy, bcz, br) = vals
+
+    hit = bt < _BIG
+    live_hit = jnp.logical_and(alive, hit)
+
+    hx = ox + bt * dx
+    hy = oy + bt * dy
+    hz = oz + bt * dz
+    nx0 = hx - bcx
+    ny0 = hy - bcy
+    nz0 = hz - bcz
+    nx, ny, nz = _normalize3(
+        jnp.where(hit, nx0, 1.0), jnp.where(hit, ny0, 0.0),
+        jnp.where(hit, nz0, 0.0),
+    )
+    if config.flip_normals:
+        ndot = nx * dx + ny * dy + nz * dz
+        flip = ndot < 0.0
+        nlx = jnp.where(flip, nx, -nx)
+        nly = jnp.where(flip, ny, -ny)
+        nlz = jnp.where(flip, nz, -nz)
+    else:
+        nlx, nly, nlz = nx, ny, nz
+
+    rx = rx + jnp.where(live_hit, wx * em_x, 0.0)
+    ry = ry + jnp.where(live_hit, wy * em_y, 0.0)
+    rz = rz + jnp.where(live_hit, wz * em_z, 0.0)
+
+    sa, sb, sc, sd_ = _pcg4d(
+        wa, wb,
+        pltpu.bitcast(depth, jnp.uint32) + jnp.uint32(_GOLDEN),
+        jnp.broadcast_to(k0 + k1, shp),
+    )
+    u_rr = _to_unit(sa)
+    u_b1 = _to_unit(sb)
+    u_b2 = _to_unit(sc)
+    u_ch = _to_unit(sd_)
+
+    p_rr = jnp.maximum(al_x, jnp.maximum(al_y, al_z))
+    rr_active = depth > config.rr_depth
+    survive = jnp.logical_or(jnp.logical_not(rr_active), u_rr < p_rr)
+    boost = jnp.where(
+        jnp.logical_and(rr_active, survive),
+        1.0 / jnp.maximum(p_rr, 1e-12), 1.0,
+    )
+    fx_ = al_x * boost
+    fy_ = al_y * boost
+    fz_ = al_z * boost
+
+    r1 = jnp.float32(2.0 * np.pi) * u_b1
+    r2s = jnp.sqrt(u_b2)
+    bigx = jnp.abs(nlx) > 0.1
+    upx = jnp.where(bigx, 0.0, 1.0)
+    upy = jnp.where(bigx, 1.0, 0.0)
+    tux = upy * nlz
+    tuy = -upx * nlz
+    tuz = upx * nly - upy * nlx
+    tux, tuy, tuz = _normalize3(tux, tuy, tuz)
+    tvx = nly * tuz - nlz * tuy
+    tvy = nlz * tux - nlx * tuz
+    tvz = nlx * tuy - nly * tux
+    cr1 = jnp.cos(r1) * r2s
+    sr1 = jnp.sin(r1) * r2s
+    wzc = jnp.sqrt(jnp.maximum(1.0 - u_b2, 0.0))
+    ddx = tux * cr1 + tvx * sr1 + nlx * wzc
+    ddy = tuy * cr1 + tvy * sr1 + nly * wzc
+    ddz = tuz * cr1 + tvz * sr1 + nlz * wzc
+    ddx, ddy, ddz = _normalize3(ddx, ddy, ddz)
+
+    nd = nx * dx + ny * dy + nz * dz
+    msx = dx - nx * (2.0 * nd)
+    msy = dy - ny * (2.0 * nd)
+    msz = dz - nz * (2.0 * nd)
+
+    into = (nx * nlx + ny * nly + nz * nlz) > 0.0
+    nc = jnp.float32(1.0)
+    nt = jnp.float32(config.ior)
+    nnt = jnp.where(into, nc / nt, nt / nc)
+    ddn = dx * nlx + dy * nly + dz * nlz
+    cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+    tir = cos2t < 0.0
+    sq = jnp.sqrt(jnp.maximum(cos2t, 0.0))
+    sgn = jnp.where(into, 1.0, -1.0)
+    tfac = sgn * (ddn * nnt + sq)
+    tdx = dx * nnt - nx * tfac
+    tdy = dy * nnt - ny * tfac
+    tdz = dz * nnt - nz * tfac
+    tdx, tdy, tdz = _normalize3(
+        jnp.where(tir, 1.0, tdx), jnp.where(tir, 0.0, tdy),
+        jnp.where(tir, 0.0, tdz),
+    )
+    a_ = nt - nc
+    b2_ = nt + nc
+    r0_ = (a_ * a_) / (b2_ * b2_)
+    cterm = 1.0 - jnp.where(into, -ddn, tdx * nx + tdy * ny + tdz * nz)
+    re = r0_ + (1.0 - r0_) * cterm * cterm * cterm * cterm * cterm
+    tr_ = 1.0 - re
+    p_refl = 0.25 + 0.5 * re
+    choose_refl = u_ch < p_refl
+    use_spec_dir = jnp.logical_or(tir, choose_refl)
+    rfx = jnp.where(use_spec_dir, msx, tdx)
+    rfy = jnp.where(use_spec_dir, msy, tdy)
+    rfz = jnp.where(use_spec_dir, msz, tdz)
+    refr_w = jnp.where(
+        tir, 1.0, jnp.where(choose_refl, re / p_refl, tr_ / (1.0 - p_refl))
+    )
+
+    is_diff = refl < 0.5
+    is_spec = jnp.logical_and(refl >= 0.5, refl < 1.5)
+    is_refr = refl >= 1.5
+
+    newdx = jnp.where(is_diff, ddx, jnp.where(is_spec, msx, rfx))
+    newdy = jnp.where(is_diff, ddy, jnp.where(is_spec, msy, rfy))
+    newdz = jnp.where(is_diff, ddz, jnp.where(is_spec, msz, rfz))
+    wf = jnp.where(is_refr, refr_w, 1.0)
+    wfx = fx_ * wf
+    wfy = fy_ * wf
+    wfz = fz_ * wf
+
+    transmitted = jnp.logical_and(
+        is_refr, jnp.logical_and(jnp.logical_not(tir),
+                                 jnp.logical_not(choose_refl))
+    )
+    eps_off = jnp.where(transmitted, -config.shading_eps, config.shading_eps)
+    nox = hx + eps_off * nlx
+    noy = hy + eps_off * nly
+    noz = hz + eps_off * nlz
+
+    parent = jnp.logical_and(live_hit, survive)
+    ox = jnp.where(parent, nox, ox)
+    oy = jnp.where(parent, noy, oy)
+    oz = jnp.where(parent, noz, oz)
+    dx = jnp.where(parent, newdx, dx)
+    dy = jnp.where(parent, newdy, dy)
+    dz = jnp.where(parent, newdz, dz)
+    wx = jnp.where(parent, wx * wfx, wx)
+    wy = jnp.where(parent, wy * wfy, wy)
+    wz = jnp.where(parent, wz * wfz, wz)
+    depth = depth + 1
+    alive = jnp.logical_and(parent, depth < config.max_depth)
+
+    def wf_(idx, v):
+        f_out[pl.ds(8 * idx, 8), :] = v
+
+    def wi_(idx, v):
+        i_out[pl.ds(8 * idx, 8), :] = v
+
+    wf_(_F_OX, ox); wf_(_F_OY, oy); wf_(_F_OZ, oz)
+    wf_(_F_DX, dx); wf_(_F_DY, dy); wf_(_F_DZ, dz)
+    wf_(_F_WX, wx); wf_(_F_WY, wy); wf_(_F_WZ, wz)
+    wf_(_F_RX, rx); wf_(_F_RY, ry); wf_(_F_RZ, rz)
+    wf_(_F_M1, m1); wf_(_F_M2, m2)
+    wi_(_I_DEPTH, depth)
+    wi_(_I_SIDX, s_idx)
+    wi_(_I_ALIVE, alive.astype(jnp.int32))
+    wi_(_I_RAYS, nrays)
+    wi_(_I_SUP, iplane(_I_SUP))
+    wi_(_I_BUDGET, budget)
+    wi_(_I_PIXEL, pixel)
+
+
+def _binned_geometry(config: RenderConfig):
+    g = config.n_pixels
+    n_tiles = -(-g // (_SUB * _LANE_B))
+    n_cols = n_tiles * _LANE_B
+    return g, n_tiles, n_cols
+
+
+def init_binned_state(config: RenderConfig):
+    """Fresh binned stream state: classic planes + a pixel-identity plane
+    (canonical order; a bin sort may permute lanes at any time)."""
+    g, n_tiles, n_cols = _binned_geometry(config)
+    f0 = jnp.zeros((_SUB * _NF, n_cols), jnp.float32)
+    lane = (
+        jnp.arange(_SUB, dtype=jnp.int32)[:, None] * n_cols
+        + jnp.arange(n_cols, dtype=jnp.int32)[None, :]
+    )
+    i0 = jnp.concatenate(
+        [
+            jnp.zeros((_SUB, n_cols), jnp.int32),      # depth
+            jnp.full((_SUB, n_cols), -1, jnp.int32),   # s_idx
+            jnp.zeros((_SUB, n_cols), jnp.int32),      # alive
+            jnp.zeros((_SUB, n_cols), jnp.int32),      # rays
+            jnp.zeros((_SUB, n_cols), jnp.int32),      # budget
+            jnp.zeros((_SUB, n_cols), jnp.int32),      # sup (unused: no NEE)
+            lane,                                       # pixel identity
+        ],
+        axis=0,
+    )
+    return f0, i0
+
+
+def set_binned_budget(i, budget, config: RenderConfig):
+    """Raise the uniform per-pixel sample budget (scalar; padded lanes —
+    pixel >= n_pixels — stay at 0 regardless of lane placement)."""
+    g = config.n_pixels
+    pixel = jax.lax.dynamic_slice_in_dim(i, 8 * _I_PIXEL, 8, axis=0)
+    old = jax.lax.dynamic_slice_in_dim(i, 8 * _I_BUDGET, 8, axis=0)
+    plane = jnp.where(
+        pixel < g, jnp.maximum(jnp.asarray(budget, jnp.int32), old), old
+    )
+    return jax.lax.dynamic_update_slice_in_dim(i, plane, 8 * _I_BUDGET, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "n_glob_chunks", "n_chunks", "interpret"),
+)
+def stream_step_binned(
+    table,        # (S_pad, 16) f32 — reordered scene table (accel.order)
+    cam_vec,      # (1, 16) f32 — build_camera_vec output
+    config: RenderConfig,
+    key: jax.Array,
+    f, i,
+    lists,        # (T, l_max) int32 — ops/accel.py::tile_chunk_lists
+    counts,       # (T,) int32 (-1 => full local sweep for that tile)
+    ip_offset=0,
+    n_glob_chunks: int = 2,
+    n_chunks: int = 0,
+    interpret: bool | None = None,
+):
+    """ONE culled bounce over the whole binned stream state."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    g, n_tiles, n_cols = _binned_geometry(config)
+
+    kw = jax.random.key_data(key).astype(jnp.uint32).reshape(1, -1)[:, :2]
+    ipv = jnp.stack([
+        jnp.asarray(ip_offset, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    ]).reshape(1, 4)
+
+    kernel = functools.partial(
+        _binned_kernel,
+        config=config,
+        n_glob_chunks=n_glob_chunks,
+        n_chunks=n_chunks,
+    )
+    s_pad = table.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # kw
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # ipv
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # cam
+            pl.BlockSpec((s_pad, 16), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),                   # table
+            pl.BlockSpec((_SUB * _NF, _LANE_B), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),                   # f
+            pl.BlockSpec((_SUB * _NI_B, _LANE_B), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),                   # i
+        ],
+        out_specs=[
+            pl.BlockSpec((_SUB * _NF, _LANE_B), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUB * _NI_B, _LANE_B), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    rays_before = jnp.sum(
+        jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
+        .astype(jnp.float32)
+    )
+    f, i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((_SUB * _NF, n_cols), jnp.float32),
+            jax.ShapeDtypeStruct((_SUB * _NI_B, n_cols), jnp.int32),
+        ],
+        input_output_aliases={6: 0, 7: 1},
+        interpret=interpret,
+    )(counts, lists, kw, ipv, cam_vec, table, f, i)
+    rays = jnp.sum(
+        jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
+        .astype(jnp.float32)
+    ) - rays_before
+    return f, i, rays
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def binned_image(f, i, config: RenderConfig):
+    """(radiance (H, W, 3), completed-sample weights (H, W)) regardless of
+    current lane placement: lanes are keyed back to pixel order with one
+    small sort (pixel ids are a permutation of 0..G_pad-1, so the sort IS
+    the inverse placement)."""
+    g = config.n_pixels
+    pixel = jax.lax.dynamic_slice_in_dim(
+        i, 8 * _I_PIXEL, 8, axis=0
+    ).reshape(-1)
+    s_idx = jax.lax.dynamic_slice_in_dim(
+        i, 8 * _I_SIDX, 8, axis=0
+    ).reshape(-1)
+    alive = jax.lax.dynamic_slice_in_dim(
+        i, 8 * _I_ALIVE, 8, axis=0
+    ).reshape(-1)
+    done = (s_idx + 1 - alive).astype(jnp.float32)
+
+    def plane(idx):
+        return jax.lax.dynamic_slice_in_dim(f, 8 * idx, 8, axis=0).reshape(-1)
+
+    _, rxs, rys, rzs, dns = jax.lax.sort(
+        (pixel, plane(_F_RX), plane(_F_RY), plane(_F_RZ), done), num_keys=1
+    )
+    rad = jnp.stack([rxs[:g], rys[:g], rzs[:g]], axis=-1)
+    return (
+        rad.reshape(config.height, config.width, 3),
+        dns[:g].reshape(config.height, config.width),
+    )

@@ -264,6 +264,13 @@ class Oracle:
 
         if cfg.mode == Mode.NORMAL:
             return nl.copy()
+        if cfg.mode == Mode.UV:
+            # spherical parameterization of the UNFLIPPED normal, matching
+            # ops/intersect.py::sphere_uv (the makeSphereTriMesh lat/long
+            # grid, scene.cpp:3-48)
+            phi = float(np.arctan2(n[0], n[2])) % (2.0 * np.pi)
+            v = float(np.arcsin(np.clip(n[1], -1.0, 1.0))) / np.pi + 0.5
+            return np.array([phi / (2.0 * np.pi), v, 0.0])
 
         emission = self.emission[i]
         if cfg.nee_lights and i in cfg.nee_lights:

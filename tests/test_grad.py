@@ -161,3 +161,36 @@ def test_inverse_rendering_converges():
     err0 = np.abs(np.asarray(wrong.albedo[0]) - np.asarray(params.albedo[0])).mean()
     err1 = np.abs(np.asarray(scene.material.albedo[0]) - np.asarray(params.albedo[0])).mean()
     assert err1 < 0.5 * err0, (err0, err1)
+
+
+def test_hybrid_pallas_gradients_match_jax_path(setup):
+    """The hybrid diff intersector (Pallas winner search + per-lane
+    differentiable replay, intersect_spheres_hybrid_diff) must reproduce
+    the pure-JAX path's gradients: same detached-argmin estimator, same
+    stable hit arithmetic — differences limited to razor-edge rounding."""
+    from smallpt_tpu.config import Intersector
+
+    scene, cam, key, target = setup
+    cfg_h = CFG.replace(intersector=Intersector.PALLAS)
+    _, img_j, g_j = image_loss_and_grads(scene, cam, CFG, key, target)
+    _, img_h, g_h = image_loss_and_grads(scene, cam, cfg_h, key, target)
+    # forward images agree (same streams, same winner verdicts)
+    assert np.allclose(np.asarray(img_j), np.asarray(img_h),
+                       rtol=5e-3, atol=5e-3)
+    for name in ("albedo", "emission"):
+        a = np.asarray(getattr(g_j, name))
+        b = np.asarray(getattr(g_h, name))
+        assert np.allclose(a, b, rtol=0.05, atol=1e-5 + 0.02 * np.abs(a).max()), name
+
+
+def test_hybrid_pallas_albedo_gradient_matches_fd(setup):
+    """FD check directly against the hybrid path (not just cross-path)."""
+    from smallpt_tpu.config import Intersector
+
+    scene, cam, key, target = setup
+    cfg_h = CFG.replace(intersector=Intersector.PALLAS)
+    _, _, grads = image_loss_and_grads(scene, cam, cfg_h, key, target)
+    idx = (0, 0)
+    fd = _fd_loss(scene, cam, cfg_h, key, target, "albedo", idx, 1e-3)
+    an = float(grads.albedo[idx])
+    assert abs(an - fd) < 5e-3 * max(1.0, abs(fd)) + 1e-4, (an, fd)

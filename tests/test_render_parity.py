@@ -98,3 +98,28 @@ def test_reproducibility_same_key():
     np.testing.assert_array_equal(a, b)
     c = np.asarray(render(scene, cam, cfg, prng.base_key(8)))
     assert not np.array_equal(a, c)
+
+
+def test_uv_aov_parity_on_spheres():
+    """Mode.UV on an analytic-sphere scene: spherical lat/long uv
+    (ops/intersect.py::sphere_uv, the makeSphereTriMesh grid analog) must
+    match the oracle's parameterization — pre-round-2 this AOV rendered
+    black on sphere scenes (Hit.uv was hardwired 0)."""
+    cfg = RenderConfig(
+        width=12, height=12, spp_per_cell=1, mode=Mode.UV,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT, max_depth=2,
+    )
+    scene, cam = cornell_box_scene(), smallpt_camera()
+    key = prng.base_key(5)
+    img = np.asarray(render(scene, cam, cfg, key)) / cfg.spp
+    oracle = Oracle(scene, cam, cfg,
+                    PrecomputedUniformProvider(key, cfg.n_pixels * cfg.spp))
+    oimg = oracle.render() / cfg.spp
+    # the AOV must not be black, and must agree with the oracle closely
+    # (u wraps at phi=0: a razor-straddling sample can land on either side,
+    # so compare circularly in the u channel)
+    assert img[..., :2].max() > 0.1
+    du = np.abs(img[..., 0] - oimg[..., 0])
+    du = np.minimum(du, 1.0 - du)
+    assert (du < 5e-3).mean() > 0.98, du.max()
+    assert np.allclose(img[..., 1], oimg[..., 1], atol=5e-3)

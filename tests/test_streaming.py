@@ -190,3 +190,17 @@ def test_v1_checkpoint_refused(tmp_path):
     np.savez(p, **data)
     with pytest.raises(ValueError, match="keying v1"):
         r.load_checkpoint(p)
+
+
+def test_step_timed_equal_time_mode():
+    """Equal-time stepping produces valid progressive state and adapts its
+    iteration budget from measured throughput."""
+    r = StreamingRenderer(cornell_box_scene(), smallpt_camera(), CFG, seed=0)
+    total = 0
+    for _ in range(3):
+        total += r.step_timed(target_ms=50.0, add_samples=2)
+    assert total > 0
+    assert getattr(r, "_iters_per_s") > 0
+    r.flush()
+    _, w = r.accumulators()
+    assert (np.asarray(w) == 6).all()
