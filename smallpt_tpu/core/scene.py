@@ -255,3 +255,53 @@ def mesh_scene_from_spheres(
         tri_inst=jnp.asarray(np.concatenate(all_inst), dtype=jnp.int32),
         material=scene.material,
     )
+
+
+def transform_points(t34, p):
+    """Apply a (3,4) affine transform to (N,3) points (row-vector form)."""
+    t34 = np.asarray(t34, np.float64)
+    return p @ t34[:, :3].T + t34[:, 3]
+
+
+def make_instanced_mesh_scene(instances, dtype=jnp.float32) -> MeshScene:
+    """Build a MeshScene from per-instance (mesh, transform) pairs — the
+    OptiX instance model (rtpModelSetInstances with per-instance 3x4
+    transforms, smallpt.cpp:518-530), TPU-first: transforms are BAKED into
+    the flattened triangle table at build time (XLA wants one static
+    geometry buffer, not per-instance indirection at traversal; the
+    reference's own build step similarly re-finalizes the instanced model
+    up front).
+
+    instances: list of (positions (V,3), normals (V,3), indices (T,3),
+    transform (3,4) or None, material (emission3, albedo3, refl)).
+    Normals are transformed by the inverse-transpose of the linear part and
+    re-normalized (correct under non-uniform scale)."""
+    all_pos, all_nrm, all_idx, all_inst, mats = [], [], [], [], []
+    v_off = 0
+    for inst_id, (pos, nrm, idx, t34, mat) in enumerate(instances):
+        pos = np.asarray(pos, np.float64)
+        nrm = np.asarray(nrm, np.float64)
+        idx = np.asarray(idx, np.int64)
+        if t34 is not None:
+            t34 = np.asarray(t34, np.float64)
+            if t34.shape != (3, 4):
+                raise ValueError(f"transform must be (3,4), got {t34.shape}")
+            pos = transform_points(t34, pos)
+            lin_it = np.linalg.inv(t34[:, :3]).T
+            nrm = nrm @ lin_it.T
+            nrm /= np.maximum(
+                np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20
+            )
+        all_pos.append(pos)
+        all_nrm.append(nrm)
+        all_idx.append(idx + v_off)
+        all_inst.append(np.full((idx.shape[0],), inst_id, np.int32))
+        mats.append(mat)
+        v_off += pos.shape[0]
+    return MeshScene(
+        positions=jnp.asarray(np.concatenate(all_pos), dtype=dtype),
+        normals=jnp.asarray(np.concatenate(all_nrm), dtype=dtype),
+        indices=jnp.asarray(np.concatenate(all_idx), dtype=jnp.int32),
+        tri_inst=jnp.asarray(np.concatenate(all_inst), dtype=jnp.int32),
+        material=_mat(mats, dtype=dtype),
+    )

@@ -70,18 +70,29 @@ class PrecomputedUniformProvider(JaxUniformProvider):
     shade uniforms fetched lazily one (hist, depth) plane at a time — makes
     whole-image oracle renders tractable."""
 
-    def __init__(self, seed_or_key, n_samples: int):
+    def __init__(self, seed_or_key, n_samples: int | None = None, sids=None):
+        """Either n_samples (dense sids 0..n-1, whole-frame renders) or an
+        explicit sids array (sparse pixel-subsample renders at large
+        resolutions — the mid-res statistical gate in tests/test_golden.py)."""
         super().__init__(seed_or_key)
-        self.n = n_samples
-        sids = np.arange(n_samples, dtype=np.int32)
+        if sids is None:
+            sids = np.arange(n_samples, dtype=np.int32)
+            self._idx = None
+        else:
+            sids = np.asarray(sids, np.int32)
+            self._idx = {int(s): i for i, s in enumerate(sids)}
+        self.n = sids.shape[0]
         self._cam = np.asarray(
             prng.camera_uniforms(self.key, sids), dtype=np.float64
         )
         self._sids = sids
         self._shade = {}
 
+    def _slot(self, sample_id: int) -> int:
+        return sample_id if self._idx is None else self._idx[int(sample_id)]
+
     def camera(self, sample_id: int) -> np.ndarray:
-        return self._cam[sample_id]
+        return self._cam[self._slot(sample_id)]
 
     def shade(self, sample_id: int, hist: int, depth: int) -> np.ndarray:
         plane = self._shade.get((hist, depth))
@@ -96,7 +107,7 @@ class PrecomputedUniformProvider(JaxUniformProvider):
                 dtype=np.float64,
             )
             self._shade[(hist, depth)] = plane
-        return plane[sample_id]
+        return plane[self._slot(sample_id)]
 
     def lens(self, sample_id: int) -> np.ndarray:
         plane = self._shade.get("lens")
@@ -105,7 +116,7 @@ class PrecomputedUniformProvider(JaxUniformProvider):
                 prng.lens_uniforms(self.key, self._sids), dtype=np.float64
             )
             self._shade["lens"] = plane
-        return plane[sample_id]
+        return plane[self._slot(sample_id)]
 
     def nee(self, sample_id: int, hist: int, depth: int, slot: int) -> np.ndarray:
         plane = self._shade.get(("nee", hist, depth, slot))
@@ -121,7 +132,7 @@ class PrecomputedUniformProvider(JaxUniformProvider):
                 dtype=np.float64,
             )
             self._shade[("nee", hist, depth, slot)] = plane
-        return plane[sample_id]
+        return plane[self._slot(sample_id)]
 
 
 def _norm(v):
@@ -338,6 +349,25 @@ class Oracle:
         if u[prng.U_CHOICE] < pp:
             return out + self.radiance(x_refl, refl_dir, depth + 1, hist, weight * f * re / pp, sample_id)
         return out + self.radiance(x_trans, tdir, depth + 1, hist, weight * f * tr / (1 - pp), sample_id)
+
+    def render_pixels(self, pixels) -> np.ndarray:
+        """Summed radiance (P, 3) for an arbitrary pixel-id subset — the
+        sparse analog of render() for mid-res statistical gates where a
+        full-frame oracle render is intractable (tests/test_golden.py).
+        Use PrecomputedUniformProvider(key, sids=<the subset's sids>)."""
+        cfg = self.config
+        spp = cfg.spp
+        out = np.zeros((len(pixels), 3))
+        for k, pixel in enumerate(pixels):
+            row, col = divmod(int(pixel), cfg.width)
+            for ip in range(spp):
+                group = ip // cfg.spp_per_cell
+                cell_x = group % cfg.jitter_size
+                cell_y = group // cfg.jitter_size
+                sid = int(pixel) * spp + ip
+                o, d = self.camera_ray(sid, col, row, cell_x, cell_y)
+                out[k] += self.radiance(o, d, 0, 0, np.ones(3), sid)
+        return out
 
     def render(self) -> np.ndarray:
         """Full-frame pass: (H,W,3) summed radiance over config.spp samples

@@ -140,3 +140,38 @@ def test_mesh_vs_analytic_sphere_cross_check():
     h_m = intersect_mesh(org, d, mesh, chunk=512)
     assert abs(float(h_a.t[0]) - float(h_m.t[0])) < 5e-3
     assert np.dot(np.asarray(h_a.n[0]), np.asarray(h_m.n[0])) > 0.999
+
+
+def test_instanced_mesh_transforms():
+    """OptiX-instance-model capability (smallpt.cpp:518-530): two instances
+    of one triangle with different 3x4 transforms land where the transforms
+    say, carry their instance ids, and rotated normals follow the
+    inverse-transpose rule."""
+    import numpy as np
+    from smallpt_tpu.core.scene import make_instanced_mesh_scene, DIFF
+    from smallpt_tpu.ops.intersect import intersect_mesh
+
+    pos = np.array([(-1.0, -1.0, 0.0), (1.0, -1.0, 0.0), (0.0, 1.0, 0.0)])
+    nrm = np.array([(0.0, 0.0, 1.0)] * 3)
+    idx = np.array([[0, 1, 2]])
+    # instance 0: translate to z = -5; instance 1: rotate 90deg about y
+    # (plane becomes x = +3) and translate to x = 3
+    t0 = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -5.0]])
+    c, s = 0.0, 1.0  # cos/sin 90deg
+    t1 = np.array([[c, 0, s, 3.0], [0, 1, 0, 0], [-s, 0, c, 0.0]])
+    mat = ((0, 0, 0), (0.7, 0.7, 0.7), DIFF)
+    scene = make_instanced_mesh_scene(
+        [(pos, nrm, idx, t0, mat), (pos, nrm, idx, t1, mat)]
+    )
+    assert scene.n_triangles == 2
+
+    org = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    dirs = jnp.asarray([[0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+    hit = intersect_mesh(org, dirs, scene, eps=0.0)
+    t = np.asarray(hit.t)
+    assert np.allclose(t, [5.0, 3.0], atol=1e-5)
+    assert np.asarray(hit.inst).tolist() == [0, 1]
+    n = np.asarray(hit.n)
+    # instance 0 normal stays +z; instance 1 normal rotates to +x
+    assert np.allclose(np.abs(n[0]), [0, 0, 1], atol=1e-5)
+    assert np.allclose(np.abs(n[1]), [1, 0, 0], atol=1e-5)
