@@ -85,7 +85,24 @@ class BinnedStreamingRenderer:
         self.scene = scene
         self.camera = camera
         self.config = config
-        self.accel = accel if accel is not None else acc.build_grid_accel(scene)
+        if accel is None:
+            # include the primary-ray origins in the grid bounds so camera
+            # rays bin into FINITE cells (an origin clamped into an
+            # infinite-extent border cell reaches every chunk)
+            cv = np.asarray(build_camera_vec(camera, config)).reshape(16)
+            a_v, b_v, c_v, o_v, push = (
+                cv[0:3], cv[3:6], cv[6:9], cv[9:12], cv[12]
+            )
+            from smallpt_tpu.config import CameraModel
+
+            sc = 2.0 if config.camera_model == CameraModel.MATRIX else 1.0
+            pts = [o_v]
+            for sx in (-0.5 * sc, 0.5 * sc):
+                for sy in (-0.5 * sc, 0.5 * sc):
+                    d = sx * a_v + sy * b_v + c_v
+                    pts.append(o_v + push * d)
+            accel = acc.build_grid_accel(scene, extra_points=np.asarray(pts))
+        self.accel = accel
         self.sort_every = sort_every
         self.key = prng.base_key(seed)
         base_table = build_scene_table(scene, config)
@@ -102,9 +119,12 @@ class BinnedStreamingRenderer:
 
         @jax.jit
         def bounce(table, cam_vec, key, f, i):
-            lists, counts = acc.tile_chunk_lists(f, i, cam_vec, config, accel)
+            from smallpt_tpu.ops.megakernel import regen_binned
+
+            f, i = regen_binned(f, i, cam_vec, config, key)
+            lists, counts = acc.tile_chunk_lists(f, i, config, accel)
             return stream_step_binned(
-                table, cam_vec, config, key, f, i, lists, counts,
+                table, config, key, f, i, lists, counts,
                 n_glob_chunks=accel.n_glob_chunks,
                 n_chunks=accel.n_chunks,
             )

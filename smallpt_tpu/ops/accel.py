@@ -46,10 +46,12 @@ import jax.numpy as jnp
 
 from smallpt_tpu.core.scene import SphereScene
 
-# Lanes per binned-kernel tile (the coherence granularity).
-LANE_B = 128
+# Lanes per binned-kernel tile (the coherence granularity) — single source
+# of truth lives in ops/megakernel.py (_LANE_B, env-overridable).
+from smallpt_tpu.ops.megakernel import _LANE_B as LANE_B  # noqa: E402
+
 SUB = 8
-TILE_B = SUB * LANE_B  # 1024 rays
+TILE_B = SUB * LANE_B
 
 N_DIR = 24  # dominant axis (3) x component-sign octant (8)
 
@@ -134,11 +136,28 @@ def _reach_masks(cell_lo, cell_hi, k_lo, k_hi):
 
 def build_grid_accel(
     scene: SphereScene,
-    nb=(8, 8, 8),
-    l_max: int = 256,
+    nb=None,
+    l_max: int = 512,
     global_radius: float = GLOBAL_RADIUS,
+    extra_points=None,
+    cell_target: float | None = None,
 ) -> GridAccel:
-    """Build the acceleration tables for an (eager) sphere scene."""
+    """Build the acceleration tables for an (eager) sphere scene.
+
+    The origin grid must cover where RAYS START, not just where the local
+    spheres are: ray origins are camera points (pass via extra_points) and
+    hit points — on local spheres (inside the local extents) or on the
+    GLOBAL wall spheres, whose hittable surface runs along the scene
+    boundary. Each global sphere therefore contributes its surface point
+    nearest the local center to the bounds (for smallpt's 1e5-radius walls
+    that is the wall plane; curvature across a 100-unit scene is < 0.1, so
+    a 1-unit margin covers the sag). An origin that still lands outside
+    clamps into a border cell whose extent is infinite on the outer faces —
+    conservative (reaches everything in the cone) but now RARE instead of
+    the common case for wall bounces.
+
+    nb=None picks per-axis cell counts targeting ``cell_target`` units per
+    cell (default: local-extent mean span / 7), clipped to [2, 16]."""
     c = np.asarray(scene.center, np.float64)
     r = np.asarray(scene.radius, np.float64)
     s = c.shape[0]
@@ -149,10 +168,31 @@ def build_grid_accel(
     if lids.size == 0:
         raise ValueError("scene has no local spheres — use the plain sweep")
 
-    # local bounds over sphere extents
+    # grid bounds: local extents + wall tangent points + requested origins
     ext_lo = (c[lids] - r[lids, None]).min(axis=0)
     ext_hi = (c[lids] + r[lids, None]).max(axis=0)
+    local_span = np.maximum(ext_hi - ext_lo, 1e-6)
+    mid = 0.5 * (ext_lo + ext_hi)
+    for g in gids:
+        to_mid = mid - c[g]
+        dist = np.linalg.norm(to_mid)
+        if dist < 1e-9:
+            continue
+        surf = c[g] + to_mid * (r[g] / dist)
+        ext_lo = np.minimum(ext_lo, surf - 1.0)
+        ext_hi = np.maximum(ext_hi, surf + 1.0)
+    if extra_points is not None:
+        pts = np.asarray(extra_points, np.float64).reshape(-1, 3)
+        ext_lo = np.minimum(ext_lo, pts.min(axis=0) - 1.0)
+        ext_hi = np.maximum(ext_hi, pts.max(axis=0) + 1.0)
     span = np.maximum(ext_hi - ext_lo, 1e-6)
+    if nb is None:
+        if cell_target is None:
+            cell_target = float(np.mean(local_span)) / 7.0
+        nb = tuple(
+            int(np.clip(round(span[a] / max(cell_target, 1e-6)), 2, 16))
+            for a in range(3)
+        )
     nb = tuple(int(x) for x in nb)
     cell = span / np.asarray(nb, np.float64)
 
@@ -261,17 +301,16 @@ def _masked_minmax(key, valid, n_bins):
 
 @functools.partial(jax.jit, static_argnames=("n_bins", "l_max", "n_chunks"))
 def _lists_from_ranges(
-    lo1, hi1, lo2, hi2, masks, n_bins: int, l_max: int, n_chunks: int
+    lo1, hi1, masks, n_bins: int, l_max: int, n_chunks: int
 ):
-    """Union reach masks over two per-tile bin ranges -> padded chunk lists.
+    """Union reach masks over per-tile bin ranges -> padded chunk lists.
 
     Returns (lists (T, l_max) int32, counts (T,) int32). counts == -1 flags
     an overflowing tile (list capacity exceeded): the kernel falls back to
     sweeping every local chunk for that tile — slower, never wrong."""
     bins = jnp.arange(n_bins, dtype=jnp.int32)
     in1 = (bins[None, :] >= lo1[:, None]) & (bins[None, :] <= hi1[:, None])
-    in2 = (bins[None, :] >= lo2[:, None]) & (bins[None, :] <= hi2[:, None])
-    sel = (in1 | in2).astype(jnp.bfloat16)
+    sel = in1.astype(jnp.bfloat16)
     reach = (
         jax.lax.dot(
             sel, masks.astype(jnp.bfloat16),
@@ -291,14 +330,19 @@ def _lists_from_ranges(
     return lists, counts
 
 
-def tile_chunk_lists(f, i, cam_vec, config, accel: GridAccel):
+def tile_chunk_lists(f, i, config, accel: GridAccel):
     """Per-tile chunk lists for the CURRENT state (correct regardless of
-    when the state was last sorted).
+    when the state was last sorted): union the reach masks over each tile's
+    live-ray bin-key RANGE (stale sorts widen ranges — slower, never
+    wrong).
 
-    Range 1 covers the lanes' live rays; range 2 covers the camera rays any
-    lane could regenerate into this bounce (pixel-corner direction keys —
-    conservative over sub-pixel jitter; binned mode rejects DoF, whose lens
-    jitter would move the origin)."""
+    Regeneration happens in XLA BEFORE the kernel launch
+    (ops/megakernel.py::regen_binned), so every ray that will trace this
+    bounce is already live here with its true (cell, direction) key —
+    including fresh camera rays. (An earlier design regenerated inside the
+    kernel and folded conservative camera-key ranges into every tile's
+    list; with the camera's cell quantized and tiles spanning +-x pixel
+    ranges that reached most of the scene and overflowed every list.)"""
     from smallpt_tpu.ops import megakernel as mk
 
     n_bins = accel.n_bins
@@ -311,63 +355,8 @@ def tile_chunk_lists(f, i, cam_vec, config, accel: GridAccel):
     alive = plane(i, mk._I_ALIVE) != 0
     key_live = ray_bin_keys(ox, oy, oz, dx, dy, dz, accel)
     lo1, hi1 = _masked_minmax(key_live, alive, n_bins)
-
-    pixel_plane = plane(i, mk._I_PIXEL)
-    budget_plane = plane(i, mk._I_BUDGET)
-    s_idx_plane = plane(i, mk._I_SIDX)
-
-    # regeneration keys: 4 pixel-corner camera rays per lane
-    can_regen = (s_idx_plane < budget_plane - 1)
-    w = jnp.float32(config.width)
-    h = jnp.float32(config.height)
-    pix = pixel_plane
-    col = (pix % config.width).astype(jnp.float32)
-    row = (pix // config.width).astype(jnp.float32)
-    # filter support: box offsets stay within +-0.5 px; tent extends to
-    # +-(0.5 + 0.5/jitter_size)
-    from smallpt_tpu.config import Filter, CameraModel
-
-    e = 0.5 if config.filter == Filter.BOX else 0.5 + 0.5 / config.jitter_size
-    scale = 2.0 if config.camera_model == CameraModel.MATRIX else 1.0
-    ax_, ay_, az_ = cam_vec[0, 0], cam_vec[0, 1], cam_vec[0, 2]
-    bx_, by_, bz_ = cam_vec[0, 3], cam_vec[0, 4], cam_vec[0, 5]
-    cx_, cy_, cz_ = cam_vec[0, 6], cam_vec[0, 7], cam_vec[0, 8]
-    o0x, o0y, o0z = cam_vec[0, 9], cam_vec[0, 10], cam_vec[0, 11]
-    push = cam_vec[0, 12]
-
-    # Per-axis cell-coordinate min/max over the corners, packed at the END
-    # (the packed key is monotone per coordinate, so the product box of
-    # corner coords maps INSIDE the packed range; taking min/max of packed
-    # corner keys directly would miss intermediate cells whose packing
-    # falls below both corners). All 24 direction bins are spanned — regen
-    # rays share a camera cell, so this costs little coverage.
-    bx, by, bz = accel.nb
-    cmin = [None, None, None]
-    cmax = [None, None, None]
-    for cx in (-e, e):
-        for cy in (-e, e):
-            sx = scale * ((col + 0.5 + cx) / w - 0.5)
-            sy = scale * ((row + 0.5 + cy) / h - 0.5)
-            gdx = sx * ax_ + sy * bx_ + cx_
-            gdy = sx * ay_ + sy * by_ + cy_
-            gdz = sx * az_ + sy * bz_ + cz_
-            gox = o0x + gdx * push
-            goy = o0y + gdy * push
-            goz = o0z + gdz * push
-            for a, p in enumerate((gox, goy, goz)):
-                cc = jnp.clip(
-                    ((p - accel.lo[a]) * accel.inv_cell[a]).astype(jnp.int32),
-                    0, accel.nb[a] - 1,
-                )
-                cmin[a] = cc if cmin[a] is None else jnp.minimum(cmin[a], cc)
-                cmax[a] = cc if cmax[a] is None else jnp.maximum(cmax[a], cc)
-    key_lo = ((cmin[0] * by + cmin[1]) * bz + cmin[2]) * N_DIR
-    key_hi = ((cmax[0] * by + cmax[1]) * bz + cmax[2]) * N_DIR + (N_DIR - 1)
-    lo2, _ = _masked_minmax(key_lo, can_regen, n_bins)
-    _, hi2 = _masked_minmax(key_hi, can_regen, n_bins)
-
     return _lists_from_ranges(
-        lo1, hi1, lo2, hi2, accel.masks,
+        lo1, hi1, accel.masks,
         n_bins=n_bins, l_max=accel.l_max, n_chunks=accel.n_chunks,
     )
 

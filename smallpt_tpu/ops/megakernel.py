@@ -37,6 +37,7 @@ global id (== its pixel id) is recomputed from grid position via iota.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1108,7 +1109,11 @@ def stream_variance(f, i, config: RenderConfig, n_rows: int | None = None):
 # MEGA_MAX_SPHERES scales down with culling too.
 # ---------------------------------------------------------------------------
 
-_LANE_B = 128          # lanes per binned tile column block (accel.LANE_B)
+# lanes per binned tile column block — the coherence/culling granularity of
+# the binned scheduler (smaller tiles -> tighter per-tile chunk lists but
+# more grid steps). Env-overridable for tuning sweeps; ops/accel.py reads
+# this value so the two modules always agree.
+_LANE_B = int(os.environ.get("SMALLPT_TPU_BINNED_LANE", "128"))
 _I_PIXEL = 6           # extra int plane in binned state (after classic 6)
 _NI_B = _NI + 1
 
@@ -1119,7 +1124,6 @@ def _binned_kernel(
     lst_ref,     # (T, l_max) int32 scalar-prefetch: local chunk ids
     kw_ref,      # (1, 2) uint32 SMEM key words
     ipv_ref,     # (1, 4) int32 SMEM: [ip_offset, 0, 0, 0]
-    cam_ref,     # (1, 16) f32 SMEM camera vec
     tbl_ref,     # (S_pad, 16) f32 VMEM: global chunks then local chunks
     f_ref, i_ref, f_out, i_out,
     *,
@@ -1149,76 +1153,12 @@ def _binned_kernel(
     k1 = kw_ref[0, 1]
     ip_offset = ipv_ref[0, 0]
 
-    W, H = config.width, config.height
-    pix_col = pixel % W
-    pix_row = pixel // W
-
-    # ---- regenerate dead lanes (identical math to _mega_kernel, pixel from
-    # the plane; streaming keying v2) --------------------------------------
-    need = jnp.logical_and(jnp.logical_not(alive), s_idx < budget - 1)
-    cur_lum = (rx + ry + rz) * jnp.float32(1.0 / 3.0)
-    delta = cur_lum - m1
-    m2 = jnp.where(need, m2 + delta * delta, m2)
-    m1 = jnp.where(need, cur_lum, m1)
-    s_idx = jnp.where(need, s_idx + 1, s_idx)
+    # regeneration happens in XLA between launches (regen_binned): here
+    # every lane that traces this bounce is already alive; the kernel only
+    # derives the lane's RNG words from its (pixel, current sample) pair
     ip = ip_offset + s_idx
     wa = pltpu.bitcast(pixel, jnp.uint32) ^ k0
     wb = k1 ^ (pltpu.bitcast(ip, jnp.uint32) * jnp.uint32(_STREAM_IP_MULT))
-    js = config.jitter_size
-    group = (ip // config.spp_per_cell) % (js * js)
-    cx_cell = (group % js).astype(jnp.float32)
-    cy_cell = (group // js).astype(jnp.float32)
-
-    ua, ub, _, _ = _pcg4d(
-        wa, wb,
-        jnp.full(shp, jnp.uint32(_CAMERA_SALT)),
-        jnp.broadcast_to(k0 + k1, shp),
-    )
-    u0 = _to_unit(ua)
-    u1 = _to_unit(ub)
-    if config.filter == Filter.TENT:
-        r0 = 2.0 * u0
-        r1t = 2.0 * u1
-        f0 = jnp.where(r0 < 1.0, jnp.sqrt(r0) - 1.0,
-                       1.0 - jnp.sqrt(jnp.maximum(2.0 - r0, 0.0)))
-        f1 = jnp.where(r1t < 1.0, jnp.sqrt(r1t) - 1.0,
-                       1.0 - jnp.sqrt(jnp.maximum(2.0 - r1t, 0.0)))
-        off0 = (cx_cell + 0.5 + f0) / js - 0.5
-        off1 = (cy_cell + 0.5 + f1) / js - 0.5
-    else:
-        off0 = (cx_cell + u0) / js - 0.5
-        off1 = (cy_cell + u1) / js - 0.5
-
-    sx = (pix_col.astype(jnp.float32) + 0.5 + off0) / W - 0.5
-    sy = (pix_row.astype(jnp.float32) + 0.5 + off1) / H - 0.5
-    if config.camera_model == CameraModel.MATRIX:
-        sx = 2.0 * sx
-        sy = 2.0 * sy
-    ax, ay, az = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
-    bx, by, bz = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
-    cxv, cyv, czv = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
-    o0x, o0y, o0z = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
-    push = cam_ref[0, 12]
-    gdx = sx * ax + sy * bx + cxv
-    gdy = sx * ay + sy * by + cyv
-    gdz = sx * az + sy * bz + czv
-    gox = o0x + gdx * push
-    goy = o0y + gdy * push
-    goz = o0z + gdz * push
-    ndx, ndy, ndz = _normalize3(gdx, gdy, gdz)
-
-    ox = jnp.where(need, gox, ox)
-    oy = jnp.where(need, goy, oy)
-    oz = jnp.where(need, goz, oz)
-    dx = jnp.where(need, ndx, dx)
-    dy = jnp.where(need, ndy, dy)
-    dz = jnp.where(need, ndz, dz)
-    one = jnp.float32(1.0)
-    wx = jnp.where(need, one, wx)
-    wy = jnp.where(need, one, wy)
-    wz = jnp.where(need, one, wz)
-    depth = jnp.where(need, 0, depth)
-    alive = jnp.logical_or(alive, need)
     nrays = nrays + alive.astype(jnp.int32)
 
     # ---- culled closest-hit sweep ----------------------------------------
@@ -1437,6 +1377,130 @@ def _binned_kernel(
     wi_(_I_PIXEL, pixel)
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def regen_binned(f, i, cam_vec, config: RenderConfig, key: jax.Array,
+                 ip_offset=0):
+    """XLA-side lane regeneration for the binned scheduler: dead lanes with
+    remaining budget take their pixel's next sample (camera ray, unit
+    throughput, depth 0) BEFORE the bounce kernel launches.
+
+    Mirrors the classic megakernel's in-kernel regen block (same streaming
+    keying v2, same tent/box filter and cam_vec math) — moved to XLA so the
+    chunk lists (ops/accel.py::tile_chunk_lists) see every ray that will
+    trace this bounce with its TRUE (cell, direction) bin key. Regenerating
+    inside the kernel forced every regen-capable tile's list to cover a
+    conservative camera-key range, which reached most of the scene.
+
+    One bounce per launch makes this split semantically identical to
+    in-kernel regen. Also updates the per-sample luminance moments (m1/m2)
+    at sample boundaries."""
+    from smallpt_tpu.core.rng import _key_words
+
+    def fplane(idx):
+        return jax.lax.dynamic_slice_in_dim(f, 8 * idx, 8, axis=0)
+
+    def iplane(idx):
+        return jax.lax.dynamic_slice_in_dim(i, 8 * idx, 8, axis=0)
+
+    s_idx = iplane(_I_SIDX)
+    alive = iplane(_I_ALIVE) != 0
+    budget = iplane(_I_BUDGET)
+    pixel = iplane(_I_PIXEL)
+    rx, ry, rz = fplane(_F_RX), fplane(_F_RY), fplane(_F_RZ)
+    m1, m2 = fplane(_F_M1), fplane(_F_M2)
+
+    need = jnp.logical_and(jnp.logical_not(alive), s_idx < budget - 1)
+    cur_lum = (rx + ry + rz) * jnp.float32(1.0 / 3.0)
+    delta = cur_lum - m1
+    m2 = jnp.where(need, m2 + delta * delta, m2)
+    m1 = jnp.where(need, cur_lum, m1)
+    s_idx = jnp.where(need, s_idx + 1, s_idx)
+    ip = ip_offset + s_idx
+
+    k0, k1 = _key_words(key)
+    wa = pixel.astype(jnp.uint32) ^ k0
+    wb = k1 ^ (ip.astype(jnp.uint32) * jnp.uint32(_STREAM_IP_MULT))
+    js = config.jitter_size
+    group = (ip // config.spp_per_cell) % (js * js)
+    cx_cell = (group % js).astype(jnp.float32)
+    cy_cell = (group // js).astype(jnp.float32)
+    ua, ub, _, _ = _pcg4d(
+        wa, wb,
+        jnp.full(wa.shape, jnp.uint32(_CAMERA_SALT)),
+        jnp.broadcast_to(k0 + k1, wa.shape),
+    )
+    u0 = (ua >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24)
+    )
+    u1 = (ub >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24)
+    )
+    if config.filter == Filter.TENT:
+        r0 = 2.0 * u0
+        r1t = 2.0 * u1
+        f0 = jnp.where(r0 < 1.0, jnp.sqrt(r0) - 1.0,
+                       1.0 - jnp.sqrt(jnp.maximum(2.0 - r0, 0.0)))
+        f1 = jnp.where(r1t < 1.0, jnp.sqrt(r1t) - 1.0,
+                       1.0 - jnp.sqrt(jnp.maximum(2.0 - r1t, 0.0)))
+        off0 = (cx_cell + 0.5 + f0) / js - 0.5
+        off1 = (cy_cell + 0.5 + f1) / js - 0.5
+    else:
+        off0 = (cx_cell + u0) / js - 0.5
+        off1 = (cy_cell + u1) / js - 0.5
+
+    W, H = config.width, config.height
+    pix_col = pixel % W
+    pix_row = pixel // W
+    sx = (pix_col.astype(jnp.float32) + 0.5 + off0) / W - 0.5
+    sy = (pix_row.astype(jnp.float32) + 0.5 + off1) / H - 0.5
+    if config.camera_model == CameraModel.MATRIX:
+        sx = 2.0 * sx
+        sy = 2.0 * sy
+    ax, ay, az = cam_vec[0, 0], cam_vec[0, 1], cam_vec[0, 2]
+    bx, by, bz = cam_vec[0, 3], cam_vec[0, 4], cam_vec[0, 5]
+    cxv, cyv, czv = cam_vec[0, 6], cam_vec[0, 7], cam_vec[0, 8]
+    o0x, o0y, o0z = cam_vec[0, 9], cam_vec[0, 10], cam_vec[0, 11]
+    push = cam_vec[0, 12]
+    gdx = sx * ax + sy * bx + cxv
+    gdy = sx * ay + sy * by + cyv
+    gdz = sx * az + sy * bz + czv
+    gox = o0x + gdx * push
+    goy = o0y + gdy * push
+    goz = o0z + gdz * push
+    ndx, ndy, ndz = _normalize3(gdx, gdy, gdz)
+
+    one = jnp.ones_like(m1)
+
+    def setf(buf, idx, new):
+        old = jax.lax.dynamic_slice_in_dim(buf, 8 * idx, 8, axis=0)
+        return jax.lax.dynamic_update_slice_in_dim(
+            buf, jnp.where(need, new, old), 8 * idx, axis=0
+        )
+
+    f = setf(f, _F_OX, gox)
+    f = setf(f, _F_OY, goy)
+    f = setf(f, _F_OZ, goz)
+    f = setf(f, _F_DX, ndx)
+    f = setf(f, _F_DY, ndy)
+    f = setf(f, _F_DZ, ndz)
+    f = setf(f, _F_WX, one)
+    f = setf(f, _F_WY, one)
+    f = setf(f, _F_WZ, one)
+    f = jax.lax.dynamic_update_slice_in_dim(f, m1, 8 * _F_M1, axis=0)
+    f = jax.lax.dynamic_update_slice_in_dim(f, m2, 8 * _F_M2, axis=0)
+
+    depth = iplane(_I_DEPTH)
+    i = jax.lax.dynamic_update_slice_in_dim(
+        i, jnp.where(need, 0, depth), 8 * _I_DEPTH, axis=0
+    )
+    i = jax.lax.dynamic_update_slice_in_dim(i, s_idx, 8 * _I_SIDX, axis=0)
+    i = jax.lax.dynamic_update_slice_in_dim(
+        i, jnp.logical_or(alive, need).astype(jnp.int32), 8 * _I_ALIVE,
+        axis=0,
+    )
+    return f, i
+
+
 def _binned_geometry(config: RenderConfig):
     g = config.n_pixels
     n_tiles = -(-g // (_SUB * _LANE_B))
@@ -1486,7 +1550,6 @@ def set_binned_budget(i, budget, config: RenderConfig):
 )
 def stream_step_binned(
     table,        # (S_pad, 16) f32 — reordered scene table (accel.order)
-    cam_vec,      # (1, 16) f32 — build_camera_vec output
     config: RenderConfig,
     key: jax.Array,
     f, i,
@@ -1523,7 +1586,6 @@ def stream_step_binned(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # kw
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # ipv
-            pl.BlockSpec(memory_space=pltpu.SMEM),                   # cam
             pl.BlockSpec((s_pad, 16), lambda t, *_: (0, 0),
                          memory_space=pltpu.VMEM),                   # table
             pl.BlockSpec((_SUB * _NF, _LANE_B), lambda t, *_: (0, t),
@@ -1549,9 +1611,13 @@ def stream_step_binned(
             jax.ShapeDtypeStruct((_SUB * _NF, n_cols), jnp.float32),
             jax.ShapeDtypeStruct((_SUB * _NI_B, n_cols), jnp.int32),
         ],
-        input_output_aliases={6: 0, 7: 1},
+        # aliasing saves HBM but may constrain the pipeline; the env toggle
+        # exists for perf experiments
+        input_output_aliases=(
+            {} if os.environ.get("SMALLPT_TPU_BINNED_NO_ALIAS") else {5: 0, 6: 1}
+        ),
         interpret=interpret,
-    )(counts, lists, kw, ipv, cam_vec, table, f, i)
+    )(counts, lists, kw, ipv, table, f, i)
     rays = jnp.sum(
         jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
         .astype(jnp.float32)
