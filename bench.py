@@ -128,6 +128,42 @@ def bench_streaming(width=1024, height=768, spp=24, warmup_s=3.0, rounds=3):
     return best
 
 
+def bench_binned(width=512, height=384, spp=4, max_depth=24, rounds=3,
+                 sort_every=2, n=10_000):
+    """BASELINE config 5 scene through the binned (grid-culled,
+    distance-ordered) streaming scheduler — the acceleration-structure
+    path for big scenes."""
+    from smallpt_tpu.core.scene import procedural_sphere_scene
+    from smallpt_tpu.engine.binned import BinnedStreamingRenderer
+
+    config = RenderConfig(
+        width=width, height=height, spp_per_cell=1,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+        max_depth=max_depth,
+    )
+    scene = procedural_sphere_scene(n)
+    camera = smallpt_camera()
+
+    def one(seed):
+        r = BinnedStreamingRenderer(scene, camera, config, seed=seed,
+                                    sort_every=sort_every)
+        t0 = time.perf_counter()
+        r.step(add_samples=spp, n_bounces=3)
+        r.flush()
+        dt = time.perf_counter() - t0
+        return r.stats.rays / dt, r
+
+    one(1000)  # compile + warm
+    best = None
+    for t in range(rounds):
+        rate, r = one(t)
+        if best is None or rate > best[0]:
+            rad, w = r.accumulators()
+            img = np.asarray(rad) / np.maximum(np.asarray(w)[..., None], 1)
+            best = (rate, r.stats.rays, r.stats.wall_s, img)
+    return best
+
+
 def bench_diff(width=512, height=512, max_depth=16, warmup_s=3.0, rounds=5,
                use_pallas=True):
     """BASELINE config 4: one inverse-rendering training step (render +
@@ -212,12 +248,19 @@ def main():
         )
         return
     if "--procedural" in sys.argv:
-        # BASELINE.json config 5 scene: 10k procedural spheres (the brute
-        # O(S) sweep — Pallas split kernel is the fast backend for it)
-        kw.update(scene_name="procedural", width=512, height=384,
-                  max_depth=24, passes=3, intersector=Intersector.PALLAS)
-        metric = "rays_per_sec_per_chip_procedural10k_512x384_fullbsdf"
-        rays_per_s, total_rays, dt, img = bench(**kw)
+        # BASELINE.json config 5 scene: 10k procedural spheres through the
+        # binned (grid-culled, distance-ordered) streaming scheduler;
+        # --procedural-brute keeps the round-1 split-sweep per-pass path
+        # for comparison
+        if "--procedural-brute" in sys.argv:
+            kw.update(scene_name="procedural", width=512, height=384,
+                      max_depth=24, passes=3, intersector=Intersector.PALLAS)
+            metric = "rays_per_sec_per_chip_procedural10k_512x384_brute"
+            rays_per_s, total_rays, dt, img = bench(**kw)
+        else:
+            metric = "rays_per_sec_per_chip_procedural10k_512x384_fullbsdf"
+            kw2 = dict(width=128, height=96, rounds=1) if quick else {}
+            rays_per_s, total_rays, dt, img = bench_binned(**kw2)
     elif "--perpass" in sys.argv or quick:
         rays_per_s, total_rays, dt, img = bench(**kw)
     else:

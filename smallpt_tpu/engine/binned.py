@@ -122,32 +122,41 @@ class BinnedStreamingRenderer:
             from smallpt_tpu.ops.megakernel import regen_binned
 
             f, i = regen_binned(f, i, cam_vec, config, key)
-            lists, counts = acc.tile_chunk_lists(f, i, config, accel)
+            lists, stops, dcut = acc.tile_work_lists(f, i, config, accel)
             return stream_step_binned(
-                table, config, key, f, i, lists, counts,
+                table, config, key, f, i, lists, stops, dcut,
                 n_glob_chunks=accel.n_glob_chunks,
                 n_chunks=accel.n_chunks,
             )
 
         @jax.jit
+        def keys_of(f, i):
+            return acc.state_bin_keys(f, i, accel)
+
         def shuffle(f, i):
-            keys = acc.state_bin_keys(f, i, accel)
-            return acc.shuffle_state(f, i, keys)
+            # NOT one fused jit: shuffle_state deliberately splits the
+            # relayout and the multi-operand sort into separate programs
+            # (fused, the sort compile pathologically blows up — see its
+            # docstring); wrapping it here would re-fuse them
+            return acc.shuffle_state(f, i, keys_of(f, i))
 
         return bounce, shuffle
 
     def _advance(self, n_bounces: int) -> int:
         bounce, shuffle = self._bounce
         t0 = time.perf_counter()
-        total = 0
+        rays_dev = []
         for _ in range(n_bounces):
             if self.sort_every and self._bounce_idx % self.sort_every == 0:
                 self.f, self.i = shuffle(self.f, self.i)
             self.f, self.i, rays = bounce(
                 self.table, self.cam_vec, self.key, self.f, self.i
             )
-            total += int(rays)
+            # keep the counter on device: each host fetch pays a full axon
+            # tunnel round-trip (~30 ms measured), which dominated the loop
+            rays_dev.append(rays)
             self._bounce_idx += 1
+        total = int(sum(rays_dev))
         self.stats.rays += total
         self.stats.wall_s += time.perf_counter() - t0
         self.stats.passes += 1

@@ -82,6 +82,8 @@ class GridAccel:
     inv_cell: jnp.ndarray     # (3,) f32 — 1 / cell size
     nb: tuple                 # (bx, by, bz) origin-grid dims
     masks: jnp.ndarray        # (B, C) f32 in {0, 1} — bin -> chunk reach
+    k_lo: jnp.ndarray         # (C, 3) f32 — local chunk AABB mins
+    k_hi: jnp.ndarray         # (C, 3) f32 — local chunk AABB maxs
     l_max: int                # per-tile chunk-list capacity
 
     @property
@@ -246,6 +248,8 @@ def build_grid_accel(
         order=jnp.asarray(order),
         n_glob_chunks=int(n_glob_chunks),
         n_chunks=int(n_chunks),
+        k_lo=jnp.asarray(k_lo, jnp.float32),
+        k_hi=jnp.asarray(k_hi, jnp.float32),
         lo=jnp.asarray(ext_lo, jnp.float32),
         inv_cell=jnp.asarray(1.0 / cell, jnp.float32),
         nb=nb,
@@ -299,53 +303,34 @@ def _masked_minmax(key, valid, n_bins):
     return lo, hi
 
 
-@functools.partial(jax.jit, static_argnames=("n_bins", "l_max", "n_chunks"))
-def _lists_from_ranges(
-    lo1, hi1, masks, n_bins: int, l_max: int, n_chunks: int
-):
-    """Union reach masks over per-tile bin ranges -> padded chunk lists.
+def tile_work_lists(f, i, config, accel: GridAccel, k_near: int | None = None):
+    """Distance-ordered per-tile work lists for the CURRENT state.
 
-    Returns (lists (T, l_max) int32, counts (T,) int32). counts == -1 flags
-    an overflowing tile (list capacity exceeded): the kernel falls back to
-    sweeping every local chunk for that tile — slower, never wrong."""
-    bins = jnp.arange(n_bins, dtype=jnp.int32)
-    in1 = (bins[None, :] >= lo1[:, None]) & (bins[None, :] <= hi1[:, None])
-    sel = in1.astype(jnp.bfloat16)
-    reach = (
-        jax.lax.dot(
-            sel, masks.astype(jnp.bfloat16),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32,
-        )
-        > 0.0
-    )  # (T, C)
-    counts = jnp.sum(reach, axis=1).astype(jnp.int32)
+    For each tile: union the reach masks over the tile's live-ray bin-key
+    range, order the reachable chunks by conservative distance (tile
+    origin-AABB to chunk AABB), and emit
+      lists (T, l_max) int32  — chunk ids near -> far,
+      stops (T,) int32        — entries to sweep this launch
+                                (-1 => sweep ALL local chunks: capacity
+                                exceeded on a tile that must fully resolve),
+      dcut (T,) f32           — the finality bound: sorted distance of the
+                                first UNSWEPT entry (+BIG when everything
+                                reachable is swept).
+    Tiles with no pending lanes sweep only the first k_near entries — the
+    scene's short mean free path finalizes most lanes there; tiles holding
+    pending lanes sweep their whole list so every carried candidate
+    resolves this launch (and the select pass can find any carried winner:
+    a lane's reachable set is contained in its tile's list).
 
-    def row_list(row):
-        (idx,) = jnp.nonzero(row, size=l_max, fill_value=0)
-        return idx.astype(jnp.int32)
-
-    lists = jax.vmap(row_list)(reach)
-    counts = jnp.where(counts > l_max, -1, counts)
-    return lists, counts
-
-
-def tile_chunk_lists(f, i, config, accel: GridAccel):
-    """Per-tile chunk lists for the CURRENT state (correct regardless of
-    when the state was last sorted): union the reach masks over each tile's
-    live-ray bin-key RANGE (stale sorts widen ranges — slower, never
-    wrong).
-
-    Regeneration happens in XLA BEFORE the kernel launch
-    (ops/megakernel.py::regen_binned), so every ray that will trace this
-    bounce is already live here with its true (cell, direction) key —
-    including fresh camera rays. (An earlier design regenerated inside the
-    kernel and folded conservative camera-key ranges into every tile's
-    list; with the camera's cell quantized and tiles spanning +-x pixel
-    ranges that reached most of the scene and overflowed every list.)"""
+    Correct for any sort staleness: ranges only widen; distances are lower
+    bounds (tile AABB -> chunk AABB <= per-lane distance), so "bt < dcut"
+    can only under-claim finality, never over-claim."""
     from smallpt_tpu.ops import megakernel as mk
 
+    if k_near is None:
+        k_near = mk.K_NEAR
     n_bins = accel.n_bins
+    c_ = accel.n_chunks
 
     def plane(buf, idx):
         return jax.lax.dynamic_slice_in_dim(buf, 8 * idx, 8, axis=0)
@@ -353,12 +338,69 @@ def tile_chunk_lists(f, i, config, accel: GridAccel):
     ox, oy, oz = plane(f, mk._F_OX), plane(f, mk._F_OY), plane(f, mk._F_OZ)
     dx, dy, dz = plane(f, mk._F_DX), plane(f, mk._F_DY), plane(f, mk._F_DZ)
     alive = plane(i, mk._I_ALIVE) != 0
+    pend = (plane(i, mk._I_PEND) != 0) & alive
     key_live = ray_bin_keys(ox, oy, oz, dx, dy, dz, accel)
     lo1, hi1 = _masked_minmax(key_live, alive, n_bins)
-    return _lists_from_ranges(
-        lo1, hi1, accel.masks,
-        n_bins=n_bins, l_max=accel.l_max, n_chunks=accel.n_chunks,
+
+    # per-tile origin AABB over alive lanes
+    def tile_minmax(p, valid, big):
+        cc = p.shape[1]
+        t = cc // LANE_B
+        v = valid.reshape(SUB, t, LANE_B)
+        pp = p.reshape(SUB, t, LANE_B)
+        lo = jnp.min(jnp.where(v, pp, big), axis=(0, 2))
+        hi = jnp.max(jnp.where(v, pp, -big), axis=(0, 2))
+        return lo, hi
+
+    big = jnp.float32(3e38)
+    olo_x, ohi_x = tile_minmax(ox, alive, big)
+    olo_y, ohi_y = tile_minmax(oy, alive, big)
+    olo_z, ohi_z = tile_minmax(oz, alive, big)
+    has_pend = (
+        jnp.sum(pend.reshape(SUB, -1, LANE_B), axis=(0, 2)) > 0
     )
+
+    bins = jnp.arange(n_bins, dtype=jnp.int32)
+    in1 = (bins[None, :] >= lo1[:, None]) & (bins[None, :] <= hi1[:, None])
+    reach = (
+        jax.lax.dot(
+            in1.astype(jnp.bfloat16), accel.masks.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        > 0.0
+    )  # (T, C)
+    n_reach = jnp.sum(reach, axis=1).astype(jnp.int32)
+
+    # conservative distance: tile origin AABB -> chunk AABB, per axis
+    def axis_gap(olo, ohi, klo, khi):
+        return jnp.maximum(
+            jnp.maximum(klo[None, :] - ohi[:, None], olo[:, None] - khi[None, :]),
+            0.0,
+        )
+    gx = axis_gap(olo_x, ohi_x, accel.k_lo[:, 0], accel.k_hi[:, 0])
+    gy = axis_gap(olo_y, ohi_y, accel.k_lo[:, 1], accel.k_hi[:, 1])
+    gz = axis_gap(olo_z, ohi_z, accel.k_lo[:, 2], accel.k_hi[:, 2])
+    dist = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+    dist = jnp.where(reach, dist, big)
+
+    order = jnp.argsort(dist, axis=1).astype(jnp.int32)      # (T, C)
+    ds = jnp.take_along_axis(dist, order, axis=1)            # sorted dists
+    l_max = accel.l_max
+    lists = order[:, :l_max]
+
+    full_needed = has_pend
+    stop_full = jnp.minimum(n_reach, l_max)
+    stops = jnp.where(
+        full_needed,
+        jnp.where(n_reach > l_max, -1, stop_full),
+        jnp.minimum(jnp.int32(k_near), stop_full),
+    )
+    # dcut = sorted distance at the stop position (+BIG past the end or in
+    # all-chunk sweeps — everything reachable gets swept, so lanes finalize)
+    idx = jnp.clip(stops, 0, c_ - 1)
+    dcut = jnp.take_along_axis(ds, idx[:, None], axis=1)[:, 0]
+    dcut = jnp.where((stops < 0) | (stops >= n_reach), big, dcut)
+    return lists, stops, dcut
 
 
 # ---------------------------------------------------------------------------
@@ -382,11 +424,7 @@ def _flat_to_planes(x):
 
 
 @jax.jit
-def shuffle_state(f, i, keys):
-    """Sort ALL state planes by per-lane bin key (one fused multi-operand
-    sort — payloads ride the sort network; separate gathers measure ~10x
-    slower at this scale). keys: (8, C) int32 plane; dead-unregenerable
-    lanes should carry a past-the-end key so they sink to the tail."""
+def _to_flat_all(f, i, keys):
     nf = f.shape[0] // 8
     ni = i.shape[0] // 8
     flat = [_planes_to_flat(keys)]
@@ -394,12 +432,36 @@ def shuffle_state(f, i, keys):
         flat.append(_planes_to_flat(f[8 * n:8 * n + 8]))
     for n in range(ni):
         flat.append(_planes_to_flat(i[8 * n:8 * n + 8]))
-    out = jax.lax.sort(tuple(flat), num_keys=1)
+    return tuple(flat)
+
+
+@jax.jit
+def _sort_flat(flat):
+    return jax.lax.sort(flat, num_keys=1)
+
+
+@functools.partial(jax.jit, static_argnames=("nf",))
+def _from_flat_all(out, nf: int):
     f2 = jnp.concatenate([_flat_to_planes(x) for x in out[1:1 + nf]], axis=0)
     i2 = jnp.concatenate(
         [_flat_to_planes(x) for x in out[1 + nf:]], axis=0
     )
     return f2, i2
+
+
+def shuffle_state(f, i, keys):
+    """Sort ALL state planes by per-lane bin key (one fused multi-operand
+    sort — payloads ride the sort network; separate gathers measure ~10x
+    slower at this scale). keys: (8, C) int32 plane; dead-unregenerable
+    lanes should carry a past-the-end key so they sink to the tail.
+
+    Deliberately THREE separate jits (relayout / sort / relayout): fusing
+    the tile-major transposes into the multi-operand sort sends the Mosaic
+    compiler into a tailspin (>40 min observed at 8192-lane tiles), while
+    the standalone 1D sort compiles in minutes and the transposes in
+    seconds. Three device dispatches, no host sync."""
+    out = _sort_flat(_to_flat_all(f, i, keys))
+    return _from_flat_all(out, f.shape[0] // 8)
 
 
 def state_bin_keys(f, i, accel: GridAccel):
@@ -418,7 +480,11 @@ def state_bin_keys(f, i, accel: GridAccel):
         plane(f, mk._F_DX), plane(f, mk._F_DY), plane(f, mk._F_DZ), accel,
     )
     alive = plane(i, mk._I_ALIVE) != 0
+    pend = (plane(i, mk._I_PEND) != 0) & alive
     s_idx = plane(i, mk._I_SIDX)
     budget_plane = plane(i, mk._I_BUDGET)
     exhausted = (~alive) & (s_idx >= budget_plane - 1)
-    return jnp.where(exhausted, accel.n_bins, key)
+    # pending lanes sort into their own (still bin-ordered) block so the
+    # full-list sweeps they force are concentrated in few tiles
+    key = jnp.where(pend, key + accel.n_bins, key)
+    return jnp.where(exhausted, 2 * accel.n_bins, key)

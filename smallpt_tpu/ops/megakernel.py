@@ -1113,15 +1113,28 @@ def stream_variance(f, i, config: RenderConfig, n_rows: int | None = None):
 # the binned scheduler (smaller tiles -> tighter per-tile chunk lists but
 # more grid steps). Env-overridable for tuning sweeps; ops/accel.py reads
 # this value so the two modules always agree.
-_LANE_B = int(os.environ.get("SMALLPT_TPU_BINNED_LANE", "128"))
+_LANE_B = int(os.environ.get("SMALLPT_TPU_BINNED_LANE", "1024"))
 _I_PIXEL = 6           # extra int plane in binned state (after classic 6)
-_NI_B = _NI + 1
+_I_PEND = 7            # bounce-in-progress flag (distance-ordered sweep:
+                       # the near prefix didn't bound this lane's hit)
+_NI_B = _NI + 2
+# extra float planes: the carried closest-hit candidate of a pending lane
+_F_BT = _NF            # best candidate t so far (_BIG when none)
+_F_BID = _NF + 1       # winning table row id (float), -1 when none
+_NF_B = _NF + 2
+# chunks swept in a NEAR pass (per tile, distance-ordered prefix); tiles
+# holding pending lanes sweep their full list instead
+K_NEAR = int(os.environ.get("SMALLPT_TPU_BINNED_KNEAR", "64"))
 
 
 def _binned_kernel(
-    cnt_ref,     # (T,) int32 scalar-prefetch: per-tile list length; -1 =>
-                 # overflow, sweep every local chunk (slow, never wrong)
-    lst_ref,     # (T, l_max) int32 scalar-prefetch: local chunk ids
+    stp_ref,     # (T,) int32 scalar-prefetch: list entries to sweep this
+                 # launch; -1 => sweep every local chunk (list overflow)
+    lst_ref,     # (T, l_max) int32 scalar-prefetch: chunk ids ordered
+                 # near -> far from the tile's origin AABB
+    dct_ref,     # (T,) f32 scalar-prefetch: finality bound — a lane whose
+                 # best hit t is closer than this cannot be beaten by any
+                 # unswept chunk (distance-ordered prefix invariant)
     kw_ref,      # (1, 2) uint32 SMEM key words
     ipv_ref,     # (1, 4) int32 SMEM: [ip_offset, 0, 0, 0]
     tbl_ref,     # (S_pad, 16) f32 VMEM: global chunks then local chunks
@@ -1131,6 +1144,18 @@ def _binned_kernel(
     n_glob_chunks: int,
     n_chunks: int,
 ):
+    """One DISTANCE-ORDERED culled bounce step.
+
+    The BVH-replacement insight for lock-step hardware: per-ray early-out
+    is impossible (8x128 lanes retire together), but a TILE can sweep its
+    reachable chunks nearest-first and then declare each lane FINAL whose
+    closest hit is nearer than the distance bound of everything unswept.
+    With the 10k-sphere scene's short mean free path most lanes finalize
+    within a small prefix (K_NEAR chunks); the rest carry their partial
+    (bt, bi) as pending lanes, get grouped by the next bin sort, and
+    resolve in full-list tiles one launch later. Pending lanes re-sweep
+    idempotently (min-fold), so correctness never depends on which tile a
+    lane lands in."""
     t = pl.program_id(0)
     shp = (_SUB, _LANE_B)
 
@@ -1142,6 +1167,7 @@ def _binned_kernel(
     wx = fplane(_F_WX); wy = fplane(_F_WY); wz = fplane(_F_WZ)
     rx = fplane(_F_RX); ry = fplane(_F_RY); rz = fplane(_F_RZ)
     m1 = fplane(_F_M1); m2 = fplane(_F_M2)
+    bt0 = fplane(_F_BT); bi0 = fplane(_F_BID)
     depth = iplane(_I_DEPTH)
     s_idx = iplane(_I_SIDX)
     alive = iplane(_I_ALIVE) != 0
@@ -1159,9 +1185,8 @@ def _binned_kernel(
     ip = ip_offset + s_idx
     wa = pltpu.bitcast(pixel, jnp.uint32) ^ k0
     wb = k1 ^ (pltpu.bitcast(ip, jnp.uint32) * jnp.uint32(_STREAM_IP_MULT))
-    nrays = nrays + alive.astype(jnp.int32)
 
-    # ---- culled closest-hit sweep ----------------------------------------
+    # ---- distance-ordered culled sweep -----------------------------------
     def chunk_fold(cid, carry):
         bt, bi = carry
         blk = tbl_ref[pl.ds(cid * 8, 8), :]
@@ -1175,30 +1200,31 @@ def _binned_kernel(
             bi = jnp.where(better, sid_f, bi)
         return (bt, bi)
 
-    # overflow (n_list < 0) degrades to sweeping every local chunk; both
-    # cases share ONE loop with a scalar select on the chunk id (a lax.cond
-    # duplicating the unrolled loop bodies compiles pathologically slowly
-    # in Mosaic)
-    n_list = cnt_ref[t]
-    full_sweep = n_list < 0
-    n_eff = jnp.where(full_sweep, n_chunks, n_list)
+    stop = stp_ref[t]
+    full_sweep = stop < 0
+    n_eff = jnp.where(full_sweep, n_chunks, stop)
 
     def local_cid(j):
         return n_glob_chunks + jnp.where(full_sweep, j, lst_ref[t, j])
 
-    carry0 = (
-        jnp.full(shp, _BIG, jnp.float32),
-        jnp.full(shp, -1.0, jnp.float32),
-    )
+    # carried candidates resume (fresh lanes hold (_BIG, -1)); globals are
+    # re-swept every launch — idempotent for the min-fold, and they give
+    # every lane a wall-hit bound immediately
     carry = jax.lax.fori_loop(
-        0, n_glob_chunks, lambda c, cr: chunk_fold(c, cr), carry0
+        0, n_glob_chunks, lambda c, cr: chunk_fold(c, cr), (bt0, bi0)
     )
     bt, bi = jax.lax.fori_loop(
         0, n_eff, lambda j, c: chunk_fold(local_cid(j), c), carry
     )
 
-    # winner-select walks the SAME short chunk sequence (fold cost scales
-    # with the culled set, not the scene)
+    d_cut = dct_ref[t]
+    final = jnp.logical_and(alive, bt < d_cut)
+    pend_out = jnp.logical_and(alive, jnp.logical_not(final))
+    nrays = nrays + final.astype(jnp.int32)
+
+    # winner-select walks the same swept sequence; near tiles hold no
+    # pending lanes (the list builder forces them to full sweeps), so a
+    # final lane's winner is always among globals + the swept prefix
     def pick_chunk(cid, vals):
         blk = tbl_ref[pl.ds(cid * 8, 8), :]
         for r in range(8):
@@ -1219,7 +1245,7 @@ def _binned_kernel(
     (em_x, em_y, em_z, al_x, al_y, al_z, refl, bcx, bcy, bcz, br) = vals
 
     hit = bt < _BIG
-    live_hit = jnp.logical_and(alive, hit)
+    live_hit = jnp.logical_and(final, hit)
 
     hx = ox + bt * dx
     hy = oy + bt * dy
@@ -1354,8 +1380,11 @@ def _binned_kernel(
     wx = jnp.where(parent, wx * wfx, wx)
     wy = jnp.where(parent, wy * wfy, wy)
     wz = jnp.where(parent, wz * wfz, wz)
-    depth = depth + 1
-    alive = jnp.logical_and(parent, depth < config.max_depth)
+    depth = jnp.where(final, depth + 1, depth)
+    alive = jnp.logical_or(
+        pend_out,
+        jnp.logical_and(parent, depth < config.max_depth),
+    )
 
     def wf_(idx, v):
         f_out[pl.ds(8 * idx, 8), :] = v
@@ -1368,6 +1397,9 @@ def _binned_kernel(
     wf_(_F_WX, wx); wf_(_F_WY, wy); wf_(_F_WZ, wz)
     wf_(_F_RX, rx); wf_(_F_RY, ry); wf_(_F_RZ, rz)
     wf_(_F_M1, m1); wf_(_F_M2, m2)
+    # pending lanes carry their partial candidate; everyone else resets
+    wf_(_F_BT, jnp.where(pend_out, bt, _BIG))
+    wf_(_F_BID, jnp.where(pend_out, bi, -1.0))
     wi_(_I_DEPTH, depth)
     wi_(_I_SIDX, s_idx)
     wi_(_I_ALIVE, alive.astype(jnp.int32))
@@ -1375,6 +1407,7 @@ def _binned_kernel(
     wi_(_I_SUP, iplane(_I_SUP))
     wi_(_I_BUDGET, budget)
     wi_(_I_PIXEL, pixel)
+    wi_(_I_PEND, pend_out.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -1486,6 +1519,8 @@ def regen_binned(f, i, cam_vec, config: RenderConfig, key: jax.Array,
     f = setf(f, _F_WX, one)
     f = setf(f, _F_WY, one)
     f = setf(f, _F_WZ, one)
+    f = setf(f, _F_BT, jnp.full_like(one, _BIG))
+    f = setf(f, _F_BID, jnp.full_like(one, -1.0))
     f = jax.lax.dynamic_update_slice_in_dim(f, m1, 8 * _F_M1, axis=0)
     f = jax.lax.dynamic_update_slice_in_dim(f, m2, 8 * _F_M2, axis=0)
 
@@ -1497,6 +1532,10 @@ def regen_binned(f, i, cam_vec, config: RenderConfig, key: jax.Array,
     i = jax.lax.dynamic_update_slice_in_dim(
         i, jnp.logical_or(alive, need).astype(jnp.int32), 8 * _I_ALIVE,
         axis=0,
+    )
+    pend = iplane(_I_PEND)
+    i = jax.lax.dynamic_update_slice_in_dim(
+        i, jnp.where(need, 0, pend), 8 * _I_PEND, axis=0
     )
     return f, i
 
@@ -1512,7 +1551,14 @@ def init_binned_state(config: RenderConfig):
     """Fresh binned stream state: classic planes + a pixel-identity plane
     (canonical order; a bin sort may permute lanes at any time)."""
     g, n_tiles, n_cols = _binned_geometry(config)
-    f0 = jnp.zeros((_SUB * _NF, n_cols), jnp.float32)
+    f0 = jnp.concatenate(
+        [
+            jnp.zeros((_SUB * _NF, n_cols), jnp.float32),
+            jnp.full((_SUB, n_cols), _BIG, jnp.float32),   # bt carry
+            jnp.full((_SUB, n_cols), -1.0, jnp.float32),   # bi carry
+        ],
+        axis=0,
+    )
     lane = (
         jnp.arange(_SUB, dtype=jnp.int32)[:, None] * n_cols
         + jnp.arange(n_cols, dtype=jnp.int32)[None, :]
@@ -1526,6 +1572,7 @@ def init_binned_state(config: RenderConfig):
             jnp.zeros((_SUB, n_cols), jnp.int32),      # budget
             jnp.zeros((_SUB, n_cols), jnp.int32),      # sup (unused: no NEE)
             lane,                                       # pixel identity
+            jnp.zeros((_SUB, n_cols), jnp.int32),      # pending flag
         ],
         axis=0,
     )
@@ -1553,8 +1600,10 @@ def stream_step_binned(
     config: RenderConfig,
     key: jax.Array,
     f, i,
-    lists,        # (T, l_max) int32 — ops/accel.py::tile_chunk_lists
-    counts,       # (T,) int32 (-1 => full local sweep for that tile)
+    lists,        # (T, l_max) int32 — ops/accel.py::tile_work_lists,
+                  # chunk ids ordered near -> far per tile
+    stops,        # (T,) int32: entries to sweep (-1 => all local chunks)
+    dcut,         # (T,) f32: finality distance bound for the swept prefix
     ip_offset=0,
     n_glob_chunks: int = 2,
     n_chunks: int = 0,
@@ -1581,20 +1630,20 @@ def stream_step_binned(
     )
     s_pad = table.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # kw
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # ipv
             pl.BlockSpec((s_pad, 16), lambda t, *_: (0, 0),
                          memory_space=pltpu.VMEM),                   # table
-            pl.BlockSpec((_SUB * _NF, _LANE_B), lambda t, *_: (0, t),
+            pl.BlockSpec((_SUB * _NF_B, _LANE_B), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),                   # f
             pl.BlockSpec((_SUB * _NI_B, _LANE_B), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),                   # i
         ],
         out_specs=[
-            pl.BlockSpec((_SUB * _NF, _LANE_B), lambda t, *_: (0, t),
+            pl.BlockSpec((_SUB * _NF_B, _LANE_B), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUB * _NI_B, _LANE_B), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),
@@ -1608,16 +1657,16 @@ def stream_step_binned(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((_SUB * _NF, n_cols), jnp.float32),
+            jax.ShapeDtypeStruct((_SUB * _NF_B, n_cols), jnp.float32),
             jax.ShapeDtypeStruct((_SUB * _NI_B, n_cols), jnp.int32),
         ],
         # aliasing saves HBM but may constrain the pipeline; the env toggle
         # exists for perf experiments
         input_output_aliases=(
-            {} if os.environ.get("SMALLPT_TPU_BINNED_NO_ALIAS") else {5: 0, 6: 1}
+            {} if os.environ.get("SMALLPT_TPU_BINNED_NO_ALIAS") else {6: 0, 7: 1}
         ),
         interpret=interpret,
-    )(counts, lists, kw, ipv, table, f, i)
+    )(stops, lists, dcut, kw, ipv, table, f, i)
     rays = jnp.sum(
         jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
         .astype(jnp.float32)
