@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="continuous-wavefront streaming renderer (fastest; "
                         "sphere scenes, full transport only): renders spp x "
                         "passes samples/pixel in one persistent stream")
+    p.add_argument("--binned", action="store_true",
+                   help="grid-binned distance-ordered streaming renderer "
+                        "(the acceleration-structure path for big sphere "
+                        "scenes, e.g. --scene procedural)")
     p.add_argument("--interactive", action="store_true",
                    help="render progressively until EOF/quit, consuming "
                         "line-delimited JSON commands from stdin (the "
@@ -179,6 +183,28 @@ def main(argv=None) -> int:
         build_parser().error("--streaming and --interactive are exclusive "
                              "(the interactive protocol drives the "
                              "progressive accumulator)")
+    if args.binned:
+        from smallpt_tpu.engine.binned import BinnedStreamingRenderer
+        from smallpt_tpu.utils.metrics import log_json
+
+        br = BinnedStreamingRenderer(scene, camera, config, seed=args.seed)
+        t0 = time.time()
+        br.step(add_samples=config.spp * n_passes,
+                n_bounces=2 * config.max_depth)
+        br.flush()
+        if not args.quiet:
+            print(f"Elapsed time: {(time.time() - t0) * 1000:.0f} ms",
+                  file=sys.stderr)
+        if args.stats:
+            log_json("binned_done", br.stats.as_dict())
+        img = br.image * args.exposure
+        if args.out.endswith(".png"):
+            img_io.write_png(args.out, img)
+        else:
+            img_io.write_ppm(args.out, img)
+        if not args.quiet:
+            print(f"Wrote {args.out}", file=sys.stderr)
+        return 0
     if args.streaming:
         from smallpt_tpu.engine.streaming import StreamingRenderer
         from smallpt_tpu.utils.metrics import log_json
