@@ -190,12 +190,80 @@ def _use_regen(config: RenderConfig, differentiable: bool) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config", "differentiable"))
+def _use_binned(scene, config: RenderConfig, differentiable: bool) -> bool:
+    """Big-scene routing: above the classic megakernel's sphere cap, the
+    grid-binned distance-ordered scheduler (engine/binned.py) replaces the
+    brute split-sweep — lifting the round-1 eligibility cliff at
+    MEGA_MAX_SPHERES instead of silently falling back to a slower path."""
+    from smallpt_tpu.config import Mode
+    from smallpt_tpu.ops.megakernel import MEGA_MAX_SPHERES
+
+    return (
+        config.scheduler == Scheduler.MEGA
+        and not differentiable
+        and jax.default_backend() in ("tpu", "cpu")
+        and config.split_budget == 1
+        and config.mode == Mode.FULL
+        and config.dtype == "float32"
+        and not config.nee_lights
+        and config.aperture == 0.0
+        and isinstance(scene, SphereScene)
+        and scene.n_spheres > MEGA_MAX_SPHERES
+        and not isinstance(scene.radius, jax.core.Tracer)
+    )
+
+
+# per-scene accel cache for the render()-level binned drain: keyed by the
+# id of the center array with a weakref identity check (id() alone could
+# alias a recycled object)
+_ACCEL_CACHE: dict = {}
+
+
+def _render_binned_drain(scene, camera, config: RenderConfig, key):
+    """Per-pass semantics (summed radiance over config.spp samples) through
+    the binned streaming scheduler: budget = spp, exact drain. Sample
+    streams are the streaming keying (placement-invariant in (pixel, ip)),
+    deterministic per (scene, camera, config, key)."""
+    import weakref
+
+    from smallpt_tpu.engine.binned import BinnedStreamingRenderer
+
+    accel = None
+    cached = _ACCEL_CACHE.get(id(scene.center))
+    if cached is not None:
+        ref, acc_obj = cached
+        if ref() is scene.center:
+            accel = acc_obj
+    r = BinnedStreamingRenderer(scene, camera, config, accel=accel)
+    if accel is None:
+        try:
+            _ACCEL_CACHE[id(scene.center)] = (
+                weakref.ref(scene.center), r.accel,
+            )
+        except TypeError:
+            pass  # un-weakref-able array type: skip caching
+    r.key = key
+    r.step(add_samples=config.spp, n_bounces=3)
+    r.flush()
+    rad, _w = r.accumulators()
+    return rad, jnp.asarray(float(r.stats.rays), jnp.float32)
+
+
 def render(
     scene, camera, config: RenderConfig, key: jax.Array, differentiable: bool = False
 ) -> jnp.ndarray:
     """One full-frame pass. Returns (H, W, 3) summed radiance over
     config.spp samples per pixel (unnormalized, like smallpt.cpp:813)."""
+    if _use_binned(scene, config, differentiable):
+        img, _ = _render_binned_drain(scene, camera, config, key)
+        return img
+    return _render_jit(scene, camera, config, key, differentiable)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "differentiable"))
+def _render_jit(
+    scene, camera, config: RenderConfig, key: jax.Array, differentiable: bool = False
+) -> jnp.ndarray:
     if _use_mega(scene, config, differentiable):
         from smallpt_tpu.ops.megakernel import render_pass_megakernel
 
@@ -217,10 +285,16 @@ def render(
     return img.reshape(config.height, config.width, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
 def render_with_stats(scene, camera, config: RenderConfig, key: jax.Array):
     """Like render(), additionally returning the number of rays traced —
     the bench.py / observability entry point."""
+    if _use_binned(scene, config, False):
+        return _render_binned_drain(scene, camera, config, key)
+    return _render_with_stats_jit(scene, camera, config, key)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _render_with_stats_jit(scene, camera, config: RenderConfig, key: jax.Array):
     if _use_mega(scene, config, False):
         from smallpt_tpu.ops.megakernel import render_pass_megakernel
 

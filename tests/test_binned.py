@@ -145,3 +145,29 @@ def test_binned_matches_classic_on_cornell():
     img_b = rad_b / np.maximum(w_b[..., None], 1)
     close = np.isclose(img_b, img_c, rtol=0.05, atol=0.02)
     assert close.mean() > 0.95, close.mean()
+
+
+def test_render_routes_big_scenes_through_binned():
+    """render()/render_with_stats() above MEGA_MAX_SPHERES route to the
+    binned drain (the round-1 cliff fell back to a brute split-sweep);
+    the image must equal a manual binned drain bit-for-bit and repeated
+    calls must be deterministic (accel cache included)."""
+    from smallpt_tpu.core import rng as prng
+    from smallpt_tpu.engine.renderer import render, render_with_stats, _use_binned
+
+    scene = procedural_sphere_scene(2100, seed=5)
+    cfg = CFG.replace(width=12, height=8, max_depth=6)
+    assert _use_binned(scene, cfg, False)
+    key = prng.base_key(3)
+    img1 = np.asarray(render(scene, smallpt_camera(), cfg, key))
+    img2, rays = render_with_stats(scene, smallpt_camera(), cfg, key)
+    assert (img1 == np.asarray(img2)).all()
+    assert float(rays) > 0
+
+    r = BinnedStreamingRenderer(scene, smallpt_camera(), cfg)
+    r.key = key
+    r.step(add_samples=cfg.spp, n_bounces=3)
+    r.flush()
+    rad, w = r.accumulators()
+    assert (np.asarray(w) == cfg.spp).all()
+    assert (np.asarray(rad) == img1).all()
