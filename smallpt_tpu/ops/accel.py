@@ -399,7 +399,13 @@ def tile_work_lists(f, i, config, accel: GridAccel, k_near: int | None = None):
     # all-chunk sweeps — everything reachable gets swept, so lanes finalize)
     idx = jnp.clip(stops, 0, c_ - 1)
     dcut = jnp.take_along_axis(ds, idx[:, None], axis=1)[:, 0]
-    dcut = jnp.where((stops < 0) | (stops >= n_reach), big, dcut)
+    # everything-reachable-swept => +inf, NOT the finite 3e38 sentinel: a
+    # lane that misses all geometry carries bt == 3e38, and `bt < dcut`
+    # must still finalize it as a miss (an open scene would otherwise pend
+    # that lane forever and stall the drain)
+    dcut = jnp.where(
+        (stops < 0) | (stops >= n_reach), jnp.float32(jnp.inf), dcut
+    )
     return lists, stops, dcut
 
 

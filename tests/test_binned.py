@@ -171,3 +171,34 @@ def test_render_routes_big_scenes_through_binned():
     rad, w = r.accumulators()
     assert (np.asarray(w) == cfg.spp).all()
     assert (np.asarray(rad) == img1).all()
+
+
+def test_binned_open_scene_misses_finalize():
+    """A lane that misses ALL geometry must finalize as a miss (bt stays at
+    the 3e38 sentinel; the everything-swept dcut must be +inf, not 3e38,
+    or the lane pends forever and the drain stalls)."""
+    import numpy as np
+    from smallpt_tpu.core.scene import SphereScene, Material
+
+    rng = np.random.default_rng(0)
+    n = 40
+    centers = np.concatenate(
+        [[[50.0, 500.0, 81.6]], rng.uniform([30, 20, 40], [70, 60, 120], (n, 3))]
+    )
+    radii = np.concatenate([[60.0], rng.uniform(0.5, 1.5, n)])
+    emission = np.zeros((n + 1, 3)); emission[0] = (8, 8, 8)
+    albedo = np.full((n + 1, 3), 0.6); albedo[0] = 0
+    refl = np.zeros(n + 1, np.int32)
+    scene = SphereScene(
+        center=jnp.asarray(centers, jnp.float32),
+        radius=jnp.asarray(radii, jnp.float32),
+        material=Material(jnp.asarray(emission, jnp.float32),
+                          jnp.asarray(albedo, jnp.float32),
+                          jnp.asarray(refl)),
+    )
+    cfg = CFG.replace(width=12, height=8, max_depth=6)
+    r = BinnedStreamingRenderer(scene, smallpt_camera(), cfg, seed=0)
+    r.step(add_samples=2, n_bounces=4)
+    r.flush()  # must terminate
+    _, w = r.accumulators()
+    assert (np.asarray(w) == 2).all()
