@@ -16,6 +16,13 @@ import sys
 import time
 
 import jax
+
+# persistent compile cache: first compiles of the bench shapes are 30-90 s
+# (bigger kernels minutes) through the remote compile helper; cache them so
+# repeated bench invocations start hot
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_smallpt_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax.numpy as jnp
 import numpy as np
 
