@@ -134,10 +134,6 @@ class BinnedStreamingRenderer:
             return acc.state_bin_keys(f, i, accel)
 
         def shuffle(f, i):
-            # NOT one fused jit: shuffle_state deliberately splits the
-            # relayout and the multi-operand sort into separate programs
-            # (fused, the sort compile pathologically blows up — see its
-            # docstring); wrapping it here would re-fuse them
             return acc.shuffle_state(f, i, keys_of(f, i))
 
         return bounce, shuffle

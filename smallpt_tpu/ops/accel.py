@@ -414,60 +414,35 @@ def tile_work_lists(f, i, config, accel: GridAccel, k_near: int | None = None):
 # ---------------------------------------------------------------------------
 
 
-def _planes_to_flat(p):
-    """(8, C) plane -> (G,) flat in TILE-MAJOR rank order: rank k lives at
-    (sublane (k % TILE_B) // LANE_B, column (k // TILE_B) * LANE_B
-    + k % LANE_B) — consecutive sorted ranks land in the same kernel tile."""
-    c = p.shape[1]
-    t = c // LANE_B
-    return p.reshape(8, t, LANE_B).transpose(1, 0, 2).reshape(-1)
-
-
-def _flat_to_planes(x):
-    g = x.shape[0]
-    t = g // TILE_B
-    return x.reshape(t, 8, LANE_B).transpose(1, 0, 2).reshape(8, t * LANE_B)
-
-
 @jax.jit
-def _to_flat_all(f, i, keys):
+def shuffle_state(f, i, keys):
+    """Re-order lanes by bin key for tile coherence: ONE multi-operand
+    row-wise sort (each of the 8 sublane rows sorts independently along the
+    column axis, payload planes riding the same network).
+
+    Why row-wise: a globally-sorted order needs (8, T, L) transposes to
+    make sorted ranks tile-contiguous, and fusing (or even just compiling)
+    those 25 transposes wedges the remote compiler for 40+ minutes. Rows
+    receive statistically identical key populations, so each tile's 8
+    row-segments cover nearly the same key quantiles — per-tile ranges are
+    within noise of the global sort's — at zero relayout cost (and 8 sorts
+    of C elements are cheaper than one of 8C). Placement is semantically
+    free: streams are keyed by the pixel plane, not the lane (bit-exact
+    tests pin this).
+
+    keys: (8, C) int32 plane; dead-unregenerable lanes should carry a
+    past-the-end key so they sink to each row's tail."""
     nf = f.shape[0] // 8
     ni = i.shape[0] // 8
-    flat = [_planes_to_flat(keys)]
+    ops = [keys]
     for n in range(nf):
-        flat.append(_planes_to_flat(f[8 * n:8 * n + 8]))
+        ops.append(f[8 * n:8 * n + 8])
     for n in range(ni):
-        flat.append(_planes_to_flat(i[8 * n:8 * n + 8]))
-    return tuple(flat)
-
-
-@jax.jit
-def _sort_flat(flat):
-    return jax.lax.sort(flat, num_keys=1)
-
-
-@functools.partial(jax.jit, static_argnames=("nf",))
-def _from_flat_all(out, nf: int):
-    f2 = jnp.concatenate([_flat_to_planes(x) for x in out[1:1 + nf]], axis=0)
-    i2 = jnp.concatenate(
-        [_flat_to_planes(x) for x in out[1 + nf:]], axis=0
-    )
+        ops.append(i[8 * n:8 * n + 8])
+    out = jax.lax.sort(tuple(ops), dimension=1, num_keys=1)
+    f2 = jnp.concatenate(out[1:1 + nf], axis=0)
+    i2 = jnp.concatenate(out[1 + nf:], axis=0)
     return f2, i2
-
-
-def shuffle_state(f, i, keys):
-    """Sort ALL state planes by per-lane bin key (one fused multi-operand
-    sort — payloads ride the sort network; separate gathers measure ~10x
-    slower at this scale). keys: (8, C) int32 plane; dead-unregenerable
-    lanes should carry a past-the-end key so they sink to the tail.
-
-    Deliberately THREE separate jits (relayout / sort / relayout): fusing
-    the tile-major transposes into the multi-operand sort sends the Mosaic
-    compiler into a tailspin (>40 min observed at 8192-lane tiles), while
-    the standalone 1D sort compiles in minutes and the transposes in
-    seconds. Three device dispatches, no host sync."""
-    out = _sort_flat(_to_flat_all(f, i, keys))
-    return _from_flat_all(out, f.shape[0] // 8)
 
 
 def state_bin_keys(f, i, accel: GridAccel):
