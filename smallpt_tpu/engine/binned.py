@@ -118,11 +118,20 @@ class BinnedStreamingRenderer:
         config, accel = self.config, self.accel
 
         @jax.jit
+        def lists_of(f, i):
+            return acc.tile_work_lists(f, i, config, accel)
+
         def bounce(table, cam_vec, key, f, i):
+            # THREE separate programs, not one fused jit: on this
+            # toolchain monolithic programs mixing XLA sorts/argsorts with
+            # a pallas_call hit multi-ten-minute remote-compile
+            # pathologies, while the pieces compile in seconds
+            # (regen ~1s, lists ~24s, kernel ~2s measured). The extra
+            # dispatches are async and fetch-free.
             from smallpt_tpu.ops.megakernel import regen_binned
 
             f, i = regen_binned(f, i, cam_vec, config, key)
-            lists, stops, dcut = acc.tile_work_lists(f, i, config, accel)
+            lists, stops, dcut = lists_of(f, i)
             return stream_step_binned(
                 table, config, key, f, i, lists, stops, dcut,
                 n_glob_chunks=accel.n_glob_chunks,
