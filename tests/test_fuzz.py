@@ -70,3 +70,47 @@ def test_random_config_renders_finite_and_consistent(seed):
         # so a few pixels of a tiny spp=1 fuzz image may differ; systematic
         # estimator bugs diverge everywhere, which this still catches
         assert n_div <= max(0.05 * rel.size, 15), (cfg, n_div, rel.size)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_binned_fuzz_matches_full_sweep(seed):
+    """Randomized binned-scheduler configs: grid resolution, list capacity,
+    sort cadence, K_NEAR prefix — the culled result must be BIT-EQUAL to
+    the forced-full-sweep result (l_max=1 forces the all-chunk fallback on
+    any tile that must resolve), for random procedural scenes."""
+    from smallpt_tpu.core.scene import procedural_sphere_scene
+    from smallpt_tpu.engine.binned import BinnedStreamingRenderer
+    from smallpt_tpu.ops import accel as acc
+
+    rng = np.random.default_rng(7000 + seed)
+    cfg = RenderConfig(
+        width=int(rng.integers(8, 20)),
+        height=int(rng.integers(6, 14)),
+        jitter_size=int(rng.choice([1, 2])),
+        spp_per_cell=1,
+        max_depth=int(rng.integers(4, 10)),
+        rr_depth=int(rng.integers(2, 6)),
+        filter=Filter(str(rng.choice(["box", "tent"]))),
+        camera_model=CameraModel.LEGACY,
+    )
+    scene = procedural_sphere_scene(int(rng.integers(40, 150)),
+                                    seed=int(rng.integers(0, 99)))
+    cam = smallpt_camera()
+    spp = int(rng.integers(1, 4))
+    nb = tuple(int(x) for x in rng.integers(2, 9, size=3))
+
+    def run(accel, sort_every):
+        r = BinnedStreamingRenderer(scene, cam, cfg, seed=0, accel=accel,
+                                    sort_every=sort_every)
+        r.step(add_samples=spp, n_bounces=3)
+        r.flush()
+        rad, w = r.accumulators()
+        return np.asarray(rad), np.asarray(w)
+
+    a_cfg = acc.build_grid_accel(scene, nb=nb,
+                                 l_max=int(rng.integers(8, 64)))
+    full = acc.build_grid_accel(scene, l_max=1)
+    ra, wa = run(a_cfg, int(rng.choice([0, 1, 3])))
+    rb, wb = run(full, int(rng.choice([0, 2])))
+    assert (wa == spp).all() and (wb == spp).all()
+    assert (ra == rb).all()
