@@ -190,13 +190,23 @@ def _use_regen(config: RenderConfig, differentiable: bool) -> bool:
     )
 
 
-def _use_binned(scene, config: RenderConfig, differentiable: bool) -> bool:
+def _use_binned(scene, config: RenderConfig, differentiable: bool,
+                key=None, camera=None) -> bool:
     """Big-scene routing: above the classic megakernel's sphere cap, the
     grid-binned distance-ordered scheduler (engine/binned.py) replaces the
     brute split-sweep — lifting the round-1 eligibility cliff at
-    MEGA_MAX_SPHERES instead of silently falling back to a slower path."""
+    MEGA_MAX_SPHERES instead of silently falling back to a slower path.
+
+    The binned drain is a host drive loop with concrete fetches, so any
+    traced argument (scene under grad, key under an outer jit/vmap, traced
+    camera) must fall through to the fully-jittable _render_jit path."""
     from smallpt_tpu.config import Mode
     from smallpt_tpu.ops.megakernel import MEGA_MAX_SPHERES
+
+    def traced(x):
+        return any(
+            isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(x)
+        )
 
     return (
         config.scheduler == Scheduler.MEGA
@@ -209,14 +219,18 @@ def _use_binned(scene, config: RenderConfig, differentiable: bool) -> bool:
         and config.aperture == 0.0
         and isinstance(scene, SphereScene)
         and scene.n_spheres > MEGA_MAX_SPHERES
-        and not isinstance(scene.radius, jax.core.Tracer)
+        and not traced(scene)
+        and not traced(key)
+        and not traced(camera)
     )
 
 
 # per-scene accel cache for the render()-level binned drain: keyed by the
-# id of the center array with a weakref identity check (id() alone could
-# alias a recycled object)
+# ids of BOTH geometry arrays with weakref identity checks (id() alone could
+# alias a recycled object; center alone could reuse a stale accel for a
+# scene sharing centers but different radii — ADVICE r2). Bounded LRU.
 _ACCEL_CACHE: dict = {}
+_ACCEL_CACHE_MAX = 8
 
 
 def _render_binned_drain(scene, camera, config: RenderConfig, key):
@@ -229,17 +243,21 @@ def _render_binned_drain(scene, camera, config: RenderConfig, key):
     from smallpt_tpu.engine.binned import BinnedStreamingRenderer
 
     accel = None
-    cached = _ACCEL_CACHE.get(id(scene.center))
+    cache_key = (id(scene.center), id(scene.radius))
+    cached = _ACCEL_CACHE.get(cache_key)
     if cached is not None:
-        ref, acc_obj = cached
-        if ref() is scene.center:
+        ref_c, ref_r, acc_obj = cached
+        if ref_c() is scene.center and ref_r() is scene.radius:
             accel = acc_obj
+            _ACCEL_CACHE[cache_key] = _ACCEL_CACHE.pop(cache_key)  # LRU bump
     r = BinnedStreamingRenderer(scene, camera, config, accel=accel)
     if accel is None:
         try:
-            _ACCEL_CACHE[id(scene.center)] = (
-                weakref.ref(scene.center), r.accel,
+            _ACCEL_CACHE[cache_key] = (
+                weakref.ref(scene.center), weakref.ref(scene.radius), r.accel,
             )
+            while len(_ACCEL_CACHE) > _ACCEL_CACHE_MAX:
+                _ACCEL_CACHE.pop(next(iter(_ACCEL_CACHE)))
         except TypeError:
             pass  # un-weakref-able array type: skip caching
     r.key = key
@@ -254,9 +272,14 @@ def render(
 ) -> jnp.ndarray:
     """One full-frame pass. Returns (H, W, 3) summed radiance over
     config.spp samples per pixel (unnormalized, like smallpt.cpp:813)."""
-    if _use_binned(scene, config, differentiable):
-        img, _ = _render_binned_drain(scene, camera, config, key)
-        return img
+    if _use_binned(scene, config, differentiable, key, camera):
+        from smallpt_tpu.ops.accel import AccelUnsupported
+
+        try:
+            img, _ = _render_binned_drain(scene, camera, config, key)
+            return img
+        except AccelUnsupported:
+            pass  # e.g. all-small-sphere open scene: brute fallback below
     return _render_jit(scene, camera, config, key, differentiable)
 
 
@@ -288,8 +311,13 @@ def _render_jit(
 def render_with_stats(scene, camera, config: RenderConfig, key: jax.Array):
     """Like render(), additionally returning the number of rays traced —
     the bench.py / observability entry point."""
-    if _use_binned(scene, config, False):
-        return _render_binned_drain(scene, camera, config, key)
+    if _use_binned(scene, config, False, key, camera):
+        from smallpt_tpu.ops.accel import AccelUnsupported
+
+        try:
+            return _render_binned_drain(scene, camera, config, key)
+        except AccelUnsupported:
+            pass
     return _render_with_stats_jit(scene, camera, config, key)
 
 

@@ -62,6 +62,11 @@ GLOBAL_RADIUS = 50.0
 CHUNK = 8  # local spheres per chunk (matches the kernel's 8-row VMEM loads)
 
 
+class AccelUnsupported(ValueError):
+    """Scene shape the grid accel cannot index (no local or no global
+    spheres) — callers fall back to the brute sweep."""
+
+
 @dataclasses.dataclass(frozen=True)
 class GridAccel:
     """Static acceleration tables for one (scene, binning) pair.
@@ -168,7 +173,9 @@ def build_grid_accel(
     lids = np.nonzero(~is_global)[0]
 
     if lids.size == 0:
-        raise ValueError("scene has no local spheres — use the plain sweep")
+        raise AccelUnsupported(
+            "scene has no local spheres — use the plain sweep"
+        )
 
     # grid bounds: local extents + wall tangent points + requested origins
     ext_lo = (c[lids] - r[lids, None]).min(axis=0)
@@ -210,7 +217,7 @@ def build_grid_accel(
     # (duplicate closest-hit candidates are harmless: equal t, same
     # material; the strict '<' sweep keeps the first)
     if gids.size == 0:
-        raise ValueError(
+        raise AccelUnsupported(
             "scene has no global spheres — binned mode expects wall-class "
             f"spheres (radius >= {global_radius}); lower global_radius"
         )

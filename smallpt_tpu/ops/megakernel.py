@@ -1204,8 +1204,16 @@ def _binned_kernel(
     full_sweep = stop < 0
     n_eff = jnp.where(full_sweep, n_chunks, stop)
 
+    l_max = lst_ref.shape[1]
+
     def local_cid(j):
-        return n_glob_chunks + jnp.where(full_sweep, j, lst_ref[t, j])
+        # jnp.where evaluates both branches: on a full sweep j runs to
+        # n_chunks-1 which can exceed l_max, so the (discarded) list read
+        # must be clamped — an unclamped SMEM read past the buffer is UB on
+        # Mosaic even though the value never matters (ADVICE r2)
+        return n_glob_chunks + jnp.where(
+            full_sweep, j, lst_ref[t, jnp.minimum(j, l_max - 1)]
+        )
 
     # carried candidates resume (fresh lanes hold (_BIG, -1)); globals are
     # re-swept every launch — idempotent for the min-fold, and they give

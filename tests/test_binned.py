@@ -202,3 +202,79 @@ def test_binned_open_scene_misses_finalize():
     r.flush()  # must terminate
     _, w = r.accumulators()
     assert (np.asarray(w) == 2).all()
+
+
+def test_render_falls_back_when_accel_unsupported():
+    """A big scene with NO wall-class (global) spheres routes to binned,
+    whose accel build raises AccelUnsupported — render() must fall back to
+    the brute path instead of propagating (ADVICE r2)."""
+    import jax
+    from smallpt_tpu.core.scene import SphereScene, Material
+    from smallpt_tpu.core import rng as prng
+    from smallpt_tpu.engine.renderer import render, _use_binned
+    from smallpt_tpu.ops.megakernel import MEGA_MAX_SPHERES
+
+    n = MEGA_MAX_SPHERES + 52
+    rng = np.random.default_rng(7)
+    scene = SphereScene(
+        center=jnp.asarray(rng.uniform(0, 100, (n, 3)), jnp.float32),
+        radius=jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32),
+        material=Material(
+            emission=jnp.asarray(
+                np.where(np.arange(n)[:, None] == 0, 10.0, 0.0)
+                * np.ones((1, 3)),
+                jnp.float32,
+            ),
+            albedo=jnp.full((n, 3), 0.5, jnp.float32),
+            refl=jnp.zeros((n,), jnp.int32),
+        ),
+    )
+    cfg = CFG.replace(width=8, height=6, max_depth=2)
+    assert _use_binned(scene, cfg, False)
+    img = render(scene, smallpt_camera(), cfg, prng.base_key(0))
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_render_traced_key_falls_through_to_jit():
+    """render() with a concrete big scene but a TRACED key must not take
+    the host drive loop (concrete fetches) — previously raised
+    ConcretizationTypeError under an outer jit (ADVICE r2)."""
+    import jax
+    from smallpt_tpu.core import rng as prng
+    from smallpt_tpu.engine.renderer import render, _use_binned
+
+    scene = procedural_sphere_scene(2100, seed=5)
+    cfg = CFG.replace(width=8, height=6, max_depth=2)
+
+    @jax.jit
+    def go(key):
+        return render(scene, smallpt_camera(), cfg, key)
+
+    img = go(prng.base_key(1))
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_accel_cache_not_reused_across_radius_change():
+    """The render()-level accel cache must key on BOTH geometry arrays: a
+    scene sharing the same center array but different radii would silently
+    reuse stale (non-conservative) chunk AABBs (ADVICE r2)."""
+    from smallpt_tpu.core import rng as prng
+    from smallpt_tpu.engine import renderer as rmod
+
+    scene1 = procedural_sphere_scene(2100, seed=5)
+    scene2 = scene1._replace(radius=scene1.radius * 1.5)
+    assert scene2.center is scene1.center
+    rmod._ACCEL_CACHE.clear()
+    cam = smallpt_camera()
+    cfg = CFG.replace(width=8, height=6, max_depth=2)
+    key = prng.base_key(0)
+    rmod.render(scene1, cam, cfg, key)
+    assert len(rmod._ACCEL_CACHE) == 1
+    rmod.render(scene2, cam, cfg, key)
+    # distinct entry, not a stale hit
+    assert len(rmod._ACCEL_CACHE) == 2
+    (k1, a1), (k2, a2) = [
+        (k, v[2]) for k, v in rmod._ACCEL_CACHE.items()
+    ]
+    assert k1 != k2
+    assert not np.array_equal(np.asarray(a1.k_hi), np.asarray(a2.k_hi))
