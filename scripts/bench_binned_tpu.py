@@ -1,0 +1,255 @@
+"""Per-stage timing + tuning sweep for the binned scheduler on real TPU.
+
+The round-2 verdict's top item: the binned (grid-culled, distance-ordered)
+scheduler had bit-exact correctness tests but ZERO recorded TPU throughput.
+This script produces (a) the per-stage cost table (kernel vs tile_work_lists
+vs row-sort vs regen), (b) end-to-end rays/s for the drive loop, and (c) a
+tuning sweep over (sort_every, k_near, n_bounces) — all in ONE process
+(interleaved variants, best-of-N) per the axon-tunnel methodology notes in
+CLAUDE.md: value fetches (not block_until_ready) close every timed region,
+and counters stay on device inside loops.
+
+Usage:
+  python scripts/bench_binned_tpu.py stages            # per-stage table
+  python scripts/bench_binned_tpu.py e2e               # end-to-end rays/s
+  python scripts/bench_binned_tpu.py sweep             # tuning sweep
+  python scripts/bench_binned_tpu.py crossover         # vs classic MEGA
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_smallpt_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import jax.numpy as jnp
+import numpy as np
+
+from smallpt_tpu.config import RenderConfig, Filter, CameraModel
+from smallpt_tpu.core.scene import procedural_sphere_scene
+from smallpt_tpu.core.camera import smallpt_camera
+from smallpt_tpu.engine.binned import BinnedStreamingRenderer
+
+
+def fetch(x):
+    """Force a real device fetch (block_until_ready lies on the tunnel)."""
+    return float(jnp.sum(x)) if hasattr(x, "dtype") else float(x)
+
+
+def make_renderer(args, sort_every=2):
+    config = RenderConfig(
+        width=args.width, height=args.height, spp_per_cell=1,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+        max_depth=args.depth,
+    )
+    scene = procedural_sphere_scene(args.n)
+    return BinnedStreamingRenderer(
+        scene, smallpt_camera(), config, seed=0, sort_every=sort_every
+    )
+
+
+def time_loop(fn, iters, fetch_out, inner_chain=1):
+    """Median-of-3 windows of `iters` sequential calls; returns s/call.
+    fetch_out(result) must force the value fetch that closes the window."""
+    res = None
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            res = fn(res)
+        fetch_out(res)
+        times.append((time.perf_counter() - t0) / iters)
+    return min(times), res
+
+
+def cmd_stages(args):
+    from smallpt_tpu.ops import accel as acc
+    from smallpt_tpu.ops.megakernel import (
+        regen_binned, stream_step_binned,
+    )
+
+    r = make_renderer(args)
+    accel = r.accel
+    config = r.config
+    print(f"# scene n={args.n} {args.width}x{args.height} depth={args.depth}",
+          file=sys.stderr)
+    print(f"# accel: nb={accel.nb} bins={accel.n_bins} "
+          f"chunks={accel.n_chunks} glob={accel.n_glob_chunks} "
+          f"l_max={accel.l_max}", file=sys.stderr)
+
+    # Produce a REALISTIC mid-render state: budget set, several bounces in.
+    r.step(add_samples=args.spp, n_bounces=6)
+    f0, i0 = r.f, r.i
+    fetch(f0)
+
+    bounce, shuffle = r._bounce
+
+    @jax.jit
+    def lists_of(f, i):
+        return acc.tile_work_lists(f, i, config, accel)
+
+    @jax.jit
+    def keys_of(f, i):
+        return acc.state_bin_keys(f, i, accel)
+
+    lists, stops, dcut = lists_of(f0, i0)
+    fetch(stops)
+
+    # regen alone (idempotent enough for timing: reruns on same state)
+    def regen_only(_):
+        return regen_binned(f0, i0, r.cam_vec, config, r.key)
+
+    t_regen, _ = time_loop(regen_only, 20, lambda res: fetch(res[1]))
+
+    # lists alone
+    def lists_only(_):
+        return lists_of(f0, i0)
+
+    t_lists, _ = time_loop(lists_only, 20, lambda res: fetch(res[1]))
+
+    # kernel alone (same lists every time; state does evolve via output
+    # but we re-feed f0/i0 so shapes/occupancy stay constant)
+    def kernel_only(_):
+        return stream_step_binned(
+            r.table, config, r.key, f0, i0, lists, stops, dcut,
+            n_glob_chunks=accel.n_glob_chunks, n_chunks=accel.n_chunks,
+        )
+
+    t_kernel, _ = time_loop(kernel_only, 20, lambda res: fetch(res[2]))
+
+    # shuffle (row-wise sort) alone
+    def shuffle_only(_):
+        return shuffle(f0, i0)
+
+    t_shuffle, _ = time_loop(shuffle_only, 20, lambda res: fetch(res[1][0]))
+
+    # stops distribution (how many tiles sweep full lists?)
+    st = np.asarray(stops)
+    nr = np.asarray(jnp.sum(accel.masks, axis=1).max())
+    rows = {
+        "regen_ms": round(t_regen * 1e3, 2),
+        "lists_ms": round(t_lists * 1e3, 2),
+        "kernel_ms": round(t_kernel * 1e3, 2),
+        "shuffle_ms": round(t_shuffle * 1e3, 2),
+        "tiles": int(st.size),
+        "stops_full": int((st < 0).sum()),
+        "stops_mean": float(st[st >= 0].mean()) if (st >= 0).any() else -1,
+        "stops_max": int(st.max()),
+    }
+    print(json.dumps(rows))
+
+
+def drive(r, spp, n_bounces, max_iters=400):
+    """Drive to exact drain; returns (rays, wall_s)."""
+    t0 = time.perf_counter()
+    r.step(add_samples=spp, n_bounces=n_bounces)
+    r.flush()
+    dt = time.perf_counter() - t0
+    return r.stats.rays, dt
+
+
+def cmd_e2e(args):
+    best = None
+    r = make_renderer(args, sort_every=args.sort_every)
+    # warm: compile + clock ramp
+    drive(r, args.spp, args.bounces)
+    for t in range(args.rounds):
+        r.reset()
+        r.stats.rays = 0
+        r.stats.wall_s = 0.0
+        rays, dt = drive(r, args.spp, args.bounces)
+        rate = rays / dt
+        print(f"# round {t}: {rays} rays in {dt:.3f}s = {rate/1e6:.2f} M",
+              file=sys.stderr)
+        if best is None or rate > best[0]:
+            best = (rate, rays, dt)
+    print(json.dumps({
+        "metric": f"binned_{args.n}sph_{args.width}x{args.height}",
+        "rays_per_s": round(best[0]),
+        "rays": best[1], "wall_s": round(best[2], 3),
+        "sort_every": args.sort_every, "bounces": args.bounces,
+    }))
+
+
+def cmd_sweep(args):
+    """Interleaved variants in one process; report each variant's best."""
+    variants = []
+    for se in (1, 2, 4):
+        for nb in (4, 8, 16):
+            variants.append((se, nb))
+    renderers = {}
+    results = {v: 0.0 for v in variants}
+    for v in variants:
+        renderers[v] = make_renderer(args, sort_every=v[0])
+        drive(renderers[v], args.spp, v[1])  # compile+warm
+    for rep in range(args.rounds):
+        for v in variants:
+            r = renderers[v]
+            r.reset()
+            r.stats.rays = 0
+            r.stats.wall_s = 0.0
+            rays, dt = drive(r, args.spp, v[1])
+            rate = rays / dt
+            results[v] = max(results[v], rate)
+            print(f"# se={v[0]} nb={v[1]} rep={rep}: {rate/1e6:.2f} M",
+                  file=sys.stderr)
+    for v, rate in sorted(results.items(), key=lambda kv: -kv[1]):
+        print(json.dumps({"sort_every": v[0], "bounces": v[1],
+                          "rays_per_s": round(rate)}))
+
+
+def cmd_brute(args):
+    """The round-1 brute split-sweep baseline, same process (for honest
+    same-thermal-window comparison)."""
+    from smallpt_tpu.config import Intersector
+    from smallpt_tpu.core import rng as prng
+    from smallpt_tpu.engine.renderer import _render_with_stats_jit
+
+    config = RenderConfig(
+        width=args.width, height=args.height, spp_per_cell=1,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+        max_depth=args.depth, intersector=Intersector.PALLAS,
+    )
+    scene = procedural_sphere_scene(args.n)
+    camera = smallpt_camera()
+    base = prng.base_key(0)
+    img, rays = _render_with_stats_jit(scene, camera, config, base)
+    fetch(rays)
+    best = 0.0
+    for t in range(args.rounds):
+        t0 = time.perf_counter()
+        img, rays = _render_with_stats_jit(
+            scene, camera, config, jax.random.fold_in(base, t))
+        n = fetch(rays)
+        dt = time.perf_counter() - t0
+        best = max(best, n / dt)
+        print(f"# brute round {t}: {n/dt/1e6:.2f} M", file=sys.stderr)
+    print(json.dumps({"metric": "brute", "rays_per_s": round(best)}))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("cmd", choices=["stages", "e2e", "sweep", "brute"])
+    p.add_argument("--n", type=int, default=10_000)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=384)
+    p.add_argument("--depth", type=int, default=24)
+    p.add_argument("--spp", type=int, default=4)
+    p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--sort-every", type=int, default=2)
+    p.add_argument("--bounces", type=int, default=8)
+    args = p.parse_args()
+    print(f"# backend={jax.default_backend()} devices={jax.devices()}",
+          file=sys.stderr)
+    dict(stages=cmd_stages, e2e=cmd_e2e, sweep=cmd_sweep,
+         brute=cmd_brute)[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

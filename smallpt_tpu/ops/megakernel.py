@@ -919,15 +919,23 @@ def set_sample_budget(i, budgets, config: RenderConfig,
     return jax.lax.dynamic_update_slice_in_dim(i, plane, 8 * _I_BUDGET, axis=0)
 
 
-def stream_pending(i):
-    """(n_alive, n_can_regen) — drain is complete when both are zero."""
+@jax.jit
+def _stream_pending_dev(i):
     s_idx = jax.lax.dynamic_slice_in_dim(i, 8 * _I_SIDX, 8, axis=0)
     alive = jax.lax.dynamic_slice_in_dim(i, 8 * _I_ALIVE, 8, axis=0)
     bud = jax.lax.dynamic_slice_in_dim(i, 8 * _I_BUDGET, 8, axis=0)
-    return (
-        int(jnp.sum(alive != 0)),
-        int(jnp.sum((alive == 0) & (s_idx < bud - 1))),
-    )
+    return jnp.stack([
+        jnp.sum(alive != 0),
+        jnp.sum((alive == 0) & (s_idx < bud - 1)),
+    ])
+
+
+def stream_pending(i):
+    """(n_alive, n_can_regen) — drain is complete when both are zero.
+    Packed into ONE device fetch: each host fetch pays a full axon-tunnel
+    round trip (~30 ms), so two separate int() calls doubled the cost."""
+    both = np.asarray(_stream_pending_dev(i))
+    return (int(both[0]), int(both[1]))
 
 
 @functools.partial(
