@@ -74,6 +74,8 @@ def cmd_stages(args):
         regen_binned, stream_step_binned,
     )
 
+    from smallpt_tpu.ops.megakernel import set_binned_budget
+
     r = make_renderer(args)
     accel = r.accel
     config = r.config
@@ -83,20 +85,53 @@ def cmd_stages(args):
           f"chunks={accel.n_chunks} glob={accel.n_glob_chunks} "
           f"l_max={accel.l_max}", file=sys.stderr)
 
-    # Produce a REALISTIC mid-render state: budget set, several bounces in.
-    r.step(add_samples=args.spp, n_bounces=6)
-    f0, i0 = r.f, r.i
-    fetch(f0)
+    def stamp(msg, t0):
+        print(f"# {msg}: {time.perf_counter()-t0:.1f}s", file=sys.stderr,
+              flush=True)
 
+    # Compile each program separately (serial, stamped) so a pathological
+    # remote compile is identifiable.
     bounce, shuffle = r._bounce
+    r.budget += args.spp
+    t0 = time.perf_counter()
+    r.i = set_binned_budget(r.i, r.budget, config)
+    fetch(r.i)
+    stamp("budget compile", t0)
+
+    t0 = time.perf_counter()
+    f1, i1 = regen_binned(r.f, r.i, r.cam_vec, config, r.key)
+    fetch(i1)
+    stamp("regen compile", t0)
 
     @jax.jit
     def lists_of(f, i):
         return acc.tile_work_lists(f, i, config, accel)
 
-    @jax.jit
-    def keys_of(f, i):
-        return acc.state_bin_keys(f, i, accel)
+    t0 = time.perf_counter()
+    lists, stops, dcut = lists_of(f1, i1)
+    fetch(stops)
+    stamp("lists compile", t0)
+
+    t0 = time.perf_counter()
+    f2, i2, rays = stream_step_binned(
+        r.table, config, r.key, f1, i1, lists, stops, dcut,
+        n_glob_chunks=accel.n_glob_chunks, n_chunks=accel.n_chunks,
+    )
+    fetch(rays)
+    stamp("kernel compile", t0)
+
+    t0 = time.perf_counter()
+    fs, is_ = shuffle(f2, i2)
+    fetch(is_[0])
+    stamp("shuffle compile", t0)
+
+    # Produce a REALISTIC mid-render state: several bounces in.
+    r.f, r.i = f2, i2
+    r._bounce_idx = 1
+    r._advance(5)
+    f0, i0 = r.f, r.i
+    fetch(f0)
+    stamp("state prep", t0)
 
     lists, stops, dcut = lists_of(f0, i0)
     fetch(stops)

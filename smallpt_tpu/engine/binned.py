@@ -20,10 +20,12 @@ positions differ at the ~1e-4 cancellation scale, which flips rare
 discrete path events on deep paths (the same noise class as the
 megakernel-vs-JAX-scheduler precedent, ops/megakernel.py docstring).
 
-Restrictions (v1 of the binned path): Mode.FULL, split_budget == 1, no
-next-event estimation (the shadow sweep would need its own toward-the-light
-chunk lists), no thin-lens aperture (lens jitter moves the regeneration
-origin out of the precomputed camera-ray bin ranges).
+Restrictions (v2 of the binned path): Mode.FULL, split_budget == 1, no
+next-event estimation yet (the shadow sweep needs its own toward-the-light
+chunk lists). Thin-lens DoF is supported (regen_binned carries the same
+lens block as the classic streaming kernel's in-kernel regen; the accel
+grid bounds cover the aperture disc), and adaptive sampling works via
+step_adaptive / per-pixel budget arrays gathered through the pixel plane.
 """
 
 from __future__ import annotations
@@ -76,10 +78,6 @@ class BinnedStreamingRenderer:
                 "binned streaming does not support nee_lights yet (the "
                 "shadow sweep needs its own chunk lists)"
             )
-        if config.aperture > 0:
-            raise ValueError(
-                "binned streaming does not support aperture (DoF) yet"
-            )
         if not isinstance(scene, SphereScene):
             raise TypeError("binned streaming renders SphereScenes")
         self.scene = scene
@@ -101,6 +99,18 @@ class BinnedStreamingRenderer:
                 for sy in (-0.5 * sc, 0.5 * sc):
                     d = sx * a_v + sy * b_v + c_v
                     pts.append(o_v + push * d)
+            if config.aperture > 0:
+                # thin-lens origins sit on an aperture disc around each
+                # base origin (regen_binned's lens block); cover its
+                # extent so lens-jittered camera rays bin into finite cells
+                ap = float(config.aperture)
+                ra = a_v / max(np.linalg.norm(a_v), 1e-12)
+                rb = b_v / max(np.linalg.norm(b_v), 1e-12)
+                pts = [
+                    p + s * ap * e
+                    for p in pts
+                    for s, e in ((0, ra), (-1, ra), (1, ra), (-1, rb), (1, rb))
+                ]
             accel = acc.build_grid_accel(scene, extra_points=np.asarray(pts))
         self.accel = accel
         self.sort_every = sort_every
@@ -110,6 +120,7 @@ class BinnedStreamingRenderer:
         self.cam_vec = build_camera_vec(camera, config)
         self.f, self.i = init_binned_state(config)
         self.budget = 0
+        self._budgets = None  # per-pixel budgets once adaptive stepping used
         self._bounce_idx = 0
         self.stats = RenderStats()
         self._bounce = self._make_bounce()
@@ -173,6 +184,39 @@ class BinnedStreamingRenderer:
         self.i = set_binned_budget(self.i, self.budget, self.config)
         return self._advance(n_bounces)
 
+    def step_adaptive(self, n_bounces: int = 8,
+                      add_samples_total: int | None = None) -> int:
+        """Variance-adaptive step (engine/streaming.py::step_adaptive
+        semantics on the binned path): distribute a pool of new samples
+        across pixels proportional to their luminance standard deviation
+        (capped at 8x the mean share, uniform floor of 1 when affordable),
+        then advance n_bounces culled bounces."""
+        from smallpt_tpu.ops.megakernel import binned_variance
+
+        G = self.config.n_pixels
+        if add_samples_total is None:
+            add_samples_total = G
+        _, var, _n = binned_variance(self.f, self.i, self.config)
+        sigma = np.sqrt(np.asarray(var).reshape(-1)) + 1e-3
+        base = 1 if add_samples_total >= 2 * G else 0
+        pool = add_samples_total - base * G
+        w_alloc = np.minimum(sigma, 8.0 * sigma.mean())
+        alloc = w_alloc / w_alloc.sum() * pool
+        extra = np.floor(alloc).astype(np.int64)
+        short = int(pool - extra.sum())
+        if short > 0:
+            order = np.argsort(alloc - extra)[::-1][:short]
+            extra[order] += 1
+        extra = (extra + base).astype(np.int32)
+        if self._budgets is None:
+            self._budgets = np.full((G,), self.budget, np.int32)
+        self._budgets = (np.asarray(self._budgets) + extra).astype(np.int32)
+        self.i = set_binned_budget(
+            self.i, jnp.asarray(self._budgets), self.config
+        )
+        self.budget = int(self._budgets.min())
+        return self._advance(n_bounces)
+
     def flush(self) -> None:
         """Drain all in-flight paths and remaining budget; afterwards
         image() is the exact per-pixel MC estimate."""
@@ -192,6 +236,7 @@ class BinnedStreamingRenderer:
     def reset(self) -> None:
         self.f, self.i = init_binned_state(self.config)
         self.budget = 0
+        self._budgets = None
         self._bounce_idx = 0
 
     def update_camera(self, camera) -> None:

@@ -421,11 +421,19 @@ def tile_work_lists(f, i, config, accel: GridAccel, k_near: int | None = None):
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def shuffle_state(f, i, keys):
-    """Re-order lanes by bin key for tile coherence: ONE multi-operand
-    row-wise sort (each of the 8 sublane rows sorts independently along the
-    column axis, payload planes riding the same network).
+@functools.partial(jax.jit, static_argnames=("n_planes",))
+def _sort_group(keys, planes, n_planes):
+    """One stable row-wise sort of up to n_planes payload planes."""
+    out = jax.lax.sort(
+        (keys,) + tuple(planes), dimension=1, is_stable=True, num_keys=1
+    )
+    return out[1:]
+
+
+def shuffle_state(f, i, keys, group=8):
+    """Re-order lanes by bin key for tile coherence: stable multi-operand
+    row-wise sorts (each of the 8 sublane rows sorts independently along
+    the column axis, payload planes riding the same network).
 
     Why row-wise: a globally-sorted order needs (8, T, L) transposes to
     make sorted ranks tile-contiguous, and fusing (or even just compiling)
@@ -437,19 +445,28 @@ def shuffle_state(f, i, keys):
     free: streams are keyed by the pixel plane, not the lane (bit-exact
     tests pin this).
 
+    Why SPLIT into ``group``-plane sorts: the monolithic 25-operand
+    lax.sort is a pathological remote compile on this toolchain (>20 min,
+    vs minutes for ~9 operands — same class as the round-2 sort+transpose
+    wedge). lax.sort is STABLE here, so identical key planes give every
+    group the identical permutation; runtime cost is key-network-bound and
+    payload count is nearly free (BASELINE.md), so k small sorts cost ~k
+    key networks — acceptable at (8, C) row scale and hundreds of times
+    cheaper to compile.
+
     keys: (8, C) int32 plane; dead-unregenerable lanes should carry a
     past-the-end key so they sink to each row's tail."""
     nf = f.shape[0] // 8
     ni = i.shape[0] // 8
-    ops = [keys]
-    for n in range(nf):
-        ops.append(f[8 * n:8 * n + 8])
-    for n in range(ni):
-        ops.append(i[8 * n:8 * n + 8])
-    out = jax.lax.sort(tuple(ops), dimension=1, num_keys=1)
-    f2 = jnp.concatenate(out[1:1 + nf], axis=0)
-    i2 = jnp.concatenate(out[1 + nf:], axis=0)
-    return f2, i2
+    fplanes = [f[8 * n:8 * n + 8] for n in range(nf)]
+    iplanes = [i[8 * n:8 * n + 8] for n in range(ni)]
+    out_f: list = []
+    out_i: list = []
+    for planes, out in ((fplanes, out_f), (iplanes, out_i)):
+        for s in range(0, len(planes), group):
+            sub = planes[s:s + group]
+            out.extend(_sort_group(keys, tuple(sub), len(sub)))
+    return jnp.concatenate(out_f, axis=0), jnp.concatenate(out_i, axis=0)
 
 
 def state_bin_keys(f, i, accel: GridAccel):

@@ -1517,6 +1517,43 @@ def regen_binned(f, i, cam_vec, config: RenderConfig, key: jax.Array,
     goy = o0y + gdy * push
     goz = o0z + gdz * push
     ndx, ndy, ndz = _normalize3(gdx, gdy, gdz)
+    if config.aperture > 0.0:
+        # thin-lens DoF, bit-identical to the classic streaming kernel's
+        # in-kernel lens block (same _LENS_SALT streams): jitter the origin
+        # on the aperture disk, re-aim at the along-ray focus point
+        la, lb, _, _ = _pcg4d(
+            wa, wb,
+            jnp.full(wa.shape, jnp.uint32(_LENS_SALT)),
+            jnp.broadcast_to(k0 + k1, wa.shape),
+        )
+        lu0 = (la >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+            1.0 / (1 << 24)
+        )
+        lu1 = (lb >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+            1.0 / (1 << 24)
+        )
+        lrad = jnp.float32(config.aperture) * jnp.sqrt(lu0)
+        lth = jnp.float32(2.0 * np.pi) * lu1
+        lx_ = lrad * jnp.cos(lth)
+        ly_ = lrad * jnp.sin(lth)
+        rnx, rny, rnz = _normalize3(
+            jnp.broadcast_to(ax, lx_.shape),
+            jnp.broadcast_to(ay, lx_.shape),
+            jnp.broadcast_to(az, lx_.shape),
+        )
+        unx, uny, unz = _normalize3(
+            jnp.broadcast_to(bx, lx_.shape),
+            jnp.broadcast_to(by, lx_.shape),
+            jnp.broadcast_to(bz, lx_.shape),
+        )
+        fdist = jnp.float32(config.focal_distance)
+        fpx = gox + ndx * fdist
+        fpy = goy + ndy * fdist
+        fpz = goz + ndz * fdist
+        gox = gox + rnx * lx_ + unx * ly_
+        goy = goy + rny * lx_ + uny * ly_
+        goz = goz + rnz * lx_ + unz * ly_
+        ndx, ndy, ndz = _normalize3(fpx - gox, fpy - goy, fpz - goz)
 
     one = jnp.ones_like(m1)
 
@@ -1596,15 +1633,53 @@ def init_binned_state(config: RenderConfig):
 
 
 def set_binned_budget(i, budget, config: RenderConfig):
-    """Raise the uniform per-pixel sample budget (scalar; padded lanes —
-    pixel >= n_pixels — stay at 0 regardless of lane placement)."""
+    """Raise the per-pixel sample budget. budget: scalar (uniform) or a
+    (G,) int32 array (adaptive sampling). Lanes may be permuted by the bin
+    sort, so per-pixel budgets are GATHERED through the pixel plane; padded
+    lanes — pixel >= n_pixels — stay at 0 regardless of lane placement."""
     g = config.n_pixels
     pixel = jax.lax.dynamic_slice_in_dim(i, 8 * _I_PIXEL, 8, axis=0)
     old = jax.lax.dynamic_slice_in_dim(i, 8 * _I_BUDGET, 8, axis=0)
-    plane = jnp.where(
-        pixel < g, jnp.maximum(jnp.asarray(budget, jnp.int32), old), old
-    )
+    b = jnp.asarray(budget, jnp.int32)
+    if b.ndim == 0:
+        new = jnp.broadcast_to(b, pixel.shape)
+    else:
+        new = b[jnp.clip(pixel, 0, g - 1)]
+    plane = jnp.where(pixel < g, jnp.maximum(new, old), old)
     return jax.lax.dynamic_update_slice_in_dim(i, plane, 8 * _I_BUDGET, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def binned_variance(f, i, config: RenderConfig):
+    """Per-pixel (mean, variance, n) for the binned stream — the
+    stream_variance analog with lanes keyed back to pixel order (same
+    single-sort trick as binned_image)."""
+    g = config.n_pixels
+
+    def fplane(idx):
+        return jax.lax.dynamic_slice_in_dim(f, 8 * idx, 8, axis=0).reshape(-1)
+
+    def iplane(idx):
+        return jax.lax.dynamic_slice_in_dim(i, 8 * idx, 8, axis=0).reshape(-1)
+
+    m1 = fplane(_F_M1)
+    m2 = fplane(_F_M2)
+    rad_lum = (
+        fplane(_F_RX) + fplane(_F_RY) + fplane(_F_RZ)
+    ) * jnp.float32(1.0 / 3.0)
+    alive = iplane(_I_ALIVE) != 0
+    s_idx = iplane(_I_SIDX)
+    delta = rad_lum - m1
+    m2 = jnp.where(~alive & (s_idx >= 0), m2 + delta * delta, m2)
+    m1 = jnp.where(~alive & (s_idx >= 0), rad_lum, m1)
+    n = (s_idx + 1 - alive.astype(jnp.int32)).astype(jnp.float32)
+    pixel = iplane(_I_PIXEL)
+    _, m1s, m2s, ns = jax.lax.sort((pixel, m1, m2, n), num_keys=1)
+    n_safe = jnp.maximum(ns[:g], 1.0)
+    mean = m1s[:g] / n_safe
+    var = jnp.maximum(m2s[:g] / n_safe - mean * mean, 0.0)
+    shape = (config.height, config.width)
+    return mean.reshape(shape), var.reshape(shape), ns[:g].reshape(shape)
 
 
 @functools.partial(

@@ -84,8 +84,6 @@ def test_binned_rejects_unsupported_configs():
     cam = smallpt_camera()
     with pytest.raises(ValueError, match="nee_lights"):
         BinnedStreamingRenderer(SCENE, cam, CFG.replace(nee_lights=(8,)))
-    with pytest.raises(ValueError, match="aperture"):
-        BinnedStreamingRenderer(SCENE, cam, CFG.replace(aperture=1.0))
 
 
 def test_reach_masks_conservative():
@@ -278,3 +276,40 @@ def test_accel_cache_not_reused_across_radius_change():
     ]
     assert k1 != k2
     assert not np.array_equal(np.asarray(a1.k_hi), np.asarray(a2.k_hi))
+
+
+def test_binned_dof_matches_classic_streaming():
+    """Thin-lens DoF on the binned path: regen_binned's lens block uses the
+    same _LENS_SALT streams as the classic streaming kernel's in-kernel
+    regen, so the two schedulers agree within the documented razor-flip
+    floor (same gate as the pinhole comparison)."""
+    cfg = CFG.replace(width=16, height=12, max_depth=8,
+                      aperture=3.0, focal_distance=112.0)
+    scene = procedural_sphere_scene(80, seed=3)
+    rad_c, w_c = _classic_image(scene, cfg, spp=8)
+    rad_b, w_b = _binned_image(scene, cfg, spp=8)
+    assert (w_b == w_c).all()
+    img_c = rad_c / np.maximum(w_c[..., None], 1)
+    img_b = rad_b / np.maximum(w_b[..., None], 1)
+    close = np.isclose(img_b, img_c, rtol=0.05, atol=0.02)
+    assert close.mean() > 0.95, close.mean()
+
+
+def test_binned_adaptive_budgets():
+    """step_adaptive distributes per-pixel budgets through the (permuted)
+    pixel plane; after flush the completed-sample weights must equal each
+    pixel's allocated budget exactly."""
+    from smallpt_tpu.core.camera import smallpt_camera as cam
+
+    cfg = CFG.replace(width=16, height=12, max_depth=8)
+    scene = procedural_sphere_scene(80, seed=3)
+    r = BinnedStreamingRenderer(scene, cam(), cfg, seed=0)
+    r.step(add_samples=2, n_bounces=6)       # bootstrap: variance signal
+    r.step_adaptive(n_bounces=4, add_samples_total=3 * cfg.n_pixels)
+    r.flush()
+    _, w = r.accumulators()
+    w = np.asarray(w).reshape(-1)
+    budgets = np.asarray(r._budgets)
+    assert budgets.min() >= 3  # 2 bootstrap + uniform floor 1
+    assert budgets.sum() == 5 * cfg.n_pixels
+    assert (w == budgets).all(), (w[:8], budgets[:8])
