@@ -213,29 +213,36 @@ def cmd_e2e(args):
 
 
 def cmd_sweep(args):
-    """Interleaved variants in one process; report each variant's best."""
-    variants = []
-    for se in (1, 2, 4):
-        for nb in (4, 8, 16):
-            variants.append((se, nb))
-    renderers = {}
+    """Interleaved variants in one process; report each variant's best.
+    Axes: sort_every (shuffle amortization) x k_near (prefix length).
+    One renderer, reconfigured per variant — all programs cached after the
+    first variant (k_near is a device scalar, not a shape)."""
+    import jax.numpy as jnp
+
+    variants = [
+        (se, kn)
+        for se in (0, 2, 4, 8)
+        for kn in (32, 64, 128)
+    ]
+    r = make_renderer(args, sort_every=2)
+    drive(r, args.spp, args.bounces)  # compile+warm
     results = {v: 0.0 for v in variants}
-    for v in variants:
-        renderers[v] = make_renderer(args, sort_every=v[0])
-        drive(renderers[v], args.spp, v[1])  # compile+warm
     for rep in range(args.rounds):
         for v in variants:
-            r = renderers[v]
+            se, kn = v
+            r.sort_every = se
+            r.k_near = jnp.asarray(kn, jnp.int32)
             r.reset()
             r.stats.rays = 0
             r.stats.wall_s = 0.0
-            rays, dt = drive(r, args.spp, v[1])
+            rays, dt = drive(r, args.spp, args.bounces)
             rate = rays / dt
             results[v] = max(results[v], rate)
-            print(f"# se={v[0]} nb={v[1]} rep={rep}: {rate/1e6:.2f} M",
-                  file=sys.stderr)
+            print(f"# se={se} kn={kn} rep={rep}: {rate/1e6:.2f} M",
+                  file=sys.stderr, flush=True)
     for v, rate in sorted(results.items(), key=lambda kv: -kv[1]):
-        print(json.dumps({"sort_every": v[0], "bounces": v[1],
+        print(json.dumps({"sort_every": v[0], "k_near": v[1],
+                          "bounces": args.bounces,
                           "rays_per_s": round(rate)}))
 
 

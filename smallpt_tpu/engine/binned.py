@@ -70,6 +70,7 @@ class BinnedStreamingRenderer:
         seed: int = 0,
         accel: acc.GridAccel | None = None,
         sort_every: int = 2,
+        k_near: int | None = None,
     ):
         if config.mode != Mode.FULL or config.split_budget != 1:
             raise ValueError("binned streaming: Mode.FULL, split_budget=1")
@@ -114,6 +115,13 @@ class BinnedStreamingRenderer:
             accel = acc.build_grid_accel(scene, extra_points=np.asarray(pts))
         self.accel = accel
         self.sort_every = sort_every
+        # near-prefix length per non-pending tile; a device scalar so tuning
+        # sweeps re-use one compiled program (value, not shape)
+        from smallpt_tpu.ops.megakernel import K_NEAR
+
+        self.k_near = jnp.asarray(
+            K_NEAR if k_near is None else k_near, jnp.int32
+        )
         self.key = prng.base_key(seed)
         base_table = build_scene_table(scene, config)
         self.table = jnp.take(base_table, self.accel.order, axis=0)
@@ -129,8 +137,8 @@ class BinnedStreamingRenderer:
         config, accel = self.config, self.accel
 
         @jax.jit
-        def lists_of(f, i):
-            return acc.tile_work_lists(f, i, config, accel)
+        def lists_of(f, i, k_near):
+            return acc.tile_work_lists(f, i, config, accel, k_near=k_near)
 
         def bounce(table, cam_vec, key, f, i):
             # THREE separate programs, not one fused jit: on this
@@ -142,7 +150,7 @@ class BinnedStreamingRenderer:
             from smallpt_tpu.ops.megakernel import regen_binned
 
             f, i = regen_binned(f, i, cam_vec, config, key)
-            lists, stops, dcut = lists_of(f, i)
+            lists, stops, dcut = lists_of(f, i, self.k_near)
             return stream_step_binned(
                 table, config, key, f, i, lists, stops, dcut,
                 n_glob_chunks=accel.n_glob_chunks,

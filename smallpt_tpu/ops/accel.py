@@ -336,6 +336,7 @@ def tile_work_lists(f, i, config, accel: GridAccel, k_near: int | None = None):
 
     if k_near is None:
         k_near = mk.K_NEAR
+    k_near = jnp.asarray(k_near, jnp.int32)  # traced-ok: value not shape
     n_bins = accel.n_bins
     c_ = accel.n_chunks
 
@@ -400,7 +401,7 @@ def tile_work_lists(f, i, config, accel: GridAccel, k_near: int | None = None):
     stops = jnp.where(
         full_needed,
         jnp.where(n_reach > l_max, -1, stop_full),
-        jnp.minimum(jnp.int32(k_near), stop_full),
+        jnp.minimum(k_near, stop_full),
     )
     # dcut = sorted distance at the stop position (+BIG past the end or in
     # all-chunk sweeps — everything reachable gets swept, so lanes finalize)
