@@ -26,7 +26,10 @@ import time
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_smallpt_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+# cache EVERYTHING including sub-second eager-op programs: through the
+# remote compile helper even trivial compiles cost tens of seconds when the
+# service is cold, and scene construction is a dozen tiny eager ops
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import jax.numpy as jnp
 import numpy as np

@@ -1003,9 +1003,8 @@ def stream_step(
         else pl.BlockSpec((table.shape[0], 16), lambda t: (0, 0),
                           memory_space=pltpu.VMEM)
     )
-    rays_before = jnp.sum(
-        jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
-        .astype(jnp.float32)
+    rays_plane_before = jax.lax.dynamic_slice_in_dim(
+        i, 8 * _I_RAYS, 8, axis=0
     )
     f, i = pl.pallas_call(
         kernel,
@@ -1033,10 +1032,14 @@ def stream_step(
         input_output_aliases={4: 0, 5: 1},
         interpret=interpret,
     )(kw, ip, cam_vec, table, f, i)
+    # rays THIS launch: per-lane int32 delta, summed exactly. Differencing
+    # two f32 sums of the cumulative plane loses small deltas once the
+    # cumulative count passes 2^24 (observed: a drain-progress check read 0
+    # rays from a live tail at ~30M cumulative and aborted the flush).
     rays = jnp.sum(
         jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
-        .astype(jnp.float32)
-    ) - rays_before
+        - rays_plane_before
+    )
     return f, i, rays
 
 
@@ -1740,9 +1743,8 @@ def stream_step_binned(
                          memory_space=pltpu.VMEM),
         ],
     )
-    rays_before = jnp.sum(
-        jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
-        .astype(jnp.float32)
+    rays_plane_before = jax.lax.dynamic_slice_in_dim(
+        i, 8 * _I_RAYS, 8, axis=0
     )
     f, i = pl.pallas_call(
         kernel,
@@ -1758,10 +1760,15 @@ def stream_step_binned(
         ),
         interpret=interpret,
     )(stops, lists, dcut, kw, ipv, table, f, i)
+    # exact per-launch count: per-lane int32 delta (one bounce finalizes at
+    # most one ray per lane, so the sum is bounded by the lane count). The
+    # previous f32 cumulative-sum difference lost <=8-ray deltas once the
+    # render passed 2^24 total rays, reading a live drain tail as "no
+    # progress" (observed at spp=16 on the 10k-sphere scene).
     rays = jnp.sum(
         jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
-        .astype(jnp.float32)
-    ) - rays_before
+        - rays_plane_before
+    )
     return f, i, rays
 
 
