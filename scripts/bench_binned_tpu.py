@@ -45,7 +45,7 @@ def fetch(x):
     return float(jnp.sum(x)) if hasattr(x, "dtype") else float(x)
 
 
-def make_renderer(args, sort_every=2):
+def make_renderer(args, sort_every=0, n_streams=None):
     config = RenderConfig(
         width=args.width, height=args.height, spp_per_cell=1,
         camera_model=CameraModel.LEGACY, filter=Filter.TENT,
@@ -53,7 +53,8 @@ def make_renderer(args, sort_every=2):
     )
     scene = procedural_sphere_scene(args.n)
     return BinnedStreamingRenderer(
-        scene, smallpt_camera(), config, seed=0, sort_every=sort_every
+        scene, smallpt_camera(), config, seed=0, sort_every=sort_every,
+        n_streams=n_streams if n_streams is not None else args.streams,
     )
 
 
@@ -77,9 +78,7 @@ def cmd_stages(args):
         regen_binned, stream_step_binned,
     )
 
-    from smallpt_tpu.ops.megakernel import set_binned_budget
-
-    r = make_renderer(args)
+    r = make_renderer(args, n_streams=1)
     accel = r.accel
     config = r.config
     print(f"# scene n={args.n} {args.width}x{args.height} depth={args.depth}",
@@ -95,9 +94,8 @@ def cmd_stages(args):
     # Compile each program separately (serial, stamped) so a pathological
     # remote compile is identifiable.
     bounce, shuffle = r._bounce
-    r.budget += args.spp
     t0 = time.perf_counter()
-    r.i = set_binned_budget(r.i, r.budget, config)
+    r.step(add_samples=args.spp, n_bounces=0)  # budget only, no advance
     fetch(r.i)
     stamp("budget compile", t0)
 
@@ -183,6 +181,68 @@ def cmd_stages(args):
     print(json.dumps(rows))
 
 
+def cmd_chain(args):
+    """Isolate per-bounce overhead: same-program pipelining vs the real
+    alternating 3-program chain vs the full drive loop."""
+    from smallpt_tpu.ops import accel as acc
+    from smallpt_tpu.ops.megakernel import stream_step_binned
+
+    r = make_renderer(args, sort_every=0, n_streams=1)
+    config, accel = r.config, r.accel
+    r.step(add_samples=args.spp, n_bounces=6)  # warm + realistic state
+    bounce, shuffle = r._bounce
+    f0, i0 = r.f, r.i
+    fetch(f0)
+
+    @jax.jit
+    def lists_of(f, i, kn):
+        return acc.tile_work_lists(f, i, config, accel, k_near=kn)
+
+    lists, stops, dcut = lists_of(f0, i0, r.k_near)
+    fetch(stops)
+
+    # (a) same kernel re-launched (stage-style pipelining)
+    def kernel_only(_):
+        return stream_step_binned(
+            r.table, config, r.key, f0, i0, lists, stops, dcut,
+            n_glob_chunks=accel.n_glob_chunks, n_chunks=accel.n_chunks,
+        )
+
+    t_k, _ = time_loop(kernel_only, 16, lambda res: fetch(res[2]))
+
+    # (b) real chained bounce (regen -> lists -> kernel, state evolves)
+    def chain(_):
+        fi = (f0, i0) if _ is None else (_[0], _[1])
+        return bounce(r.table, r.cam_vec, r.key, fi[0], fi[1], 0)
+
+    t_c, _ = time_loop(chain, 16, lambda res: fetch(res[2]))
+
+    # (c) alternating programs, NO cross-bounce dependency
+    def alt(_):
+        f1, i1 = regen_binned(f0, i0, r.cam_vec, config, r.key)
+        l2, s2, d2 = lists_of(f1, i1, r.k_near)
+        return stream_step_binned(
+            r.table, config, r.key, f1, i1, l2, s2, d2,
+            n_glob_chunks=accel.n_glob_chunks, n_chunks=accel.n_chunks,
+        )
+
+    from smallpt_tpu.ops.megakernel import regen_binned
+    t_a, _ = time_loop(alt, 16, lambda res: fetch(res[2]))
+
+    # (d) real advance(16)
+    t0 = time.perf_counter()
+    r.f, r.i = f0, i0
+    r._advance(16)
+    t_adv = (time.perf_counter() - t0) / 16
+
+    print(json.dumps({
+        "kernel_only_ms": round(t_k * 1e3, 2),
+        "chain_ms": round(t_c * 1e3, 2),
+        "alt_nodep_ms": round(t_a * 1e3, 2),
+        "advance_ms": round(t_adv * 1e3, 2),
+    }))
+
+
 def drive(r, spp, n_bounces, max_iters=400):
     """Drive to exact drain; returns (rays, wall_s)."""
     t0 = time.perf_counter()
@@ -195,6 +255,7 @@ def drive(r, spp, n_bounces, max_iters=400):
 def cmd_e2e(args):
     best = None
     r = make_renderer(args, sort_every=args.sort_every)
+    print(f"# n_streams={r.n_streams}", file=sys.stderr)
     # warm: compile + clock ramp
     drive(r, args.spp, args.bounces)
     for t in range(args.rounds):
@@ -280,20 +341,21 @@ def cmd_brute(args):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("cmd", choices=["stages", "e2e", "sweep", "brute"])
+    p.add_argument("cmd", choices=["stages", "e2e", "sweep", "brute", "chain"])
     p.add_argument("--n", type=int, default=10_000)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=384)
     p.add_argument("--depth", type=int, default=24)
     p.add_argument("--spp", type=int, default=4)
     p.add_argument("--rounds", type=int, default=3)
-    p.add_argument("--sort-every", type=int, default=2)
+    p.add_argument("--sort-every", type=int, default=0)
+    p.add_argument("--streams", type=int, default=None)
     p.add_argument("--bounces", type=int, default=8)
     args = p.parse_args()
     print(f"# backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
     dict(stages=cmd_stages, e2e=cmd_e2e, sweep=cmd_sweep,
-         brute=cmd_brute)[args.cmd](args)
+         brute=cmd_brute, chain=cmd_chain)[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -5,22 +5,36 @@ per-pixel budgets, completed-sample weights, exact after flush) with the
 grid-binned culled sweep (ops/accel.py + ops/megakernel.py::
 stream_step_binned). This is the acceleration-structure slot of the
 reference — OptiX Prime's GPU BVH build + closest-hit query
-(/root/reference/smallpt.cpp:489-530,578-582) — rebuilt TPU-first: tile
-coherence by periodic bin sort, conservative per-tile chunk lists, and a
-bounce kernel that sweeps only what a tile can reach.
+(/root/reference/smallpt.cpp:489-530,578-582) — rebuilt TPU-first:
+conservative per-tile chunk lists, a distance-ordered bounce kernel that
+sweeps only what a tile can reach, and PIPELINED SAMPLE STREAMS.
 
-Sample streams are identical to the classic streaming scheduler (keying v2
-is placement-invariant: a lane's uniforms depend only on (pixel, sample
-index)), and sorting/culling are pure scheduling: within the binned path,
-sorting on/off and culled/full-sweep produce BIT-EQUAL images (tests pin
-this). Against the CLASSIC megakernel the match is exact up to the
-codebase's documented razor-flip floor: the two kernels compile the same
-citardauq sweep with different FMA contraction, so wall-sphere hit
-positions differ at the ~1e-4 cancellation scale, which flips rare
-discrete path events on deep paths (the same noise class as the
-megakernel-vs-JAX-scheduler precedent, ops/megakernel.py docstring).
+Why multiple streams (measured, round 3): one bounce is a 3-program chain
+(regen -> lists -> kernel) whose device compute is ~8 ms at 512x384, but a
+DEPENDENT program launch through the axon tunnel adds ~8 ms latency per
+hop — a single chained stream runs at ~28 ms/bounce while independent
+launches pipeline at compute cost (measured: kernel-only 4.9 ms,
+independent alternation 5.3 ms, dependent chain 28.4 ms). Splitting the
+sample budget into n_streams independent wavefronts (disjoint sample-index
+ranges via per-stream ip_offset) keeps the pipeline fed: stream B's bounce
+dispatches while stream A's executes. The estimator is unchanged — each
+pixel's samples are a disjoint union over streams, and per-pixel completed
+counts weight the image exactly.
 
-Restrictions (v2 of the binned path): Mode.FULL, split_budget == 1, no
+Determinism carve-out (mirrors parallel/stream_shard.py): a lane's
+uniforms depend only on (pixel, ip_offset + sample index), so images are
+deterministic for a FIXED n_streams but change if n_streams changes
+(n_streams=1 reproduces the round-2 single-stream images bit-for-bit).
+
+Sorting (sort_every > 0) is available but DEFAULTS OFF: the round-3 sweep
+measured the row-wise bin sort at 56 ms against a 4.9 ms kernel whose cost
+it does not reduce (pixel-block tiles stay origin-coherent without it);
+within the binned path, sorting on/off and culled/full-sweep remain
+BIT-EQUAL per stream (tests pin this). Against the CLASSIC megakernel the
+match is exact up to the documented razor-flip floor (~1e-4 FMA
+contraction differences flipping rare discrete events on deep paths).
+
+Restrictions (v3 of the binned path): Mode.FULL, split_budget == 1, no
 next-event estimation yet (the shadow sweep needs its own toward-the-light
 chunk lists). Thin-lens DoF is supported (regen_binned carries the same
 lens block as the classic streaming kernel's in-kernel regen; the accel
@@ -30,7 +44,7 @@ step_adaptive / per-pixel budget arrays gathered through the pixel plane.
 
 from __future__ import annotations
 
-import functools
+import dataclasses
 import time
 
 import numpy as np
@@ -42,25 +56,46 @@ from smallpt_tpu.core import rng as prng
 from smallpt_tpu.core.scene import SphereScene
 from smallpt_tpu.ops import accel as acc
 from smallpt_tpu.ops.megakernel import (
+    _stream_pending_dev,
     binned_image,
     build_camera_vec,
     build_scene_table,
     init_binned_state,
     set_binned_budget,
-    stream_pending,
     stream_step_binned,
 )
 from smallpt_tpu.utils.metrics import RenderStats
 
+# Sample-index stride between streams: stream j draws ip in
+# [j*IP_STRIDE, j*IP_STRIDE + budget_j). Keying v2 is injective in ip, so
+# streams never collide as long as per-stream budgets stay below the
+# stride (2^20 samples/pixel/stream — far beyond config 5's 5000 spp).
+IP_STRIDE = 1 << 20
+
+
+@dataclasses.dataclass
+class _Stream:
+    f: jnp.ndarray
+    i: jnp.ndarray
+    budget: int = 0
+    budgets: np.ndarray | None = None  # per-pixel (adaptive), else None
+    ip_offset: int = 0
+
+
+def _default_streams() -> int:
+    # pipeline depth that hides the ~8 ms dependent-launch latency behind
+    # ~8 ms of per-bounce compute; 1 on CPU (tests run the interpreter,
+    # where latency hiding buys nothing and state memory multiplies)
+    return 4 if jax.default_backend() == "tpu" else 1
+
 
 class BinnedStreamingRenderer:
-    """Continuous-wavefront renderer with grid-binned sweep culling.
+    """Continuous-wavefront renderer with grid-binned sweep culling and
+    pipelined sample streams.
 
-    step(add_samples, n_bounces): extend every pixel's budget and advance
-    the wavefront n_bounces culled bounces (one kernel launch each; chunk
-    lists recomputed per bounce, state re-sorted every ``sort_every``
-    bounces to keep tiles bin-coherent).
-    """
+    step(add_samples, n_bounces): extend every pixel's budget (split
+    across streams) and advance every stream n_bounces culled bounces
+    (one kernel launch each; chunk lists recomputed per bounce)."""
 
     def __init__(
         self,
@@ -69,8 +104,9 @@ class BinnedStreamingRenderer:
         config: RenderConfig,
         seed: int = 0,
         accel: acc.GridAccel | None = None,
-        sort_every: int = 2,
+        sort_every: int = 0,
         k_near: int | None = None,
+        n_streams: int | None = None,
     ):
         if config.mode != Mode.FULL or config.split_budget != 1:
             raise ValueError("binned streaming: Mode.FULL, split_budget=1")
@@ -122,16 +158,54 @@ class BinnedStreamingRenderer:
         self.k_near = jnp.asarray(
             K_NEAR if k_near is None else k_near, jnp.int32
         )
+        self.n_streams = (
+            _default_streams() if n_streams is None else int(n_streams)
+        )
         self.key = prng.base_key(seed)
         base_table = build_scene_table(scene, config)
         self.table = jnp.take(base_table, self.accel.order, axis=0)
         self.cam_vec = build_camera_vec(camera, config)
-        self.f, self.i = init_binned_state(config)
-        self.budget = 0
-        self._budgets = None  # per-pixel budgets once adaptive stepping used
+        self.streams = [
+            _Stream(*init_binned_state(config), ip_offset=j * IP_STRIDE)
+            for j in range(self.n_streams)
+        ]
         self._bounce_idx = 0
         self.stats = RenderStats()
         self._bounce = self._make_bounce()
+
+    # ---- single-stream compatibility views (tests, stage benches) --------
+    @property
+    def f(self):
+        return self.streams[0].f
+
+    @f.setter
+    def f(self, v):
+        self.streams[0].f = v
+
+    @property
+    def i(self):
+        return self.streams[0].i
+
+    @i.setter
+    def i(self, v):
+        self.streams[0].i = v
+
+    @property
+    def budget(self) -> int:
+        return sum(s.budget for s in self.streams)
+
+    @property
+    def _budgets(self):
+        if all(s.budgets is None for s in self.streams):
+            return None
+        g = self.config.n_pixels
+        tot = np.zeros((g,), np.int64)
+        for s in self.streams:
+            tot += (
+                s.budgets if s.budgets is not None
+                else np.full((g,), s.budget, np.int64)
+            )
+        return tot.astype(np.int32)
 
     def _make_bounce(self):
         config, accel = self.config, self.accel
@@ -140,19 +214,22 @@ class BinnedStreamingRenderer:
         def lists_of(f, i, k_near):
             return acc.tile_work_lists(f, i, config, accel, k_near=k_near)
 
-        def bounce(table, cam_vec, key, f, i):
+        def bounce(table, cam_vec, key, f, i, ip_offset):
             # THREE separate programs, not one fused jit: on this
             # toolchain monolithic programs mixing XLA sorts/argsorts with
             # a pallas_call hit multi-ten-minute remote-compile
             # pathologies, while the pieces compile in seconds
-            # (regen ~1s, lists ~24s, kernel ~2s measured). The extra
-            # dispatches are async and fetch-free.
+            # (regen ~1s, lists ~20s, kernel ~2s measured). The extra
+            # dispatches are async and fetch-free; the per-hop dependency
+            # latency is hidden by interleaving the OTHER streams.
             from smallpt_tpu.ops.megakernel import regen_binned
 
-            f, i = regen_binned(f, i, cam_vec, config, key)
+            f, i = regen_binned(f, i, cam_vec, config, key,
+                                ip_offset=ip_offset)
             lists, stops, dcut = lists_of(f, i, self.k_near)
             return stream_step_binned(
                 table, config, key, f, i, lists, stops, dcut,
+                ip_offset=ip_offset,
                 n_glob_chunks=accel.n_glob_chunks,
                 n_chunks=accel.n_chunks,
             )
@@ -171,14 +248,21 @@ class BinnedStreamingRenderer:
         t0 = time.perf_counter()
         rays_dev = []
         for _ in range(n_bounces):
-            if self.sort_every and self._bounce_idx % self.sort_every == 0:
-                self.f, self.i = shuffle(self.f, self.i)
-            self.f, self.i, rays = bounce(
-                self.table, self.cam_vec, self.key, self.f, self.i
+            do_sort = (
+                self.sort_every and self._bounce_idx % self.sort_every == 0
             )
-            # keep the counter on device: each host fetch pays a full axon
-            # tunnel round-trip (~30 ms measured), which dominated the loop
-            rays_dev.append(rays)
+            # stream-interleaved dispatch: the device executes stream j
+            # while the host enqueues stream j+1 (independent chains)
+            for s in self.streams:
+                if do_sort:
+                    s.f, s.i = shuffle(s.f, s.i)
+                s.f, s.i, rays = bounce(
+                    self.table, self.cam_vec, self.key, s.f, s.i,
+                    s.ip_offset,
+                )
+                # keep counters on device: each host fetch pays a full
+                # axon tunnel round-trip (~30 ms measured)
+                rays_dev.append(rays)
             self._bounce_idx += 1
         total = int(sum(rays_dev))
         self.stats.rays += total
@@ -186,10 +270,15 @@ class BinnedStreamingRenderer:
         self.stats.passes += 1
         return total
 
+    def _split(self, add: int) -> list[int]:
+        d, rem = divmod(add, self.n_streams)
+        return [d + (1 if j < rem else 0) for j in range(self.n_streams)]
+
     def step(self, add_samples: int = 1, n_bounces: int = 8) -> int:
         """Returns rays traced this step."""
-        self.budget += add_samples
-        self.i = set_binned_budget(self.i, self.budget, self.config)
+        for s, extra in zip(self.streams, self._split(add_samples)):
+            s.budget += extra
+            s.i = set_binned_budget(s.i, s.budget, self.config)
         return self._advance(n_bounces)
 
     def step_adaptive(self, n_bounces: int = 8,
@@ -198,14 +287,29 @@ class BinnedStreamingRenderer:
         semantics on the binned path): distribute a pool of new samples
         across pixels proportional to their luminance standard deviation
         (capped at 8x the mean share, uniform floor of 1 when affordable),
-        then advance n_bounces culled bounces."""
+        then advance n_bounces culled bounces. Per-pixel allocations are
+        split round-robin across streams (exact totals)."""
         from smallpt_tpu.ops.megakernel import binned_variance
 
         G = self.config.n_pixels
         if add_samples_total is None:
             add_samples_total = G
-        _, var, _n = binned_variance(self.f, self.i, self.config)
-        sigma = np.sqrt(np.asarray(var).reshape(-1)) + 1e-3
+        # combined per-pixel moments over streams (m1/m2/n all add)
+        m1 = np.zeros((G,), np.float64)
+        m2 = np.zeros((G,), np.float64)
+        nn = np.zeros((G,), np.float64)
+        for s in self.streams:
+            mean_j, var_j, n_j = binned_variance(s.f, s.i, self.config)
+            mean_j = np.asarray(mean_j, np.float64).reshape(-1)
+            var_j = np.asarray(var_j, np.float64).reshape(-1)
+            n_j = np.asarray(n_j, np.float64).reshape(-1)
+            m1 += mean_j * n_j
+            m2 += (var_j + mean_j * mean_j) * n_j
+            nn += n_j
+        n_safe = np.maximum(nn, 1.0)
+        mean = m1 / n_safe
+        var = np.maximum(m2 / n_safe - mean * mean, 0.0)
+        sigma = np.sqrt(var) + 1e-3
         base = 1 if add_samples_total >= 2 * G else 0
         pool = add_samples_total - base * G
         w_alloc = np.minimum(sigma, 8.0 * sigma.mean())
@@ -215,22 +319,32 @@ class BinnedStreamingRenderer:
         if short > 0:
             order = np.argsort(alloc - extra)[::-1][:short]
             extra[order] += 1
-        extra = (extra + base).astype(np.int32)
-        if self._budgets is None:
-            self._budgets = np.full((G,), self.budget, np.int32)
-        self._budgets = (np.asarray(self._budgets) + extra).astype(np.int32)
-        self.i = set_binned_budget(
-            self.i, jnp.asarray(self._budgets), self.config
-        )
-        self.budget = int(self._budgets.min())
+        extra = (extra + base).astype(np.int64)
+        for j, s in enumerate(self.streams):
+            # pixel p's extra split round-robin, offset by j so remainders
+            # rotate across streams
+            share = (extra + (self.n_streams - 1 - j)) // self.n_streams
+            if s.budgets is None:
+                s.budgets = np.full((G,), s.budget, np.int64)
+            s.budgets = s.budgets + share
+            s.i = set_binned_budget(
+                s.i, jnp.asarray(s.budgets, jnp.int32), self.config
+            )
+            s.budget = int(s.budgets.min())
         return self._advance(n_bounces)
+
+    def pending(self) -> tuple:
+        """(n_alive, n_can_regen) summed over streams — ONE device fetch."""
+        both = np.asarray(
+            jnp.stack([_stream_pending_dev(s.i) for s in self.streams])
+        ).sum(axis=0)
+        return (int(both[0]), int(both[1]))
 
     def flush(self) -> None:
         """Drain all in-flight paths and remaining budget; afterwards
         image() is the exact per-pixel MC estimate."""
         while True:
-            pending = stream_pending(self.i)
-            if pending == (0, 0):
+            if self.pending() == (0, 0):
                 return
             # progress = rays traced: pending counts alone can legitimately
             # repeat (lanes die and regenerate in equal numbers)
@@ -238,13 +352,21 @@ class BinnedStreamingRenderer:
                 raise RuntimeError("flush made no progress (paths stuck?)")
 
     def accumulators(self):
-        """(radiance sums (H,W,3), completed-sample weights (H,W))."""
-        return binned_image(self.f, self.i, self.config)
+        """(radiance sums (H,W,3), completed-sample weights (H,W)), summed
+        over streams (disjoint sample ranges => exact union estimator)."""
+        rad = None
+        w = None
+        for s in self.streams:
+            rad_j, w_j = binned_image(s.f, s.i, self.config)
+            rad = rad_j if rad is None else rad + rad_j
+            w = w_j if w is None else w + w_j
+        return rad, w
 
     def reset(self) -> None:
-        self.f, self.i = init_binned_state(self.config)
-        self.budget = 0
-        self._budgets = None
+        for s in self.streams:
+            s.f, s.i = init_binned_state(self.config)
+            s.budget = 0
+            s.budgets = None
         self._bounce_idx = 0
 
     def update_camera(self, camera) -> None:

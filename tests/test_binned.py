@@ -313,3 +313,31 @@ def test_binned_adaptive_budgets():
     assert budgets.min() >= 3  # 2 bootstrap + uniform floor 1
     assert budgets.sum() == 5 * cfg.n_pixels
     assert (w == budgets).all(), (w[:8], budgets[:8])
+
+
+def test_binned_multi_stream_exact_weights_and_match():
+    """Pipelined sample streams (disjoint ip ranges): weights after flush
+    must equal the total budget exactly, repeated runs must be bit-equal,
+    and the image must statistically match the single-stream estimator
+    (different sample ids => different noise, same expectation)."""
+    cfg = CFG.replace(width=16, height=12, max_depth=8)
+    scene = procedural_sphere_scene(80, seed=3)
+
+    def run(n_streams, spp, seed=0):
+        r = BinnedStreamingRenderer(scene, smallpt_camera(), cfg, seed=seed,
+                                    n_streams=n_streams)
+        r.step(add_samples=spp, n_bounces=4)
+        r.flush()
+        rad, w = r.accumulators()
+        return np.asarray(rad), np.asarray(w)
+
+    rad3a, w3a = run(3, 8)
+    rad3b, w3b = run(3, 8)
+    assert (w3a == 8).all()
+    assert (rad3a == rad3b).all()  # deterministic for fixed n_streams
+
+    rad1, w1 = run(1, 8)
+    img3 = rad3a / np.maximum(w3a[..., None], 1)
+    img1 = rad1 / np.maximum(w1[..., None], 1)
+    # different sample sets: compare means, not bits
+    assert abs(img3.mean() - img1.mean()) < 0.15 * (img1.mean() + 0.05)
