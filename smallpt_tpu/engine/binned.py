@@ -67,10 +67,12 @@ from smallpt_tpu.ops.megakernel import (
 from smallpt_tpu.utils.metrics import RenderStats
 
 # Sample-index stride between streams: stream j draws ip in
-# [j*IP_STRIDE, j*IP_STRIDE + budget_j). Keying v2 is injective in ip, so
-# streams never collide as long as per-stream budgets stay below the
-# stride (2^20 samples/pixel/stream — far beyond config 5's 5000 spp).
-IP_STRIDE = 1 << 20
+# [j*IP_STRIDE, ...). Keying v2 is injective in ip, so streams never
+# collide while per-stream ids stay below the stride. Must exceed
+# inflight * _BINNED_SUB_STRIDE (sub-lanes stride 2^20 within a stream):
+# 2^26 leaves room for 64 sub-lanes x 2^20 sample ids, and 16 streams
+# still fit int32.
+IP_STRIDE = 1 << 26
 
 
 @dataclasses.dataclass
@@ -83,9 +85,16 @@ class _Stream:
 
 
 def _default_streams() -> int:
-    # pipeline depth that hides the ~8 ms dependent-launch latency behind
-    # ~8 ms of per-bounce compute; 1 on CPU (tests run the interpreter,
-    # where latency hiding buys nothing and state memory multiplies)
+    # measured round 3: the tunnel client blocks in-thread at each
+    # dependent dispatch, so host-side stream interleaving cannot overlap
+    # chains — oversubscription (inflight) is the lever that works
+    return 1
+
+
+def _default_inflight() -> int:
+    # 4 lanes per pixel on TPU amortizes the ~24 ms 3-hop bounce latency
+    # over 4x rays; 1 on CPU (tests run the interpreter; bit-exact
+    # compatibility with the single-lane layout)
     return 4 if jax.default_backend() == "tpu" else 1
 
 
@@ -107,6 +116,7 @@ class BinnedStreamingRenderer:
         sort_every: int = 0,
         k_near: int | None = None,
         n_streams: int | None = None,
+        inflight: int | None = None,
     ):
         if config.mode != Mode.FULL or config.split_budget != 1:
             raise ValueError("binned streaming: Mode.FULL, split_budget=1")
@@ -161,12 +171,20 @@ class BinnedStreamingRenderer:
         self.n_streams = (
             _default_streams() if n_streams is None else int(n_streams)
         )
+        # samples in flight per pixel (power of two): oversubscribes lanes
+        # M-fold inside ONE state so each launch carries M x the rays —
+        # amortizing the tunnel's fixed per-bounce latency, which a
+        # multi-stream host loop cannot hide (dispatch blocks in-thread)
+        self.inflight = (
+            _default_inflight() if inflight is None else int(inflight)
+        )
         self.key = prng.base_key(seed)
         base_table = build_scene_table(scene, config)
         self.table = jnp.take(base_table, self.accel.order, axis=0)
         self.cam_vec = build_camera_vec(camera, config)
         self.streams = [
-            _Stream(*init_binned_state(config), ip_offset=j * IP_STRIDE)
+            _Stream(*init_binned_state(config, self.inflight),
+                    ip_offset=j * IP_STRIDE)
             for j in range(self.n_streams)
         ]
         self._bounce_idx = 0
@@ -225,13 +243,15 @@ class BinnedStreamingRenderer:
             from smallpt_tpu.ops.megakernel import regen_binned
 
             f, i = regen_binned(f, i, cam_vec, config, key,
-                                ip_offset=ip_offset)
+                                ip_offset=ip_offset,
+                                inflight=self.inflight)
             lists, stops, dcut = lists_of(f, i, self.k_near)
             return stream_step_binned(
                 table, config, key, f, i, lists, stops, dcut,
                 ip_offset=ip_offset,
                 n_glob_chunks=accel.n_glob_chunks,
                 n_chunks=accel.n_chunks,
+                inflight=self.inflight,
             )
 
         @jax.jit
@@ -278,7 +298,9 @@ class BinnedStreamingRenderer:
         """Returns rays traced this step."""
         for s, extra in zip(self.streams, self._split(add_samples)):
             s.budget += extra
-            s.i = set_binned_budget(s.i, s.budget, self.config)
+            s.i = set_binned_budget(
+                s.i, s.budget, self.config, inflight=self.inflight
+            )
         return self._advance(n_bounces)
 
     def step_adaptive(self, n_bounces: int = 8,
@@ -299,7 +321,9 @@ class BinnedStreamingRenderer:
         m2 = np.zeros((G,), np.float64)
         nn = np.zeros((G,), np.float64)
         for s in self.streams:
-            mean_j, var_j, n_j = binned_variance(s.f, s.i, self.config)
+            mean_j, var_j, n_j = binned_variance(
+                s.f, s.i, self.config, inflight=self.inflight
+            )
             mean_j = np.asarray(mean_j, np.float64).reshape(-1)
             var_j = np.asarray(var_j, np.float64).reshape(-1)
             n_j = np.asarray(n_j, np.float64).reshape(-1)
@@ -328,7 +352,8 @@ class BinnedStreamingRenderer:
                 s.budgets = np.full((G,), s.budget, np.int64)
             s.budgets = s.budgets + share
             s.i = set_binned_budget(
-                s.i, jnp.asarray(s.budgets, jnp.int32), self.config
+                s.i, jnp.asarray(s.budgets, jnp.int32), self.config,
+                inflight=self.inflight,
             )
             s.budget = int(s.budgets.min())
         return self._advance(n_bounces)
@@ -357,14 +382,16 @@ class BinnedStreamingRenderer:
         rad = None
         w = None
         for s in self.streams:
-            rad_j, w_j = binned_image(s.f, s.i, self.config)
+            rad_j, w_j = binned_image(
+                s.f, s.i, self.config, inflight=self.inflight
+            )
             rad = rad_j if rad is None else rad + rad_j
             w = w_j if w is None else w + w_j
         return rad, w
 
     def reset(self) -> None:
         for s in self.streams:
-            s.f, s.i = init_binned_state(self.config)
+            s.f, s.i = init_binned_state(self.config, self.inflight)
             s.budget = 0
             s.budgets = None
         self._bounce_idx = 0

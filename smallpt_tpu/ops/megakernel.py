@@ -1137,6 +1137,17 @@ _NF_B = _NF + 2
 # holding pending lanes sweep their full list instead
 K_NEAR = int(os.environ.get("SMALLPT_TPU_BINNED_KNEAR", "64"))
 
+# Sample-index stride between a pixel's in-flight sub-lanes: with
+# ``inflight`` = M > 1 the binned state carries M lanes per pixel (lane id
+# q = pixel*M + sub), each drawing samples ip = sub*STRIDE + s_idx from
+# the pixel's stream. Keying v2 is injective in ip, so sub-lanes never
+# collide while per-sub budgets stay below the stride. Oversubscription
+# amortizes the tunnel's fixed per-launch latency (~24 ms for the 3-hop
+# bounce chain, measured round 3) over M× more rays per launch and cuts
+# the drain tail (each sub-lane drains spp/M samples, and the max over
+# G×M short queues is far below the max over G long ones).
+_BINNED_SUB_STRIDE = 1 << 20
+
 
 def _binned_kernel(
     stp_ref,     # (T,) int32 scalar-prefetch: list entries to sweep this
@@ -1154,6 +1165,7 @@ def _binned_kernel(
     config: RenderConfig,
     n_glob_chunks: int,
     n_chunks: int,
+    inflight: int = 1,
 ):
     """One DISTANCE-ORDERED culled bounce step.
 
@@ -1192,9 +1204,16 @@ def _binned_kernel(
 
     # regeneration happens in XLA between launches (regen_binned): here
     # every lane that traces this bounce is already alive; the kernel only
-    # derives the lane's RNG words from its (pixel, current sample) pair
+    # derives the lane's RNG words from its (pixel, current sample) pair.
+    # The pixel plane carries q = pixel*inflight + sub (lane id layout);
+    # sub-lane samples live at ip = sub*_BINNED_SUB_STRIDE + s_idx.
+    shift = inflight.bit_length() - 1
+    pix = jax.lax.shift_right_logical(pixel, shift) if shift else pixel
+    sub = pixel - jax.lax.shift_left(pix, shift) if shift else None
     ip = ip_offset + s_idx
-    wa = pltpu.bitcast(pixel, jnp.uint32) ^ k0
+    if shift:
+        ip = ip + sub * jnp.int32(_BINNED_SUB_STRIDE)
+    wa = pltpu.bitcast(pix, jnp.uint32) ^ k0
     wb = k1 ^ (pltpu.bitcast(ip, jnp.uint32) * jnp.uint32(_STREAM_IP_MULT))
 
     # ---- distance-ordered culled sweep -----------------------------------
@@ -1429,9 +1448,9 @@ def _binned_kernel(
     wi_(_I_PEND, pend_out.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "inflight"))
 def regen_binned(f, i, cam_vec, config: RenderConfig, key: jax.Array,
-                 ip_offset=0):
+                 ip_offset=0, inflight: int = 1):
     """XLA-side lane regeneration for the binned scheduler: dead lanes with
     remaining budget take their pixel's next sample (camera ray, unit
     throughput, depth 0) BEFORE the bounce kernel launches.
@@ -1467,10 +1486,18 @@ def regen_binned(f, i, cam_vec, config: RenderConfig, key: jax.Array,
     m2 = jnp.where(need, m2 + delta * delta, m2)
     m1 = jnp.where(need, cur_lum, m1)
     s_idx = jnp.where(need, s_idx + 1, s_idx)
+    # pixel plane carries q = pixel*inflight + sub; keying and raster
+    # position use the true pixel, sample ids stride by sub (must stay
+    # bit-identical to _binned_kernel's derivation)
+    shift = inflight.bit_length() - 1
+    pix = jax.lax.shift_right_logical(pixel, shift) if shift else pixel
     ip = ip_offset + s_idx
+    if shift:
+        sub = pixel - jax.lax.shift_left(pix, shift)
+        ip = ip + sub * jnp.int32(_BINNED_SUB_STRIDE)
 
     k0, k1 = _key_words(key)
-    wa = pixel.astype(jnp.uint32) ^ k0
+    wa = pix.astype(jnp.uint32) ^ k0
     wb = k1 ^ (ip.astype(jnp.uint32) * jnp.uint32(_STREAM_IP_MULT))
     js = config.jitter_size
     group = (ip // config.spp_per_cell) % (js * js)
@@ -1501,8 +1528,8 @@ def regen_binned(f, i, cam_vec, config: RenderConfig, key: jax.Array,
         off1 = (cy_cell + u1) / js - 0.5
 
     W, H = config.width, config.height
-    pix_col = pixel % W
-    pix_row = pixel // W
+    pix_col = pix % W
+    pix_row = pix // W
     sx = (pix_col.astype(jnp.float32) + 0.5 + off0) / W - 0.5
     sy = (pix_row.astype(jnp.float32) + 0.5 + off1) / H - 0.5
     if config.camera_model == CameraModel.MATRIX:
@@ -1596,17 +1623,20 @@ def regen_binned(f, i, cam_vec, config: RenderConfig, key: jax.Array,
     return f, i
 
 
-def _binned_geometry(config: RenderConfig):
-    g = config.n_pixels
+def _binned_geometry(config: RenderConfig, inflight: int = 1):
+    g = config.n_pixels * inflight
     n_tiles = -(-g // (_SUB * _LANE_B))
     n_cols = n_tiles * _LANE_B
     return g, n_tiles, n_cols
 
 
-def init_binned_state(config: RenderConfig):
-    """Fresh binned stream state: classic planes + a pixel-identity plane
-    (canonical order; a bin sort may permute lanes at any time)."""
-    g, n_tiles, n_cols = _binned_geometry(config)
+def init_binned_state(config: RenderConfig, inflight: int = 1):
+    """Fresh binned stream state: classic planes + a lane-identity plane
+    q = pixel*inflight + sub (canonical order; a bin sort may permute
+    lanes at any time). inflight must be a power of two."""
+    if inflight & (inflight - 1):
+        raise ValueError("inflight must be a power of two")
+    g, n_tiles, n_cols = _binned_geometry(config, inflight)
     f0 = jnp.concatenate(
         [
             jnp.zeros((_SUB * _NF, n_cols), jnp.float32),
@@ -1635,28 +1665,35 @@ def init_binned_state(config: RenderConfig):
     return f0, i0
 
 
-def set_binned_budget(i, budget, config: RenderConfig):
-    """Raise the per-pixel sample budget. budget: scalar (uniform) or a
+def set_binned_budget(i, budget, config: RenderConfig, inflight: int = 1):
+    """Raise the per-PIXEL sample budget. budget: scalar (uniform) or a
     (G,) int32 array (adaptive sampling). Lanes may be permuted by the bin
-    sort, so per-pixel budgets are GATHERED through the pixel plane; padded
-    lanes — pixel >= n_pixels — stay at 0 regardless of lane placement."""
+    sort, so budgets are GATHERED through the lane-id plane; with
+    oversubscription a pixel's budget b splits across its ``inflight``
+    sub-lanes as ceil/floor shares summing exactly to b. Padded lanes —
+    pixel >= n_pixels — stay at 0 regardless of lane placement."""
     g = config.n_pixels
-    pixel = jax.lax.dynamic_slice_in_dim(i, 8 * _I_PIXEL, 8, axis=0)
+    q = jax.lax.dynamic_slice_in_dim(i, 8 * _I_PIXEL, 8, axis=0)
     old = jax.lax.dynamic_slice_in_dim(i, 8 * _I_BUDGET, 8, axis=0)
+    shift = inflight.bit_length() - 1
+    pix = jax.lax.shift_right_logical(q, shift) if shift else q
     b = jnp.asarray(budget, jnp.int32)
     if b.ndim == 0:
-        new = jnp.broadcast_to(b, pixel.shape)
+        new = jnp.broadcast_to(b, q.shape)
     else:
-        new = b[jnp.clip(pixel, 0, g - 1)]
-    plane = jnp.where(pixel < g, jnp.maximum(new, old), old)
+        new = b[jnp.clip(pix, 0, g - 1)]
+    if shift:
+        sub = q - jax.lax.shift_left(pix, shift)
+        new = (new + (inflight - 1) - sub) // inflight
+    plane = jnp.where(pix < g, jnp.maximum(new, old), old)
     return jax.lax.dynamic_update_slice_in_dim(i, plane, 8 * _I_BUDGET, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def binned_variance(f, i, config: RenderConfig):
+@functools.partial(jax.jit, static_argnames=("config", "inflight"))
+def binned_variance(f, i, config: RenderConfig, inflight: int = 1):
     """Per-pixel (mean, variance, n) for the binned stream — the
-    stream_variance analog with lanes keyed back to pixel order (same
-    single-sort trick as binned_image)."""
+    stream_variance analog with lanes keyed back to lane-id order (same
+    single-sort trick as binned_image; sub-lane moments add)."""
     g = config.n_pixels
 
     def fplane(idx):
@@ -1678,16 +1715,24 @@ def binned_variance(f, i, config: RenderConfig):
     n = (s_idx + 1 - alive.astype(jnp.int32)).astype(jnp.float32)
     pixel = iplane(_I_PIXEL)
     _, m1s, m2s, ns = jax.lax.sort((pixel, m1, m2, n), num_keys=1)
-    n_safe = jnp.maximum(ns[:g], 1.0)
-    mean = m1s[:g] / n_safe
-    var = jnp.maximum(m2s[:g] / n_safe - mean * mean, 0.0)
+    nl = g * inflight
+
+    def fold(v):
+        return v[:nl].reshape(g, inflight).sum(axis=1)
+
+    m1t, m2t, nt = fold(m1s), fold(m2s), fold(ns)
+    n_safe = jnp.maximum(nt, 1.0)
+    mean = m1t / n_safe
+    var = jnp.maximum(m2t / n_safe - mean * mean, 0.0)
     shape = (config.height, config.width)
-    return mean.reshape(shape), var.reshape(shape), ns[:g].reshape(shape)
+    return mean.reshape(shape), var.reshape(shape), nt.reshape(shape)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "n_glob_chunks", "n_chunks", "interpret"),
+    static_argnames=(
+        "config", "n_glob_chunks", "n_chunks", "interpret", "inflight",
+    ),
 )
 def stream_step_binned(
     table,        # (S_pad, 16) f32 — reordered scene table (accel.order)
@@ -1702,11 +1747,12 @@ def stream_step_binned(
     n_glob_chunks: int = 2,
     n_chunks: int = 0,
     interpret: bool | None = None,
+    inflight: int = 1,
 ):
     """ONE culled bounce over the whole binned stream state."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    g, n_tiles, n_cols = _binned_geometry(config)
+    g, n_tiles, n_cols = _binned_geometry(config, inflight)
 
     kw = jax.random.key_data(key).astype(jnp.uint32).reshape(1, -1)[:, :2]
     ipv = jnp.stack([
@@ -1721,6 +1767,7 @@ def stream_step_binned(
         config=config,
         n_glob_chunks=n_glob_chunks,
         n_chunks=n_chunks,
+        inflight=inflight,
     )
     s_pad = table.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1772,12 +1819,13 @@ def stream_step_binned(
     return f, i, rays
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def binned_image(f, i, config: RenderConfig):
+@functools.partial(jax.jit, static_argnames=("config", "inflight"))
+def binned_image(f, i, config: RenderConfig, inflight: int = 1):
     """(radiance (H, W, 3), completed-sample weights (H, W)) regardless of
-    current lane placement: lanes are keyed back to pixel order with one
-    small sort (pixel ids are a permutation of 0..G_pad-1, so the sort IS
-    the inverse placement)."""
+    current lane placement: lanes are keyed back to lane-id order with one
+    small sort (lane ids are a permutation of 0..G_pad-1, so the sort IS
+    the inverse placement); a pixel's ``inflight`` sub-lanes land
+    contiguously and are summed (disjoint sample ranges => exact union)."""
     g = config.n_pixels
     pixel = jax.lax.dynamic_slice_in_dim(
         i, 8 * _I_PIXEL, 8, axis=0
@@ -1796,8 +1844,13 @@ def binned_image(f, i, config: RenderConfig):
     _, rxs, rys, rzs, dns = jax.lax.sort(
         (pixel, plane(_F_RX), plane(_F_RY), plane(_F_RZ), done), num_keys=1
     )
-    rad = jnp.stack([rxs[:g], rys[:g], rzs[:g]], axis=-1)
+    n = g * inflight
+
+    def fold(v):
+        return v[:n].reshape(g, inflight).sum(axis=1)
+
+    rad = jnp.stack([fold(rxs), fold(rys), fold(rzs)], axis=-1)
     return (
         rad.reshape(config.height, config.width, 3),
-        dns[:g].reshape(config.height, config.width),
+        fold(dns).reshape(config.height, config.width),
     )

@@ -341,3 +341,33 @@ def test_binned_multi_stream_exact_weights_and_match():
     img1 = rad1 / np.maximum(w1[..., None], 1)
     # different sample sets: compare means, not bits
     assert abs(img3.mean() - img1.mean()) < 0.15 * (img1.mean() + 0.05)
+
+
+def test_binned_inflight_exact_weights_and_match():
+    """Oversubscribed lanes (inflight=4: four sub-lanes per pixel with
+    disjoint sample strides): weights after flush equal the pixel budget
+    exactly (ceil/floor sub-splits sum), runs are deterministic, and the
+    image statistically matches inflight=1."""
+    cfg = CFG.replace(width=16, height=12, max_depth=8)
+    scene = procedural_sphere_scene(80, seed=3)
+
+    def run(m, spp):
+        r = BinnedStreamingRenderer(scene, smallpt_camera(), cfg, seed=0,
+                                    inflight=m)
+        r.step(add_samples=spp, n_bounces=4)
+        r.flush()
+        rad, w = r.accumulators()
+        return np.asarray(rad), np.asarray(w)
+
+    rad4a, w4a = run(4, 6)  # 6 splits 2/2/1/1 across sub-lanes
+    rad4b, w4b = run(4, 6)
+    assert (w4a == 6).all()
+    assert (rad4a == rad4b).all()
+
+    rad1, w1 = run(1, 6)
+    img4 = rad4a / np.maximum(w4a[..., None], 1)
+    img1 = rad1 / np.maximum(w1[..., None], 1)
+    assert abs(img4.mean() - img1.mean()) < 0.15 * (img1.mean() + 0.05)
+
+    with pytest.raises(ValueError, match="power of two"):
+        BinnedStreamingRenderer(scene, smallpt_camera(), cfg, inflight=3)
