@@ -55,6 +55,7 @@ def make_renderer(args, sort_every=0, n_streams=None):
     return BinnedStreamingRenderer(
         scene, smallpt_camera(), config, seed=0, sort_every=sort_every,
         n_streams=n_streams if n_streams is not None else args.streams,
+        inflight=args.inflight,
     )
 
 
@@ -165,9 +166,28 @@ def cmd_stages(args):
 
     t_shuffle, _ = time_loop(shuffle_only, 20, lambda res: fetch(res[1][0]))
 
-    # stops distribution (how many tiles sweep full lists?)
+    # stops distribution (how many tiles sweep full lists?) and the
+    # per-tile REACH size (what a dcut-free full-reach sweep would cost)
     st = np.asarray(stops)
-    nr = np.asarray(jnp.sum(accel.masks, axis=1).max())
+    from smallpt_tpu.ops import megakernel as mk
+
+    def plane(buf, idx):
+        return jax.lax.dynamic_slice_in_dim(buf, 8 * idx, 8, axis=0)
+
+    key_live = acc.ray_bin_keys(
+        plane(f0, mk._F_OX), plane(f0, mk._F_OY), plane(f0, mk._F_OZ),
+        plane(f0, mk._F_DX), plane(f0, mk._F_DY), plane(f0, mk._F_DZ),
+        accel,
+    )
+    alive0 = plane(i0, mk._I_ALIVE) != 0
+    lo1, hi1 = acc._masked_minmax(key_live, alive0, accel.n_bins)
+    bins = jnp.arange(accel.n_bins, dtype=jnp.int32)
+    in1 = (bins[None, :] >= lo1[:, None]) & (bins[None, :] <= hi1[:, None])
+    reach = jax.lax.dot(
+        in1.astype(jnp.bfloat16), accel.masks.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) > 0.0
+    n_reach = np.asarray(jnp.sum(reach, axis=1).astype(jnp.int32))
     rows = {
         "regen_ms": round(t_regen * 1e3, 2),
         "lists_ms": round(t_lists * 1e3, 2),
@@ -177,6 +197,9 @@ def cmd_stages(args):
         "stops_full": int((st < 0).sum()),
         "stops_mean": float(st[st >= 0].mean()) if (st >= 0).any() else -1,
         "stops_max": int(st.max()),
+        "n_reach_mean": float(n_reach.mean()),
+        "n_reach_med": float(np.median(n_reach)),
+        "n_reach_max": int(n_reach.max()),
     }
     print(json.dumps(rows))
 
@@ -206,9 +229,23 @@ def cmd_chain(args):
         return stream_step_binned(
             r.table, config, r.key, f0, i0, lists, stops, dcut,
             n_glob_chunks=accel.n_glob_chunks, n_chunks=accel.n_chunks,
+            inflight=r.inflight,
         )
 
     t_k, _ = time_loop(kernel_only, 16, lambda res: fetch(res[2]))
+
+    # (a2) regen alone and lists alone (same-program pipelining)
+    from smallpt_tpu.ops.megakernel import regen_binned as _rg
+
+    def regen_only(_):
+        return _rg(f0, i0, r.cam_vec, config, r.key, 0, r.inflight)
+
+    t_r, _ = time_loop(regen_only, 16, lambda res: fetch(res[1]))
+
+    def lists_only(_):
+        return lists_of(f0, i0, r.k_near)
+
+    t_l, _ = time_loop(lists_only, 16, lambda res: fetch(res[1]))
 
     # (b) real chained bounce (regen -> lists -> kernel, state evolves)
     def chain(_):
@@ -219,15 +256,35 @@ def cmd_chain(args):
 
     # (c) alternating programs, NO cross-bounce dependency
     def alt(_):
-        f1, i1 = regen_binned(f0, i0, r.cam_vec, config, r.key)
+        f1, i1 = regen_binned(f0, i0, r.cam_vec, config, r.key, 0,
+                              r.inflight)
         l2, s2, d2 = lists_of(f1, i1, r.k_near)
         return stream_step_binned(
             r.table, config, r.key, f1, i1, l2, s2, d2,
             n_glob_chunks=accel.n_glob_chunks, n_chunks=accel.n_chunks,
+            inflight=r.inflight,
         )
 
     from smallpt_tpu.ops.megakernel import regen_binned
     t_a, _ = time_loop(alt, 16, lambda res: fetch(res[2]))
+
+    # (e) SAME-program dependent chain: kernel feeding its own output
+    def kchain(prev):
+        fi = (f0, i0) if prev is None else (prev[0], prev[1])
+        return stream_step_binned(
+            r.table, config, r.key, fi[0], fi[1], lists, stops, dcut,
+            n_glob_chunks=accel.n_glob_chunks, n_chunks=accel.n_chunks,
+            inflight=r.inflight,
+        )
+
+    t_kc, _ = time_loop(kchain, 16, lambda res: fetch(res[2]))
+
+    # (f) regen feeding its own output (same program, no donation)
+    def rchain(prev):
+        fi = (f0, i0) if prev is None else (prev[0], prev[1])
+        return _rg(fi[0], fi[1], r.cam_vec, config, r.key, 0, r.inflight)
+
+    t_rc, _ = time_loop(rchain, 16, lambda res: fetch(res[1]))
 
     # (d) real advance(16)
     t0 = time.perf_counter()
@@ -236,8 +293,13 @@ def cmd_chain(args):
     t_adv = (time.perf_counter() - t0) / 16
 
     print(json.dumps({
+        "inflight": r.inflight,
         "kernel_only_ms": round(t_k * 1e3, 2),
+        "regen_only_ms": round(t_r * 1e3, 2),
+        "lists_only_ms": round(t_l * 1e3, 2),
         "chain_ms": round(t_c * 1e3, 2),
+        "kernel_chain_ms": round(t_kc * 1e3, 2),
+        "regen_chain_ms": round(t_rc * 1e3, 2),
         "alt_nodep_ms": round(t_a * 1e3, 2),
         "advance_ms": round(t_adv * 1e3, 2),
     }))
@@ -350,6 +412,7 @@ def main():
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--sort-every", type=int, default=0)
     p.add_argument("--streams", type=int, default=None)
+    p.add_argument("--inflight", type=int, default=None)
     p.add_argument("--bounces", type=int, default=8)
     args = p.parse_args()
     print(f"# backend={jax.default_backend()} devices={jax.devices()}",

@@ -117,6 +117,7 @@ class BinnedStreamingRenderer:
         k_near: int | None = None,
         n_streams: int | None = None,
         inflight: int | None = None,
+        fused: bool = True,
     ):
         if config.mode != Mode.FULL or config.split_budget != 1:
             raise ValueError("binned streaming: Mode.FULL, split_budget=1")
@@ -168,6 +169,7 @@ class BinnedStreamingRenderer:
         self.k_near = jnp.asarray(
             K_NEAR if k_near is None else k_near, jnp.int32
         )
+        self.fused = fused
         self.n_streams = (
             _default_streams() if n_streams is None else int(n_streams)
         )
@@ -227,12 +229,40 @@ class BinnedStreamingRenderer:
 
     def _make_bounce(self):
         config, accel = self.config, self.accel
+        table, inflight = self.table, self.inflight
+
+        import functools
+
+        from smallpt_tpu.ops.megakernel import regen_binned
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def fused_bounce(f, i, cam_vec, key, ip_offset):
+            # ONE program per bounce: regen + reach lists + kernel fused.
+            # Same-program dependent relaunches run at pure compute cost on
+            # the tunnel, while distinct-program dependency hops cost
+            # ~0.65 ms/MB of state (measured round 3: 3-program chain
+            # 68 ms vs 18 ms of compute at 786k lanes). No lax.sort /
+            # argsort inside (remote-compile pathology): lists come from
+            # tile_work_lists_nosort's cumsum+scatter compaction, with
+            # dcut=+inf (no pending carry; every alive lane finalizes).
+            f, i = regen_binned(f, i, cam_vec, config, key,
+                                ip_offset=ip_offset, inflight=inflight)
+            lists, stops, dcut = acc.tile_work_lists_nosort(
+                f, i, config, accel
+            )
+            return stream_step_binned(
+                table, config, key, f, i, lists, stops, dcut,
+                ip_offset=ip_offset,
+                n_glob_chunks=accel.n_glob_chunks,
+                n_chunks=accel.n_chunks,
+                inflight=inflight,
+            )
 
         @jax.jit
         def lists_of(f, i, k_near):
             return acc.tile_work_lists(f, i, config, accel, k_near=k_near)
 
-        def bounce(table, cam_vec, key, f, i, ip_offset):
+        def bounce_3prog(table, cam_vec, key, f, i, ip_offset):
             # THREE separate programs, not one fused jit: on this
             # toolchain monolithic programs mixing XLA sorts/argsorts with
             # a pallas_call hit multi-ten-minute remote-compile
@@ -260,6 +290,12 @@ class BinnedStreamingRenderer:
 
         def shuffle(f, i):
             return acc.shuffle_state(f, i, keys_of(f, i))
+
+        if self.fused:
+            def bounce(table, cam_vec, key, f, i, ip_offset):
+                return fused_bounce(f, i, cam_vec, key, ip_offset)
+        else:
+            bounce = bounce_3prog
 
         return bounce, shuffle
 

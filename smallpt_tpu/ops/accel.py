@@ -417,6 +417,71 @@ def tile_work_lists(f, i, config, accel: GridAccel, k_near: int | None = None):
     return lists, stops, dcut
 
 
+def tile_work_lists_nosort(f, i, config, accel: GridAccel):
+    """Sort-free work lists: the tile's FULL reachable chunk set in
+    ascending chunk order, no distance prefix, dcut = +inf (every alive
+    lane finalizes every bounce — no pending carry).
+
+    Why this variant exists (measured round 3): the tunnel executes
+    same-program dependent launches at pure compute cost but charges
+    ~0.65 ms/MB of state per DISTINCT-program dependency hop, so the
+    3-program bounce chain paid ~50 ms/bounce in hand-offs. Fusing
+    regen + list building + the kernel into ONE re-launched program
+    removes that cost — but the fused program must not contain lax.sort
+    or argsort (multi-ten-minute remote-compile pathology, round-2/3
+    notes), so the distance-ordered prefix is replaced by a cumsum +
+    scatter compaction of the reach mask. Ascending order also makes the
+    culled sweep ORDER-IDENTICAL to a full sweep, so culled == full stays
+    bit-exact by construction.
+
+    Returns (lists (T, l_max) int32, stops (T,) int32 with -1 = sweep all
+    local chunks, dcut (T,) f32 = +inf)."""
+    from smallpt_tpu.ops import megakernel as mk
+
+    n_bins = accel.n_bins
+    c_ = accel.n_chunks
+
+    def plane(buf, idx):
+        return jax.lax.dynamic_slice_in_dim(buf, 8 * idx, 8, axis=0)
+
+    ox, oy, oz = plane(f, mk._F_OX), plane(f, mk._F_OY), plane(f, mk._F_OZ)
+    dx, dy, dz = plane(f, mk._F_DX), plane(f, mk._F_DY), plane(f, mk._F_DZ)
+    alive = plane(i, mk._I_ALIVE) != 0
+    key_live = ray_bin_keys(ox, oy, oz, dx, dy, dz, accel)
+    lo1, hi1 = _masked_minmax(key_live, alive, n_bins)
+
+    bins = jnp.arange(n_bins, dtype=jnp.int32)
+    in1 = (bins[None, :] >= lo1[:, None]) & (bins[None, :] <= hi1[:, None])
+    reach = (
+        jax.lax.dot(
+            in1.astype(jnp.bfloat16), accel.masks.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        > 0.0
+    )  # (T, C)
+    n_reach = jnp.sum(reach, axis=1).astype(jnp.int32)
+
+    l_max = accel.l_max
+    t_ = reach.shape[0]
+    # compaction without sort: position of each reachable chunk in its
+    # tile's list is its rank among reachable chunks (ascending cid)
+    pos = jnp.cumsum(reach.astype(jnp.int32), axis=1) - 1       # (T, C)
+    cid = jnp.broadcast_to(
+        jnp.arange(c_, dtype=jnp.int32)[None, :], (t_, c_)
+    )
+    valid = reach & (pos < l_max)
+    rows = jnp.broadcast_to(
+        jnp.arange(t_, dtype=jnp.int32)[:, None], (t_, c_)
+    )
+    lists = jnp.zeros((t_, l_max), jnp.int32).at[
+        jnp.where(valid, rows, t_),          # row t_ = dropped
+        jnp.clip(pos, 0, l_max - 1),
+    ].set(cid, mode="drop")
+    stops = jnp.where(n_reach > l_max, -1, n_reach)
+    dcut = jnp.full((t_,), jnp.inf, jnp.float32)
+    return lists, stops, dcut
+
+
 # ---------------------------------------------------------------------------
 # State shuffle (periodic re-sort for tile coherence)
 # ---------------------------------------------------------------------------

@@ -371,3 +371,59 @@ def test_binned_inflight_exact_weights_and_match():
 
     with pytest.raises(ValueError, match="power of two"):
         BinnedStreamingRenderer(scene, smallpt_camera(), cfg, inflight=3)
+
+
+def test_binned_fused_bitexact_vs_three_program():
+    """The fused one-program bounce (regen + sort-free reach lists +
+    kernel, dcut=+inf) must reproduce the 3-program distance-ordered
+    path's accumulators BIT-exactly after drain: the reach set is
+    identical, min-fold winners are order-independent, and sample streams
+    are launch-count-invariant."""
+    cfg = CFG.replace(width=16, height=12, max_depth=8)
+    scene = procedural_sphere_scene(80, seed=3)
+    a_rad, a_w = _binned_image(scene, cfg, spp=4, fused=True)
+    b_rad, b_w = _binned_image(scene, cfg, spp=4, fused=False)
+    assert (a_w == b_w).all()
+    assert (a_rad == b_rad).all()
+
+
+def test_nosort_lists_cover_reach_exactly():
+    """tile_work_lists_nosort emits the reach set in ascending chunk
+    order with exact stop counts (and -1 on overflow)."""
+    import jax
+    from smallpt_tpu.ops import megakernel as mk
+
+    scene = procedural_sphere_scene(300, seed=7)
+    accel = acc.build_grid_accel(scene)
+    cfg = CFG.replace(width=16, height=12)
+    r = BinnedStreamingRenderer(scene, smallpt_camera(), cfg, accel=accel,
+                                fused=False)
+    r.step(add_samples=2, n_bounces=3)
+    lists, stops, dcut = acc.tile_work_lists_nosort(
+        r.f, r.i, cfg, accel
+    )
+    assert np.isinf(np.asarray(dcut)).all()
+    # reference reach straight from the mask math
+    def plane(buf, idx):
+        return jax.lax.dynamic_slice_in_dim(buf, 8 * idx, 8, axis=0)
+
+    key_live = acc.ray_bin_keys(
+        plane(r.f, mk._F_OX), plane(r.f, mk._F_OY), plane(r.f, mk._F_OZ),
+        plane(r.f, mk._F_DX), plane(r.f, mk._F_DY), plane(r.f, mk._F_DZ),
+        accel,
+    )
+    alive = plane(r.i, mk._I_ALIVE) != 0
+    lo, hi = acc._masked_minmax(key_live, alive, accel.n_bins)
+    bins = np.arange(accel.n_bins)
+    in1 = (bins[None, :] >= np.asarray(lo)[:, None]) & (
+        bins[None, :] <= np.asarray(hi)[:, None]
+    )
+    reach = (in1.astype(np.float32) @ np.asarray(accel.masks)) > 0
+    lists_np, stops_np = np.asarray(lists), np.asarray(stops)
+    for t in range(reach.shape[0]):
+        ids = np.nonzero(reach[t])[0]
+        if ids.size > accel.l_max:
+            assert stops_np[t] == -1
+            continue
+        assert stops_np[t] == ids.size
+        assert (lists_np[t, :ids.size] == ids).all()
