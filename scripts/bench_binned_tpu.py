@@ -45,7 +45,7 @@ def fetch(x):
     return float(jnp.sum(x)) if hasattr(x, "dtype") else float(x)
 
 
-def make_renderer(args, sort_every=0, n_streams=None):
+def make_renderer(args, sort_every=0, n_streams=None, fused=True):
     config = RenderConfig(
         width=args.width, height=args.height, spp_per_cell=1,
         camera_model=CameraModel.LEGACY, filter=Filter.TENT,
@@ -55,7 +55,7 @@ def make_renderer(args, sort_every=0, n_streams=None):
     return BinnedStreamingRenderer(
         scene, smallpt_camera(), config, seed=0, sort_every=sort_every,
         n_streams=n_streams if n_streams is not None else args.streams,
-        inflight=args.inflight,
+        inflight=args.inflight, fused=fused,
     )
 
 
@@ -210,7 +210,7 @@ def cmd_chain(args):
     from smallpt_tpu.ops import accel as acc
     from smallpt_tpu.ops.megakernel import stream_step_binned
 
-    r = make_renderer(args, sort_every=0, n_streams=1)
+    r = make_renderer(args, sort_every=0, n_streams=1, fused=False)
     config, accel = r.config, r.accel
     r.step(add_samples=args.spp, n_bounces=6)  # warm + realistic state
     bounce, shuffle = r._bounce
@@ -286,6 +286,18 @@ def cmd_chain(args):
 
     t_rc, _ = time_loop(rchain, 16, lambda res: fetch(res[1]))
 
+    # (g) fused one-program bounce, chained on its own output
+    rf = make_renderer(args, sort_every=0, n_streams=1)
+    rf.step(add_samples=args.spp, n_bounces=0)
+    fbounce, _ = rf._bounce
+    import copy as _copy
+
+    def fchain(prev):
+        fi = (rf.f, rf.i) if prev is None else (prev[0], prev[1])
+        return fbounce(rf.table, rf.cam_vec, rf.key, fi[0], fi[1], 0)
+
+    t_f, _ = time_loop(fchain, 16, lambda res: fetch(res[2]))
+
     # (d) real advance(16)
     t0 = time.perf_counter()
     r.f, r.i = f0, i0
@@ -300,6 +312,7 @@ def cmd_chain(args):
         "chain_ms": round(t_c * 1e3, 2),
         "kernel_chain_ms": round(t_kc * 1e3, 2),
         "regen_chain_ms": round(t_rc * 1e3, 2),
+        "fused_chain_ms": round(t_f * 1e3, 2),
         "alt_nodep_ms": round(t_a * 1e3, 2),
         "advance_ms": round(t_adv * 1e3, 2),
     }))

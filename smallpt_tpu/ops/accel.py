@@ -463,20 +463,21 @@ def tile_work_lists_nosort(f, i, config, accel: GridAccel):
 
     l_max = accel.l_max
     t_ = reach.shape[0]
-    # compaction without sort: position of each reachable chunk in its
-    # tile's list is its rank among reachable chunks (ascending cid)
+    # compaction without sort OR scatter: XLA TPU scatter serializes (~3 us
+    # per update — 30k updates ate ~90 ms/bounce, measured), so compact via
+    # a one-hot reduction instead: position of each reachable chunk is its
+    # rank among reachable chunks (ascending cid), and
+    # lists[t, p] = sum_c cid * [pos[t, c] == p]. The (T, C, L) one-hot is
+    # never materialized — XLA fuses the generator into the reduction.
     pos = jnp.cumsum(reach.astype(jnp.int32), axis=1) - 1       # (T, C)
-    cid = jnp.broadcast_to(
-        jnp.arange(c_, dtype=jnp.int32)[None, :], (t_, c_)
+    cid = jnp.arange(c_, dtype=jnp.int32)
+    slot = jnp.arange(l_max, dtype=jnp.int32)
+    onehot = jnp.logical_and(
+        pos[:, :, None] == slot[None, None, :], reach[:, :, None]
     )
-    valid = reach & (pos < l_max)
-    rows = jnp.broadcast_to(
-        jnp.arange(t_, dtype=jnp.int32)[:, None], (t_, c_)
+    lists = jnp.sum(
+        jnp.where(onehot, cid[None, :, None], 0), axis=1, dtype=jnp.int32
     )
-    lists = jnp.zeros((t_, l_max), jnp.int32).at[
-        jnp.where(valid, rows, t_),          # row t_ = dropped
-        jnp.clip(pos, 0, l_max - 1),
-    ].set(cid, mode="drop")
     stops = jnp.where(n_reach > l_max, -1, n_reach)
     dcut = jnp.full((t_,), jnp.inf, jnp.float32)
     return lists, stops, dcut
