@@ -1645,9 +1645,17 @@ def init_binned_state(config: RenderConfig, inflight: int = 1):
         ],
         axis=0,
     )
+    # COLUMN-major lane ids: lane[r, c] = c*8 + r. A kernel tile is a
+    # LANE_B-column block, so this makes tile t hold the CONTIGUOUS id
+    # range [t*8192, (t+1)*8192) — one compact image block (and, with
+    # oversubscription, a pixel's sub-lanes sit in the same tile). The
+    # row-major layout (r*n_cols + c) gave every tile 8 image strips
+    # scattered across the frame, inflating each tile's reach set ~8-fold.
+    # Placement is semantically free (streams key off the id plane), so
+    # this is a pure locality change: images are bit-identical.
     lane = (
-        jnp.arange(_SUB, dtype=jnp.int32)[:, None] * n_cols
-        + jnp.arange(n_cols, dtype=jnp.int32)[None, :]
+        jnp.arange(_SUB, dtype=jnp.int32)[:, None]
+        + jnp.arange(n_cols, dtype=jnp.int32)[None, :] * _SUB
     )
     i0 = jnp.concatenate(
         [
