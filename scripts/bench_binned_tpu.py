@@ -204,6 +204,37 @@ def cmd_stages(args):
     print(json.dumps(rows))
 
 
+def cmd_trace(args):
+    """Per-advance trace of one full drive: where does the wall go?"""
+    r = make_renderer(args, sort_every=args.sort_every)
+    print(f"# n_streams={r.n_streams} inflight={r.inflight} "
+          f"fused={r.fused}", file=sys.stderr)
+    drive(r, args.spp, args.bounces)  # compile+warm
+    r.reset(); r.stats.rays = 0; r.stats.wall_s = 0.0
+    t00 = time.perf_counter()
+    t0 = time.perf_counter()
+    rays = r.step(add_samples=args.spp, n_bounces=args.bounces)
+    print(f"# step: {time.perf_counter()-t0:.3f}s rays={rays}",
+          file=sys.stderr, flush=True)
+    it = 0
+    while True:
+        t0 = time.perf_counter()
+        pend = r.pending()
+        t_p = time.perf_counter() - t0
+        if pend == (0, 0):
+            break
+        t0 = time.perf_counter()
+        rays = r._advance(args.bounces)
+        dt = time.perf_counter() - t0
+        print(f"# adv{it}: pend={pend} t_pend={t_p*1e3:.0f}ms "
+              f"adv={dt*1e3:.0f}ms rays={rays} "
+              f"({rays/max(dt,1e-9)/1e6:.2f}M)", file=sys.stderr, flush=True)
+        it += 1
+    total = time.perf_counter() - t00
+    print(json.dumps({"total_s": round(total, 3), "rays": r.stats.rays,
+                      "rays_per_s": round(r.stats.rays / total)}))
+
+
 def cmd_chain(args):
     """Isolate per-bounce overhead: same-program pipelining vs the real
     alternating 3-program chain vs the full drive loop."""
@@ -286,6 +317,31 @@ def cmd_chain(args):
 
     t_rc, _ = time_loop(rchain, 16, lambda res: fetch(res[1]))
 
+    # (g0) sort-free list builder alone on the mid-render state
+    @jax.jit
+    def nosort_of(f, i):
+        return acc.tile_work_lists_nosort(f, i, config, accel)
+
+    def nosort_only(_):
+        return nosort_of(f0, i0)
+
+    t_ns, res_ns = time_loop(nosort_only, 16, lambda res: fetch(res[1]))
+    st_ns = np.asarray(res_ns[1])
+    print(f"# nosort stops: mean={st_ns[st_ns>=0].mean():.0f} "
+          f"max={st_ns.max()} overflow={(st_ns<0).sum()}", file=sys.stderr)
+
+    # (g1) kernel alone driven by the NOSORT (full-reach) lists
+    ln, sn, dn = res_ns
+
+    def kernel_nosort(_):
+        return stream_step_binned(
+            r.table, config, r.key, f0, i0, ln, sn, dn,
+            n_glob_chunks=accel.n_glob_chunks, n_chunks=accel.n_chunks,
+            inflight=r.inflight,
+        )
+
+    t_kn, _ = time_loop(kernel_nosort, 16, lambda res: fetch(res[2]))
+
     # (g) fused one-program bounce, chained on its own output
     rf = make_renderer(args, sort_every=0, n_streams=1)
     rf.step(add_samples=args.spp, n_bounces=0)
@@ -313,6 +369,8 @@ def cmd_chain(args):
         "kernel_chain_ms": round(t_kc * 1e3, 2),
         "regen_chain_ms": round(t_rc * 1e3, 2),
         "fused_chain_ms": round(t_f * 1e3, 2),
+        "nosort_lists_ms": round(t_ns * 1e3, 2),
+        "kernel_fullreach_ms": round(t_kn * 1e3, 2),
         "alt_nodep_ms": round(t_a * 1e3, 2),
         "advance_ms": round(t_adv * 1e3, 2),
     }))
@@ -330,7 +388,8 @@ def drive(r, spp, n_bounces, max_iters=400):
 def cmd_e2e(args):
     best = None
     r = make_renderer(args, sort_every=args.sort_every)
-    print(f"# n_streams={r.n_streams}", file=sys.stderr)
+    print(f"# n_streams={r.n_streams} inflight={r.inflight} "
+          f"fused={r.fused}", file=sys.stderr)
     # warm: compile + clock ramp
     drive(r, args.spp, args.bounces)
     for t in range(args.rounds):
@@ -343,11 +402,20 @@ def cmd_e2e(args):
               file=sys.stderr)
         if best is None or rate > best[0]:
             best = (rate, rays, dt)
+    # reach-set size stats on the final state (what the dcut-free fused
+    # kernel actually sweeps per tile)
+    from smallpt_tpu.ops import accel as acc
+    _, stops, _ = acc.tile_work_lists_nosort(r.f, r.i, r.config, r.accel)
+    st = np.asarray(stops)
     print(json.dumps({
         "metric": f"binned_{args.n}sph_{args.width}x{args.height}",
         "rays_per_s": round(best[0]),
         "rays": best[1], "wall_s": round(best[2], 3),
         "sort_every": args.sort_every, "bounces": args.bounces,
+        "inflight": r.inflight,
+        "nreach_mean": float(st[st >= 0].mean()) if (st >= 0).any() else -1,
+        "nreach_max": int(st.max()),
+        "nreach_overflow": int((st < 0).sum()),
     }))
 
 
@@ -416,7 +484,7 @@ def cmd_brute(args):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("cmd", choices=["stages", "e2e", "sweep", "brute", "chain"])
+    p.add_argument("cmd", choices=["stages", "e2e", "sweep", "brute", "chain", "trace"])
     p.add_argument("--n", type=int, default=10_000)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=384)
@@ -431,7 +499,7 @@ def main():
     print(f"# backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
     dict(stages=cmd_stages, e2e=cmd_e2e, sweep=cmd_sweep,
-         brute=cmd_brute, chain=cmd_chain)[args.cmd](args)
+         brute=cmd_brute, chain=cmd_chain, trace=cmd_trace)[args.cmd](args)
 
 
 if __name__ == "__main__":

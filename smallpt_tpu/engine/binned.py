@@ -236,19 +236,21 @@ class BinnedStreamingRenderer:
         from smallpt_tpu.ops.megakernel import regen_binned
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def fused_bounce(f, i, cam_vec, key, ip_offset):
+        def fused_bounce(f, i, cam_vec, key, ip_offset, k_near):
             # ONE program per bounce: regen + reach lists + kernel fused.
             # Same-program dependent relaunches run at pure compute cost on
             # the tunnel, while distinct-program dependency hops cost
             # ~0.65 ms/MB of state (measured round 3: 3-program chain
             # 68 ms vs 18 ms of compute at 786k lanes). No lax.sort /
-            # argsort inside (remote-compile pathology): lists come from
-            # tile_work_lists_nosort's cumsum+scatter compaction, with
-            # dcut=+inf (no pending carry; every alive lane finalizes).
+            # argsort / scatter inside (remote-compile pathology / TPU
+            # serialization): lists come from the bucketed one-hot ranking
+            # (tile_work_lists_bucketed), which keeps the near-first
+            # prefix + pending mechanism — a dcut-free full-reach sweep
+            # measured ~198 ms/bounce vs ~12 ms for the prefix kernel.
             f, i = regen_binned(f, i, cam_vec, config, key,
                                 ip_offset=ip_offset, inflight=inflight)
-            lists, stops, dcut = acc.tile_work_lists_nosort(
-                f, i, config, accel
+            lists, stops, dcut = acc.tile_work_lists_bucketed(
+                f, i, config, accel, k_near=k_near
             )
             return stream_step_binned(
                 table, config, key, f, i, lists, stops, dcut,
@@ -293,7 +295,8 @@ class BinnedStreamingRenderer:
 
         if self.fused:
             def bounce(table, cam_vec, key, f, i, ip_offset):
-                return fused_bounce(f, i, cam_vec, key, ip_offset)
+                return fused_bounce(f, i, cam_vec, key, ip_offset,
+                                    self.k_near)
         else:
             bounce = bounce_3prog
 

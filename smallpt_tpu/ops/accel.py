@@ -483,6 +483,137 @@ def tile_work_lists_nosort(f, i, config, accel: GridAccel):
     return lists, stops, dcut
 
 
+N_BUCKET = 16
+
+
+def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None):
+    """Distance-BUCKETED work lists, free of lax.sort/argsort/scatter —
+    the fused-program replacement for tile_work_lists.
+
+    Chunks are ranked by (geometric distance bucket, chunk id) using
+    one-hot cumsum arithmetic only, restoring the near-first prefix +
+    pending mechanism inside the fused bounce program: non-pending tiles
+    sweep min(k_near, n_reach) entries with a CONSERVATIVE finality bound
+    dcut = lower edge of the bucket at the cut (every unswept entry's
+    true distance is >= its bucket's lower edge, and later ranks have
+    >= buckets), while tiles holding pending lanes sweep their full list
+    (dcut=+inf). Same correctness contract as tile_work_lists: bucket
+    order only affects WHICH launch finalizes a lane, never the winner
+    (idempotent min-fold + carried candidates)."""
+    from smallpt_tpu.ops import megakernel as mk
+
+    if k_near is None:
+        k_near = mk.K_NEAR
+    k_near = jnp.asarray(k_near, jnp.int32)
+    n_bins = accel.n_bins
+    c_ = accel.n_chunks
+
+    def plane(buf, idx):
+        return jax.lax.dynamic_slice_in_dim(buf, 8 * idx, 8, axis=0)
+
+    ox, oy, oz = plane(f, mk._F_OX), plane(f, mk._F_OY), plane(f, mk._F_OZ)
+    dx, dy, dz = plane(f, mk._F_DX), plane(f, mk._F_DY), plane(f, mk._F_DZ)
+    alive = plane(i, mk._I_ALIVE) != 0
+    pend = (plane(i, mk._I_PEND) != 0) & alive
+    key_live = ray_bin_keys(ox, oy, oz, dx, dy, dz, accel)
+    lo1, hi1 = _masked_minmax(key_live, alive, n_bins)
+
+    def tile_minmax(p, valid, big):
+        cc = p.shape[1]
+        t = cc // LANE_B
+        v = valid.reshape(SUB, t, LANE_B)
+        pp = p.reshape(SUB, t, LANE_B)
+        lo = jnp.min(jnp.where(v, pp, big), axis=(0, 2))
+        hi = jnp.max(jnp.where(v, pp, -big), axis=(0, 2))
+        return lo, hi
+
+    big = jnp.float32(3e38)
+    olo_x, ohi_x = tile_minmax(ox, alive, big)
+    olo_y, ohi_y = tile_minmax(oy, alive, big)
+    olo_z, ohi_z = tile_minmax(oz, alive, big)
+    has_pend = jnp.sum(pend.reshape(SUB, -1, LANE_B), axis=(0, 2)) > 0
+
+    bins = jnp.arange(n_bins, dtype=jnp.int32)
+    in1 = (bins[None, :] >= lo1[:, None]) & (bins[None, :] <= hi1[:, None])
+    reach = (
+        jax.lax.dot(
+            in1.astype(jnp.bfloat16), accel.masks.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        > 0.0
+    )  # (T, C)
+    n_reach = jnp.sum(reach, axis=1).astype(jnp.int32)
+
+    def axis_gap(olo, ohi, klo, khi):
+        return jnp.maximum(
+            jnp.maximum(
+                klo[None, :] - ohi[:, None], olo[:, None] - khi[None, :]
+            ),
+            0.0,
+        )
+
+    gx = axis_gap(olo_x, ohi_x, accel.k_lo[:, 0], accel.k_hi[:, 0])
+    gy = axis_gap(olo_y, ohi_y, accel.k_lo[:, 1], accel.k_hi[:, 1])
+    gz = axis_gap(olo_z, ohi_z, accel.k_lo[:, 2], accel.k_hi[:, 2])
+    dist = jnp.sqrt(gx * gx + gy * gy + gz * gz)  # lower bound, (T, C)
+
+    # geometric buckets: 0 covers [0, d0), b >= 1 covers
+    # [d0*2^((b-1)/2), d0*2^(b/2)); lower edges are the finality bounds
+    d0 = float(np.mean(1.0 / np.asarray(accel.inv_cell))) * 0.25
+    nb_ = N_BUCKET
+    bucket = jnp.where(
+        dist < d0,
+        0,
+        jnp.clip(
+            1 + jnp.floor(2.0 * jnp.log2(jnp.maximum(dist, d0) / d0)),
+            0, nb_ - 1,
+        ).astype(jnp.int32),
+    )
+    edges = jnp.asarray(
+        [0.0] + [d0 * 2.0 ** ((b - 1) / 2.0) for b in range(1, nb_)],
+        jnp.float32,
+    )
+
+    # rank by (bucket, cid) with cumsums only
+    oh = jnp.logical_and(
+        bucket[:, :, None] == jnp.arange(nb_, dtype=jnp.int32)[None, None, :],
+        reach[:, :, None],
+    )  # (T, C, NB)
+    counts = jnp.sum(oh, axis=1).astype(jnp.int32)              # (T, NB)
+    offset = jnp.cumsum(counts, axis=1) - counts                # exclusive
+    cum3 = jnp.cumsum(oh.astype(jnp.int32), axis=1)             # (T, C, NB)
+    within = jnp.sum(jnp.where(oh, cum3, 0), axis=2)            # (T, C) >=1
+    off_g = jnp.sum(jnp.where(oh, offset[:, None, :], 0), axis=2)
+    pos = off_g + within - 1                                    # (T, C)
+
+    l_max = accel.l_max
+    slot = jnp.arange(l_max, dtype=jnp.int32)
+    oh_pos = jnp.logical_and(
+        pos[:, :, None] == slot[None, None, :], reach[:, :, None]
+    )
+    cid = jnp.arange(c_, dtype=jnp.int32)
+    lists = jnp.sum(
+        jnp.where(oh_pos, cid[None, :, None], 0), axis=1, dtype=jnp.int32
+    )
+
+    stop_full = jnp.minimum(n_reach, l_max)
+    stops = jnp.where(
+        has_pend,
+        jnp.where(n_reach > l_max, -1, stop_full),
+        jnp.minimum(k_near, stop_full),
+    )
+    # bucket of the entry AT the stop position (first unswept) -> its
+    # lower edge bounds every unswept entry's distance
+    b_at = jnp.sum(
+        jnp.where(pos == stops[:, None], bucket, 0) * reach, axis=1
+    )
+    dcut = edges[jnp.clip(b_at, 0, nb_ - 1)]
+    dcut = jnp.where(
+        (stops < 0) | (stops >= n_reach), jnp.float32(jnp.inf), dcut
+    )
+    return lists, stops, dcut
+
+
 # ---------------------------------------------------------------------------
 # State shuffle (periodic re-sort for tile coherence)
 # ---------------------------------------------------------------------------
