@@ -483,7 +483,25 @@ def tile_work_lists_nosort(f, i, config, accel: GridAccel):
     return lists, stops, dcut
 
 
-N_BUCKET = 16
+N_BUCKET = 32
+SUBBLOCKS = 8  # per-tile key-range subdivision (union of 8 intervals)
+
+
+def _masked_minmax_sub(key, valid, n_bins):
+    """Per-(tile, subblock) key (lo, hi): each tile's LANE_B columns split
+    into SUBBLOCKS column groups. The union of 8 tight intervals is a far
+    better occupancy approximation than one tile-wide interval — a single
+    outlier cell no longer drags in the whole linear span between cells
+    (measured: tile-wide ranges made every tile's reach overflow l_max
+    mid-render)."""
+    c = key.shape[1]
+    t = c // LANE_B
+    w = LANE_B // SUBBLOCKS
+    k = key.reshape(SUB, t, SUBBLOCKS, w)
+    v = valid.reshape(SUB, t, SUBBLOCKS, w)
+    lo = jnp.min(jnp.where(v, k, n_bins + 1), axis=(0, 3))  # (T, S)
+    hi = jnp.max(jnp.where(v, k, -1), axis=(0, 3))
+    return lo, hi
 
 
 def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None):
@@ -516,25 +534,31 @@ def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None):
     alive = plane(i, mk._I_ALIVE) != 0
     pend = (plane(i, mk._I_PEND) != 0) & alive
     key_live = ray_bin_keys(ox, oy, oz, dx, dy, dz, accel)
-    lo1, hi1 = _masked_minmax(key_live, alive, n_bins)
+    lo_s, hi_s = _masked_minmax_sub(key_live, alive, n_bins)  # (T, S)
 
-    def tile_minmax(p, valid, big):
+    def sub_minmax(p, valid, big):
         cc = p.shape[1]
         t = cc // LANE_B
-        v = valid.reshape(SUB, t, LANE_B)
-        pp = p.reshape(SUB, t, LANE_B)
-        lo = jnp.min(jnp.where(v, pp, big), axis=(0, 2))
-        hi = jnp.max(jnp.where(v, pp, -big), axis=(0, 2))
+        w = LANE_B // SUBBLOCKS
+        v = valid.reshape(SUB, t, SUBBLOCKS, w)
+        pp = p.reshape(SUB, t, SUBBLOCKS, w)
+        lo = jnp.min(jnp.where(v, pp, big), axis=(0, 3))   # (T, S)
+        hi = jnp.max(jnp.where(v, pp, -big), axis=(0, 3))
         return lo, hi
 
     big = jnp.float32(3e38)
-    olo_x, ohi_x = tile_minmax(ox, alive, big)
-    olo_y, ohi_y = tile_minmax(oy, alive, big)
-    olo_z, ohi_z = tile_minmax(oz, alive, big)
+    olo_x, ohi_x = sub_minmax(ox, alive, big)
+    olo_y, ohi_y = sub_minmax(oy, alive, big)
+    olo_z, ohi_z = sub_minmax(oz, alive, big)
     has_pend = jnp.sum(pend.reshape(SUB, -1, LANE_B), axis=(0, 2)) > 0
 
     bins = jnp.arange(n_bins, dtype=jnp.int32)
-    in1 = (bins[None, :] >= lo1[:, None]) & (bins[None, :] <= hi1[:, None])
+    # union of SUBBLOCKS intervals, generator fused into the reduction
+    in1 = jnp.any(
+        (bins[None, None, :] >= lo_s[:, :, None])
+        & (bins[None, None, :] <= hi_s[:, :, None]),
+        axis=1,
+    )  # (T, B)
     reach = (
         jax.lax.dot(
             in1.astype(jnp.bfloat16), accel.masks.astype(jnp.bfloat16),
@@ -545,9 +569,11 @@ def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None):
     n_reach = jnp.sum(reach, axis=1).astype(jnp.int32)
 
     def axis_gap(olo, ohi, klo, khi):
+        # (T, S, C): per-subblock origin box vs chunk AABB
         return jnp.maximum(
             jnp.maximum(
-                klo[None, :] - ohi[:, None], olo[:, None] - khi[None, :]
+                klo[None, None, :] - ohi[:, :, None],
+                olo[:, :, None] - khi[None, None, :],
             ),
             0.0,
         )
@@ -555,22 +581,29 @@ def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None):
     gx = axis_gap(olo_x, ohi_x, accel.k_lo[:, 0], accel.k_hi[:, 0])
     gy = axis_gap(olo_y, ohi_y, accel.k_lo[:, 1], accel.k_hi[:, 1])
     gz = axis_gap(olo_z, ohi_z, accel.k_lo[:, 2], accel.k_hi[:, 2])
-    dist = jnp.sqrt(gx * gx + gy * gy + gz * gz)  # lower bound, (T, C)
+    # a lane lives in SOME subblock, whose box is inside the tile box, so
+    # min over subblocks is a valid lower bound for every lane and tighter
+    # than the tile-wide AABB gap
+    dist = jnp.min(
+        jnp.sqrt(gx * gx + gy * gy + gz * gz), axis=1
+    )  # (T, C)
 
-    # geometric buckets: 0 covers [0, d0), b >= 1 covers
-    # [d0*2^((b-1)/2), d0*2^(b/2)); lower edges are the finality bounds
-    d0 = float(np.mean(1.0 / np.asarray(accel.inv_cell))) * 0.25
+    # geometric buckets (quarter-octave): 0 covers [0, d0), b >= 1 covers
+    # [d0*2^((b-1)/4), d0*2^(b/4)); lower edges are the finality bounds
+    # (a ~19% down-rounding of the exact sorted distance, vs the 41% of
+    # half-octave buckets that left most lanes un-finalized)
+    d0 = float(np.mean(1.0 / np.asarray(accel.inv_cell))) * 0.125
     nb_ = N_BUCKET
     bucket = jnp.where(
         dist < d0,
         0,
         jnp.clip(
-            1 + jnp.floor(2.0 * jnp.log2(jnp.maximum(dist, d0) / d0)),
+            1 + jnp.floor(4.0 * jnp.log2(jnp.maximum(dist, d0) / d0)),
             0, nb_ - 1,
         ).astype(jnp.int32),
     )
     edges = jnp.asarray(
-        [0.0] + [d0 * 2.0 ** ((b - 1) / 2.0) for b in range(1, nb_)],
+        [0.0] + [d0 * 2.0 ** ((b - 1) / 4.0) for b in range(1, nb_)],
         jnp.float32,
     )
 
