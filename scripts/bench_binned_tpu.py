@@ -428,8 +428,8 @@ def cmd_sweep(args):
 
     variants = [
         (se, kn)
-        for se in (0, 2, 4, 8)
-        for kn in (32, 64, 128)
+        for se in (0, 4, 8, 16)
+        for kn in (64, 128)
     ]
     r = make_renderer(args, sort_every=2)
     drive(r, args.spp, args.bounces)  # compile+warm

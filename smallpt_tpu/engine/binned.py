@@ -258,6 +258,8 @@ class BinnedStreamingRenderer:
                 n_glob_chunks=accel.n_glob_chunks,
                 n_chunks=accel.n_chunks,
                 inflight=inflight,
+                geo_lo=accel.geo_lo,
+                geo_hi=accel.geo_hi,
             )
 
         @jax.jit
@@ -284,6 +286,8 @@ class BinnedStreamingRenderer:
                 n_glob_chunks=accel.n_glob_chunks,
                 n_chunks=accel.n_chunks,
                 inflight=self.inflight,
+                geo_lo=accel.geo_lo,
+                geo_hi=accel.geo_hi,
             )
 
         @jax.jit

@@ -90,6 +90,9 @@ class GridAccel:
     k_lo: jnp.ndarray         # (C, 3) f32 — local chunk AABB mins
     k_hi: jnp.ndarray         # (C, 3) f32 — local chunk AABB maxs
     l_max: int                # per-tile chunk-list capacity
+    geo_lo: tuple = (-3e38, -3e38, -3e38)  # local-geometry AABB (plain
+    geo_hi: tuple = (3e38, 3e38, 3e38)     # floats: baked STATIC into the
+                              # bounce kernel's frontier-escape test)
 
     @property
     def n_bins(self) -> int:
@@ -262,6 +265,8 @@ def build_grid_accel(
         nb=nb,
         masks=jnp.asarray(masks),
         l_max=int(l_max),
+        geo_lo=tuple(float(v) for v in k_lo.min(axis=0)),
+        geo_hi=tuple(float(v) for v in k_hi.max(axis=0)),
     )
 
 
@@ -297,6 +302,14 @@ def ray_bin_keys(ox, oy, oz, dx, dy, dz, accel: GridAccel):
     return cl * N_DIR + _dir_bin(dx, dy, dz)
 
 
+def _bucket_d0(accel: GridAccel) -> float:
+    """Bucket-0 radius (an eighth of the mean grid cell): the near-zero-gap
+    band every launch sweeps ENTIRELY, making dcut >= d0 > 0 — the
+    frontier march's progress floor and the escape-finalize winner
+    guarantee (a gap-0 carried winner is always in the swept prefix)."""
+    return float(np.mean(1.0 / np.asarray(accel.inv_cell))) * 0.125
+
+
 def _masked_minmax(key, valid, n_bins):
     """Per-tile (lo, hi) over valid lanes; empty tiles give lo > hi.
 
@@ -311,27 +324,29 @@ def _masked_minmax(key, valid, n_bins):
 
 
 def tile_work_lists(f, i, config, accel: GridAccel, k_near: int | None = None):
-    """Distance-ordered per-tile work lists for the CURRENT state.
+    """Distance-ordered per-tile FRONTIER work lists for the CURRENT state
+    (the lax.sort variant — exact sorted distances, must stay OUTSIDE the
+    fused bounce program; see tile_work_lists_bucketed for the fused one).
 
-    For each tile: union the reach masks over the tile's live-ray bin-key
-    range, order the reachable chunks by conservative distance (tile
-    origin-AABB to chunk AABB), and emit
+    For each tile: union the reach masks over the tile's frontier-point
+    bin-key range (frontier = o + ts*d — where each lane's march has
+    resolved to, the origin for fresh lanes), order the reachable chunks
+    by conservative distance (tile frontier-AABB to chunk AABB), and emit
       lists (T, l_max) int32  — chunk ids near -> far,
       stops (T,) int32        — entries to sweep this launch
-                                (-1 => sweep ALL local chunks: capacity
-                                exceeded on a tile that must fully resolve),
+                                (-1 => sweep ALL local chunks: > l_max
+                                entries at gap < d0),
       dcut (T,) f32           — the finality bound: sorted distance of the
-                                first UNSWEPT entry (+BIG when everything
+                                first UNSWEPT entry (+inf when everything
                                 reachable is swept).
-    Tiles with no pending lanes sweep only the first k_near entries — the
-    scene's short mean free path finalizes most lanes there; tiles holding
-    pending lanes sweep their whole list so every carried candidate
-    resolves this launch (and the select pass can find any carried winner:
-    a lane's reachable set is contained in its tile's list).
+    Every tile sweeps max(k_near, |gap < d0 entries|) — covering every
+    near-zero-gap entry keeps dcut >= d0 > 0, so pending lanes always
+    march forward (ts += dcut) and any carried winner stays inside the
+    swept prefix (its gap is < dcut when the lane finalizes).
 
     Correct for any sort staleness: ranges only widen; distances are lower
-    bounds (tile AABB -> chunk AABB <= per-lane distance), so "bt < dcut"
-    can only under-claim finality, never over-claim."""
+    bounds (tile AABB -> chunk AABB <= per-lane distance), so
+    "bt < ts + dcut" can only under-claim finality, never over-claim."""
     from smallpt_tpu.ops import megakernel as mk
 
     if k_near is None:
@@ -345,12 +360,15 @@ def tile_work_lists(f, i, config, accel: GridAccel, k_near: int | None = None):
 
     ox, oy, oz = plane(f, mk._F_OX), plane(f, mk._F_OY), plane(f, mk._F_OZ)
     dx, dy, dz = plane(f, mk._F_DX), plane(f, mk._F_DY), plane(f, mk._F_DZ)
+    ts = plane(f, mk._F_TS)
+    ox = ox + ts * dx
+    oy = oy + ts * dy
+    oz = oz + ts * dz
     alive = plane(i, mk._I_ALIVE) != 0
-    pend = (plane(i, mk._I_PEND) != 0) & alive
     key_live = ray_bin_keys(ox, oy, oz, dx, dy, dz, accel)
     lo1, hi1 = _masked_minmax(key_live, alive, n_bins)
 
-    # per-tile origin AABB over alive lanes
+    # per-tile frontier AABB over alive lanes
     def tile_minmax(p, valid, big):
         cc = p.shape[1]
         t = cc // LANE_B
@@ -364,9 +382,6 @@ def tile_work_lists(f, i, config, accel: GridAccel, k_near: int | None = None):
     olo_x, ohi_x = tile_minmax(ox, alive, big)
     olo_y, ohi_y = tile_minmax(oy, alive, big)
     olo_z, ohi_z = tile_minmax(oz, alive, big)
-    has_pend = (
-        jnp.sum(pend.reshape(SUB, -1, LANE_B), axis=(0, 2)) > 0
-    )
 
     bins = jnp.arange(n_bins, dtype=jnp.int32)
     in1 = (bins[None, :] >= lo1[:, None]) & (bins[None, :] <= hi1[:, None])
@@ -396,14 +411,17 @@ def tile_work_lists(f, i, config, accel: GridAccel, k_near: int | None = None):
     l_max = accel.l_max
     lists = order[:, :l_max]
 
-    full_needed = has_pend
+    # progress guarantee (mirrors tile_work_lists_bucketed): sweep every
+    # gap < d0 entry so dcut >= d0 > 0 and pending lanes march forward
+    d0 = _bucket_d0(accel)
+    n_b0 = jnp.sum((dist < d0) & reach, axis=1).astype(jnp.int32)
     stop_full = jnp.minimum(n_reach, l_max)
     stops = jnp.where(
-        full_needed,
-        jnp.where(n_reach > l_max, -1, stop_full),
-        jnp.minimum(k_near, stop_full),
+        n_b0 > l_max,
+        -1,
+        jnp.minimum(jnp.maximum(k_near, n_b0), stop_full),
     )
-    # dcut = sorted distance at the stop position (+BIG past the end or in
+    # dcut = sorted distance at the stop position (+inf past the end or in
     # all-chunk sweeps — everything reachable gets swept, so lanes finalize)
     idx = jnp.clip(stops, 0, c_ - 1)
     dcut = jnp.take_along_axis(ds, idx[:, None], axis=1)[:, 0]
@@ -446,6 +464,10 @@ def tile_work_lists_nosort(f, i, config, accel: GridAccel):
 
     ox, oy, oz = plane(f, mk._F_OX), plane(f, mk._F_OY), plane(f, mk._F_OZ)
     dx, dy, dz = plane(f, mk._F_DX), plane(f, mk._F_DY), plane(f, mk._F_DZ)
+    ts = plane(f, mk._F_TS)
+    ox = ox + ts * dx
+    oy = oy + ts * dy
+    oz = oz + ts * dz
     alive = plane(i, mk._I_ALIVE) != 0
     key_live = ray_bin_keys(ox, oy, oz, dx, dy, dz, accel)
     lo1, hi1 = _masked_minmax(key_live, alive, n_bins)
@@ -505,19 +527,24 @@ def _masked_minmax_sub(key, valid, n_bins):
 
 
 def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None):
-    """Distance-BUCKETED work lists, free of lax.sort/argsort/scatter —
-    the fused-program replacement for tile_work_lists.
+    """Distance-BUCKETED FRONTIER work lists, free of lax.sort/argsort/
+    scatter — the fused-program companion of the frontier-marching kernel.
 
-    Chunks are ranked by (geometric distance bucket, chunk id) using
-    one-hot cumsum arithmetic only, restoring the near-first prefix +
-    pending mechanism inside the fused bounce program: non-pending tiles
-    sweep min(k_near, n_reach) entries with a CONSERVATIVE finality bound
-    dcut = lower edge of the bucket at the cut (every unswept entry's
-    true distance is >= its bucket's lower edge, and later ranks have
-    >= buckets), while tiles holding pending lanes sweep their full list
-    (dcut=+inf). Same correctness contract as tile_work_lists: bucket
-    order only affects WHICH launch finalizes a lane, never the winner
-    (idempotent min-fold + carried candidates)."""
+    Every lane is binned by its resolved-frontier point o + ts*d (fresh
+    lanes: ts == 0, the origin; pending lanes: wherever their march got
+    to), so the per-tile boxes track where rays ARE, not where they
+    started. Chunks are ranked by (geometric distance bucket, chunk id)
+    using one-hot cumsum arithmetic only; every tile sweeps a near prefix
+    of max(k_near, |bucket 0|) entries — covering ALL gap < d0 entries
+    guarantees dcut >= d0 > 0, so pending lanes always march forward —
+    with the finality bound dcut = lower bucket edge of the first unswept
+    entry (every unswept entry's frontier gap is >= that edge, hence any
+    unswept hit has t >= ts + dcut per lane). No tile ever needs a
+    full-reach sweep (the round-3 predecessor's has-pending tiles paid
+    196 ms vs 18 ms, measured); the only fallback is bucket-0 overflow
+    (> l_max gap-zero entries), which degrades to the all-chunks sweep.
+    Bucket order only affects WHICH launch finalizes a lane, never the
+    winner (idempotent min-fold + carried candidates)."""
     from smallpt_tpu.ops import megakernel as mk
 
     if k_near is None:
@@ -531,8 +558,11 @@ def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None):
 
     ox, oy, oz = plane(f, mk._F_OX), plane(f, mk._F_OY), plane(f, mk._F_OZ)
     dx, dy, dz = plane(f, mk._F_DX), plane(f, mk._F_DY), plane(f, mk._F_DZ)
+    ts = plane(f, mk._F_TS)
+    ox = ox + ts * dx
+    oy = oy + ts * dy
+    oz = oz + ts * dz
     alive = plane(i, mk._I_ALIVE) != 0
-    pend = (plane(i, mk._I_PEND) != 0) & alive
     key_live = ray_bin_keys(ox, oy, oz, dx, dy, dz, accel)
     lo_s, hi_s = _masked_minmax_sub(key_live, alive, n_bins)  # (T, S)
 
@@ -550,7 +580,6 @@ def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None):
     olo_x, ohi_x = sub_minmax(ox, alive, big)
     olo_y, ohi_y = sub_minmax(oy, alive, big)
     olo_z, ohi_z = sub_minmax(oz, alive, big)
-    has_pend = jnp.sum(pend.reshape(SUB, -1, LANE_B), axis=(0, 2)) > 0
 
     bins = jnp.arange(n_bins, dtype=jnp.int32)
     # union of SUBBLOCKS intervals, generator fused into the reduction
@@ -592,7 +621,7 @@ def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None):
     # [d0*2^((b-1)/4), d0*2^(b/4)); lower edges are the finality bounds
     # (a ~19% down-rounding of the exact sorted distance, vs the 41% of
     # half-octave buckets that left most lanes un-finalized)
-    d0 = float(np.mean(1.0 / np.asarray(accel.inv_cell))) * 0.125
+    d0 = _bucket_d0(accel)
     nb_ = N_BUCKET
     bucket = jnp.where(
         dist < d0,
@@ -629,11 +658,15 @@ def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None):
         jnp.where(oh_pos, cid[None, :, None], 0), axis=1, dtype=jnp.int32
     )
 
+    # progress guarantee: sweep at least every bucket-0 (gap < d0) entry,
+    # so dcut >= d0 > 0 and pending lanes always march; if bucket 0 alone
+    # overflows the list, fall back to the all-chunks sweep (stops = -1)
+    n_b0 = counts[:, 0]
     stop_full = jnp.minimum(n_reach, l_max)
     stops = jnp.where(
-        has_pend,
-        jnp.where(n_reach > l_max, -1, stop_full),
-        jnp.minimum(k_near, stop_full),
+        n_b0 > l_max,
+        -1,
+        jnp.minimum(jnp.maximum(k_near, n_b0), stop_full),
     )
     # bucket of the entry AT the stop position (first unswept) -> its
     # lower edge bounds every unswept entry's distance
@@ -711,9 +744,15 @@ def state_bin_keys(f, i, accel: GridAccel):
     def plane(buf, idx):
         return jax.lax.dynamic_slice_in_dim(buf, 8 * idx, 8, axis=0)
 
+    ts = plane(f, mk._F_TS)
+    dx_, dy_, dz_ = (
+        plane(f, mk._F_DX), plane(f, mk._F_DY), plane(f, mk._F_DZ),
+    )
     key = ray_bin_keys(
-        plane(f, mk._F_OX), plane(f, mk._F_OY), plane(f, mk._F_OZ),
-        plane(f, mk._F_DX), plane(f, mk._F_DY), plane(f, mk._F_DZ), accel,
+        plane(f, mk._F_OX) + ts * dx_,
+        plane(f, mk._F_OY) + ts * dy_,
+        plane(f, mk._F_OZ) + ts * dz_,
+        dx_, dy_, dz_, accel,
     )
     alive = plane(i, mk._I_ALIVE) != 0
     pend = (plane(i, mk._I_PEND) != 0) & alive

@@ -1132,7 +1132,15 @@ _NI_B = _NI + 2
 # extra float planes: the carried closest-hit candidate of a pending lane
 _F_BT = _NF            # best candidate t so far (_BIG when none)
 _F_BID = _NF + 1       # winning table row id (float), -1 when none
-_NF_B = _NF + 2
+_F_TS = _NF + 2        # resolved-frontier distance: every potential hit
+                       # with t < ts has already been folded into (bt, bi).
+                       # Pending lanes MARCH: ts += dcut each launch, and
+                       # the list builders bin the lane by its frontier
+                       # point o + ts*d — so a long free flight crosses the
+                       # scene in O(span/prefix-radius) cheap prefix
+                       # launches instead of forcing its whole tile to a
+                       # full-reach sweep (196 ms vs 18 ms, measured r3)
+_NF_B = _NF + 3
 # chunks swept in a NEAR pass (per tile, distance-ordered prefix); tiles
 # holding pending lanes sweep their full list instead
 K_NEAR = int(os.environ.get("SMALLPT_TPU_BINNED_KNEAR", "64"))
@@ -1155,8 +1163,9 @@ def _binned_kernel(
     lst_ref,     # (T, l_max) int32 scalar-prefetch: chunk ids ordered
                  # near -> far from the tile's origin AABB
     dct_ref,     # (T,) f32 scalar-prefetch: finality bound — a lane whose
-                 # best hit t is closer than this cannot be beaten by any
-                 # unswept chunk (distance-ordered prefix invariant)
+                 # best hit t is closer than frontier + dcut cannot be
+                 # beaten by any unswept chunk (all chunks within dcut of
+                 # the tile's frontier boxes are in the swept prefix)
     kw_ref,      # (1, 2) uint32 SMEM key words
     ipv_ref,     # (1, 4) int32 SMEM: [ip_offset, 0, 0, 0]
     tbl_ref,     # (S_pad, 16) f32 VMEM: global chunks then local chunks
@@ -1166,8 +1175,10 @@ def _binned_kernel(
     n_glob_chunks: int,
     n_chunks: int,
     inflight: int = 1,
+    geo_lo: tuple = (-3e38, -3e38, -3e38),
+    geo_hi: tuple = (3e38, 3e38, 3e38),
 ):
-    """One DISTANCE-ORDERED culled bounce step.
+    """One FRONTIER-MARCHING culled bounce step.
 
     The BVH-replacement insight for lock-step hardware: per-ray early-out
     is impossible (8x128 lanes retire together), but a TILE can sweep its
@@ -1175,10 +1186,22 @@ def _binned_kernel(
     closest hit is nearer than the distance bound of everything unswept.
     With the 10k-sphere scene's short mean free path most lanes finalize
     within a small prefix (K_NEAR chunks); the rest carry their partial
-    (bt, bi) as pending lanes, get grouped by the next bin sort, and
-    resolve in full-list tiles one launch later. Pending lanes re-sweep
-    idempotently (min-fold), so correctness never depends on which tile a
-    lane lands in."""
+    (bt, bi) AND MARCH their resolved frontier ts += dcut — the list
+    builders bin a pending lane by its frontier point o + ts*d, so the
+    next launch sweeps the chunks just beyond the frontier instead of the
+    whole reach list (the round-3 predecessor forced any tile holding one
+    pending lane to a full-reach sweep: 196 ms vs 18 ms measured).
+    Finality is per-lane, bt < ts + dcut: every unswept chunk is at least
+    dcut from the lane's frontier point, so any unswept hit has
+    t >= ts + dcut. Lanes whose frontier left the local-geometry AABB
+    moving outward finalize unconditionally (no local hit can remain;
+    globals are folded every launch) — open-scene miss lanes terminate in
+    O(span/dcut) marches instead of pending forever. Pending lanes
+    re-sweep idempotently (min-fold), so correctness never depends on
+    which tile a lane lands in, and a finalizing lane's carried winner is
+    always inside the swept prefix: its chunk is within bt - ts < dcut of
+    the frontier (escape-finalized local winners satisfy gap == 0 and the
+    builders always sweep every gap < d0 entry)."""
     t = pl.program_id(0)
     shp = (_SUB, _LANE_B)
 
@@ -1191,6 +1214,7 @@ def _binned_kernel(
     rx = fplane(_F_RX); ry = fplane(_F_RY); rz = fplane(_F_RZ)
     m1 = fplane(_F_M1); m2 = fplane(_F_M2)
     bt0 = fplane(_F_BT); bi0 = fplane(_F_BID)
+    ts = fplane(_F_TS)
     depth = iplane(_I_DEPTH)
     s_idx = iplane(_I_SIDX)
     alive = iplane(_I_ALIVE) != 0
@@ -1256,7 +1280,30 @@ def _binned_kernel(
     )
 
     d_cut = dct_ref[t]
-    final = jnp.logical_and(alive, bt < d_cut)
+    # frontier escape: all LOCAL spheres live inside the static AABB
+    # [geo_lo, geo_hi] (chunk-extent union, baked at trace time). Once the
+    # resolved frontier ts passes the ray's box-exit distance — or the ray
+    # never meets the box at all — no unfolded local hit can exist, and the
+    # per-launch global fold makes bt the true minimum. Degenerate-equality
+    # local winners have frontier gap 0 (their chunk contains the frontier
+    # point) and the list builders always sweep every gap < d0 entry, so
+    # the winner-select below still finds them.
+    def _slab(o_, d_, lo_, hi_):
+        inv = 1.0 / jnp.where(jnp.abs(d_) < 1e-20, jnp.float32(1e-20), d_)
+        t1 = (lo_ - o_) * inv
+        t2 = (hi_ - o_) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    e1, x1 = _slab(ox, dx, jnp.float32(geo_lo[0]), jnp.float32(geo_hi[0]))
+    e2, x2 = _slab(oy, dy, jnp.float32(geo_lo[1]), jnp.float32(geo_hi[1]))
+    e3, x3 = _slab(oz, dz, jnp.float32(geo_lo[2]), jnp.float32(geo_hi[2]))
+    t_enter = jnp.maximum(e1, jnp.maximum(e2, e3))
+    t_exit = jnp.minimum(x1, jnp.minimum(x2, x3))
+    escaped = jnp.logical_or(ts >= t_exit, t_enter > t_exit)
+
+    final = jnp.logical_and(
+        alive, jnp.logical_or(bt < ts + d_cut, escaped)
+    )
     pend_out = jnp.logical_and(alive, jnp.logical_not(final))
     nrays = nrays + final.astype(jnp.int32)
 
@@ -1435,9 +1482,12 @@ def _binned_kernel(
     wf_(_F_WX, wx); wf_(_F_WY, wy); wf_(_F_WZ, wz)
     wf_(_F_RX, rx); wf_(_F_RY, ry); wf_(_F_RZ, rz)
     wf_(_F_M1, m1); wf_(_F_M2, m2)
-    # pending lanes carry their partial candidate; everyone else resets
+    # pending lanes carry their partial candidate and MARCH the frontier
+    # (not final => bt >= ts + d_cut, so ts never passes bt); everyone
+    # else resets for their next ray
     wf_(_F_BT, jnp.where(pend_out, bt, _BIG))
     wf_(_F_BID, jnp.where(pend_out, bi, -1.0))
+    wf_(_F_TS, jnp.where(pend_out, ts + d_cut, 0.0))
     wi_(_I_DEPTH, depth)
     wi_(_I_SIDX, s_idx)
     wi_(_I_ALIVE, alive.astype(jnp.int32))
@@ -1604,6 +1654,7 @@ def regen_binned(f, i, cam_vec, config: RenderConfig, key: jax.Array,
     f = setf(f, _F_WZ, one)
     f = setf(f, _F_BT, jnp.full_like(one, _BIG))
     f = setf(f, _F_BID, jnp.full_like(one, -1.0))
+    f = setf(f, _F_TS, jnp.zeros_like(one))
     f = jax.lax.dynamic_update_slice_in_dim(f, m1, 8 * _F_M1, axis=0)
     f = jax.lax.dynamic_update_slice_in_dim(f, m2, 8 * _F_M2, axis=0)
 
@@ -1642,6 +1693,7 @@ def init_binned_state(config: RenderConfig, inflight: int = 1):
             jnp.zeros((_SUB * _NF, n_cols), jnp.float32),
             jnp.full((_SUB, n_cols), _BIG, jnp.float32),   # bt carry
             jnp.full((_SUB, n_cols), -1.0, jnp.float32),   # bi carry
+            jnp.zeros((_SUB, n_cols), jnp.float32),        # ts frontier
         ],
         axis=0,
     )
@@ -1740,6 +1792,7 @@ def binned_variance(f, i, config: RenderConfig, inflight: int = 1):
     jax.jit,
     static_argnames=(
         "config", "n_glob_chunks", "n_chunks", "interpret", "inflight",
+        "geo_lo", "geo_hi",
     ),
 )
 def stream_step_binned(
@@ -1756,8 +1809,15 @@ def stream_step_binned(
     n_chunks: int = 0,
     interpret: bool | None = None,
     inflight: int = 1,
+    geo_lo: tuple = (-3e38, -3e38, -3e38),
+    geo_hi: tuple = (3e38, 3e38, 3e38),
 ):
-    """ONE culled bounce over the whole binned stream state."""
+    """ONE culled bounce over the whole binned stream state.
+
+    geo_lo/geo_hi: the LOCAL-geometry AABB (accel.geo_lo/geo_hi), baked
+    static so frontier-escaped lanes finalize; the permissive default
+    disables escape (safe: only dcut finality fires, as the pre-marching
+    kernel did)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     g, n_tiles, n_cols = _binned_geometry(config, inflight)
@@ -1776,6 +1836,8 @@ def stream_step_binned(
         n_glob_chunks=n_glob_chunks,
         n_chunks=n_chunks,
         inflight=inflight,
+        geo_lo=geo_lo,
+        geo_hi=geo_hi,
     )
     s_pad = table.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
