@@ -195,11 +195,22 @@ def bench_diff(width=512, height=512, max_depth=16, warmup_s=3.0, rounds=5,
     target = render_mean(scene, camera, config, prng.base_key(99))
     np.asarray(target)
 
-    # forward ray count at this config (same sample streams => same paths)
-    _, rays_fwd = render_with_stats(
-        scene, camera, config.replace(scheduler=
-                                      config.scheduler), prng.base_key(0)
+    # forward ray count of the DIFF path itself (render_samples with
+    # differentiable=True is exactly what render_mean traces; counting any
+    # other scheduler's rays would divide this step's wall time by another
+    # path's ray count)
+    from smallpt_tpu.core import camera as cam_mod
+    from smallpt_tpu.engine.renderer import render_samples
+
+    sample_ids, _pix, col, row, cx, cy = cam_mod.sample_indices(
+        config, config.n_pixels
     )
+    _, rays_fwd = jax.jit(
+        lambda k: render_samples(
+            scene, camera, config, k, sample_ids, col, row, cx, cy,
+            differentiable=True, return_stats=True,
+        )
+    )(prng.base_key(0))
     rays_fwd = int(rays_fwd)
 
     def one_step(seed):

@@ -84,6 +84,36 @@ class _Stream:
     ip_offset: int = 0
 
 
+def build_accel_for_camera(scene, camera, config) -> acc.GridAccel:
+    """Grid accel whose bounds cover the scene AND the camera's primary-ray
+    origins (pushed-forward image-plane corners, plus the aperture disc
+    extent under thin-lens DoF) so camera rays bin into FINITE cells — an
+    origin clamped into an infinite-extent border cell reaches every
+    chunk."""
+    cv = np.asarray(build_camera_vec(camera, config)).reshape(16)
+    a_v, b_v, c_v, o_v, push = (
+        cv[0:3], cv[3:6], cv[6:9], cv[9:12], cv[12]
+    )
+    from smallpt_tpu.config import CameraModel
+
+    sc = 2.0 if config.camera_model == CameraModel.MATRIX else 1.0
+    pts = [o_v]
+    for sx in (-0.5 * sc, 0.5 * sc):
+        for sy in (-0.5 * sc, 0.5 * sc):
+            d = sx * a_v + sy * b_v + c_v
+            pts.append(o_v + push * d)
+    if config.aperture > 0:
+        ap = float(config.aperture)
+        ra = a_v / max(np.linalg.norm(a_v), 1e-12)
+        rb = b_v / max(np.linalg.norm(b_v), 1e-12)
+        pts = [
+            p + s * ap * e
+            for p in pts
+            for s, e in ((0, ra), (-1, ra), (1, ra), (-1, rb), (1, rb))
+        ]
+    return acc.build_grid_accel(scene, extra_points=np.asarray(pts))
+
+
 def _default_streams() -> int:
     # measured round 3: the tunnel client blocks in-thread at each
     # dependent dispatch, so host-side stream interleaving cannot overlap
@@ -132,34 +162,7 @@ class BinnedStreamingRenderer:
         self.camera = camera
         self.config = config
         if accel is None:
-            # include the primary-ray origins in the grid bounds so camera
-            # rays bin into FINITE cells (an origin clamped into an
-            # infinite-extent border cell reaches every chunk)
-            cv = np.asarray(build_camera_vec(camera, config)).reshape(16)
-            a_v, b_v, c_v, o_v, push = (
-                cv[0:3], cv[3:6], cv[6:9], cv[9:12], cv[12]
-            )
-            from smallpt_tpu.config import CameraModel
-
-            sc = 2.0 if config.camera_model == CameraModel.MATRIX else 1.0
-            pts = [o_v]
-            for sx in (-0.5 * sc, 0.5 * sc):
-                for sy in (-0.5 * sc, 0.5 * sc):
-                    d = sx * a_v + sy * b_v + c_v
-                    pts.append(o_v + push * d)
-            if config.aperture > 0:
-                # thin-lens origins sit on an aperture disc around each
-                # base origin (regen_binned's lens block); cover its
-                # extent so lens-jittered camera rays bin into finite cells
-                ap = float(config.aperture)
-                ra = a_v / max(np.linalg.norm(a_v), 1e-12)
-                rb = b_v / max(np.linalg.norm(b_v), 1e-12)
-                pts = [
-                    p + s * ap * e
-                    for p in pts
-                    for s, e in ((0, ra), (-1, ra), (1, ra), (-1, rb), (1, rb))
-                ]
-            accel = acc.build_grid_accel(scene, extra_points=np.asarray(pts))
+            accel = build_accel_for_camera(scene, camera, config)
         self.accel = accel
         self.sort_every = sort_every
         # near-prefix length per non-pending tile; a device scalar so tuning

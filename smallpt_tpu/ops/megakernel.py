@@ -1674,20 +1674,30 @@ def regen_binned(f, i, cam_vec, config: RenderConfig, key: jax.Array,
     return f, i
 
 
-def _binned_geometry(config: RenderConfig, inflight: int = 1):
-    g = config.n_pixels * inflight
+def _binned_geometry(config: RenderConfig, inflight: int = 1,
+                     n_pix: int | None = None):
+    """State geometry for n_pix pixels (default: the whole image; sharded
+    row bands pass their band size)."""
+    g = (config.n_pixels if n_pix is None else n_pix) * inflight
     n_tiles = -(-g // (_SUB * _LANE_B))
     n_cols = n_tiles * _LANE_B
     return g, n_tiles, n_cols
 
 
-def init_binned_state(config: RenderConfig, inflight: int = 1):
+def init_binned_state(config: RenderConfig, inflight: int = 1,
+                      pixel_lo: int = 0, n_pix: int | None = None):
     """Fresh binned stream state: classic planes + a lane-identity plane
     q = pixel*inflight + sub (canonical order; a bin sort may permute
-    lanes at any time). inflight must be a power of two."""
+    lanes at any time). inflight must be a power of two.
+
+    Sharded row bands (parallel/binned_shard.py) pass pixel_lo/n_pix: lane
+    ids then cover the GLOBAL pixel range [pixel_lo, pixel_lo + n_pix) —
+    regen/kernel keying and raster positions derive everything from the id
+    plane, so a band state renders its band with streams bit-identical to
+    the same pixels in a whole-image state."""
     if inflight & (inflight - 1):
         raise ValueError("inflight must be a power of two")
-    g, n_tiles, n_cols = _binned_geometry(config, inflight)
+    g, n_tiles, n_cols = _binned_geometry(config, inflight, n_pix)
     f0 = jnp.concatenate(
         [
             jnp.zeros((_SUB * _NF, n_cols), jnp.float32),
@@ -1708,7 +1718,8 @@ def init_binned_state(config: RenderConfig, inflight: int = 1):
     lane = (
         jnp.arange(_SUB, dtype=jnp.int32)[:, None]
         + jnp.arange(n_cols, dtype=jnp.int32)[None, :] * _SUB
-    )
+        + jnp.asarray(pixel_lo * inflight, jnp.int32)  # traced-ok (sharded
+    )                                                  # bands pass axis_index)
     i0 = jnp.concatenate(
         [
             jnp.zeros((_SUB, n_cols), jnp.int32),      # depth
@@ -1725,14 +1736,18 @@ def init_binned_state(config: RenderConfig, inflight: int = 1):
     return f0, i0
 
 
-def set_binned_budget(i, budget, config: RenderConfig, inflight: int = 1):
+def set_binned_budget(i, budget, config: RenderConfig, inflight: int = 1,
+                      pixel_hi=None):
     """Raise the per-PIXEL sample budget. budget: scalar (uniform) or a
     (G,) int32 array (adaptive sampling). Lanes may be permuted by the bin
     sort, so budgets are GATHERED through the lane-id plane; with
     oversubscription a pixel's budget b splits across its ``inflight``
     sub-lanes as ceil/floor shares summing exactly to b. Padded lanes —
-    pixel >= n_pixels — stay at 0 regardless of lane placement."""
+    pixel >= pixel_hi (default n_pixels; sharded row bands pass their band
+    end, traced-ok) — stay at 0 regardless of lane placement."""
     g = config.n_pixels
+    if pixel_hi is None:
+        pixel_hi = g
     q = jax.lax.dynamic_slice_in_dim(i, 8 * _I_PIXEL, 8, axis=0)
     old = jax.lax.dynamic_slice_in_dim(i, 8 * _I_BUDGET, 8, axis=0)
     shift = inflight.bit_length() - 1
@@ -1745,16 +1760,20 @@ def set_binned_budget(i, budget, config: RenderConfig, inflight: int = 1):
     if shift:
         sub = q - jax.lax.shift_left(pix, shift)
         new = (new + (inflight - 1) - sub) // inflight
-    plane = jnp.where(pix < g, jnp.maximum(new, old), old)
+    plane = jnp.where(pix < pixel_hi, jnp.maximum(new, old), old)
     return jax.lax.dynamic_update_slice_in_dim(i, plane, 8 * _I_BUDGET, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "inflight"))
-def binned_variance(f, i, config: RenderConfig, inflight: int = 1):
+@functools.partial(
+    jax.jit, static_argnames=("config", "inflight", "n_pix")
+)
+def binned_variance(f, i, config: RenderConfig, inflight: int = 1,
+                    n_pix: int | None = None):
     """Per-pixel (mean, variance, n) for the binned stream — the
     stream_variance analog with lanes keyed back to lane-id order (same
-    single-sort trick as binned_image; sub-lane moments add)."""
-    g = config.n_pixels
+    single-sort trick as binned_image; sub-lane moments add). n_pix: row
+    bands return (rows, W) planes (sharded path)."""
+    g = config.n_pixels if n_pix is None else n_pix
 
     def fplane(idx):
         return jax.lax.dynamic_slice_in_dim(f, 8 * idx, 8, axis=0).reshape(-1)
@@ -1784,7 +1803,7 @@ def binned_variance(f, i, config: RenderConfig, inflight: int = 1):
     n_safe = jnp.maximum(nt, 1.0)
     mean = m1t / n_safe
     var = jnp.maximum(m2t / n_safe - mean * mean, 0.0)
-    shape = (config.height, config.width)
+    shape = (g // config.width, config.width)
     return mean.reshape(shape), var.reshape(shape), nt.reshape(shape)
 
 
@@ -1820,7 +1839,10 @@ def stream_step_binned(
     kernel did)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    g, n_tiles, n_cols = _binned_geometry(config, inflight)
+    # geometry from the state itself (a sharded row band's state is smaller
+    # than the whole-image _binned_geometry; the kernel is band-agnostic)
+    n_cols = f.shape[1]
+    n_tiles = n_cols // _LANE_B
 
     kw = jax.random.key_data(key).astype(jnp.uint32).reshape(1, -1)[:, :2]
     ipv = jnp.stack([
@@ -1889,14 +1911,20 @@ def stream_step_binned(
     return f, i, rays
 
 
-@functools.partial(jax.jit, static_argnames=("config", "inflight"))
-def binned_image(f, i, config: RenderConfig, inflight: int = 1):
+@functools.partial(
+    jax.jit, static_argnames=("config", "inflight", "n_pix")
+)
+def binned_image(f, i, config: RenderConfig, inflight: int = 1,
+                 n_pix: int | None = None):
     """(radiance (H, W, 3), completed-sample weights (H, W)) regardless of
     current lane placement: lanes are keyed back to lane-id order with one
-    small sort (lane ids are a permutation of 0..G_pad-1, so the sort IS
-    the inverse placement); a pixel's ``inflight`` sub-lanes land
-    contiguously and are summed (disjoint sample ranges => exact union)."""
-    g = config.n_pixels
+    small sort (lane ids are a permutation of the state's contiguous id
+    range, so the sort IS the inverse placement); a pixel's ``inflight``
+    sub-lanes land contiguously and are summed (disjoint sample ranges =>
+    exact union). n_pix: a sharded row band returns its (rows, W) block
+    (padded lanes carry the largest ids, so the sorted prefix is exactly
+    the band)."""
+    g = config.n_pixels if n_pix is None else n_pix
     pixel = jax.lax.dynamic_slice_in_dim(
         i, 8 * _I_PIXEL, 8, axis=0
     ).reshape(-1)
@@ -1920,7 +1948,8 @@ def binned_image(f, i, config: RenderConfig, inflight: int = 1):
         return v[:n].reshape(g, inflight).sum(axis=1)
 
     rad = jnp.stack([fold(rxs), fold(rys), fold(rzs)], axis=-1)
+    rows = g // config.width
     return (
-        rad.reshape(config.height, config.width, 3),
-        fold(dns).reshape(config.height, config.width),
+        rad.reshape(rows, config.width, 3),
+        fold(dns).reshape(rows, config.width),
     )
