@@ -42,9 +42,16 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=96)
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--max-depth", type=int, default=12)
-    ap.add_argument("--mode", choices=("perpass", "streaming"),
+    ap.add_argument("--mode", choices=("perpass", "streaming", "binned"),
                     default="perpass")
+    ap.add_argument("--scene", choices=("cornell", "procedural"),
+                    default="cornell",
+                    help="procedural implies the binned (grid-culled) "
+                         "sharded scheduler — the config-5 big-scene path")
+    ap.add_argument("--n-spheres", type=int, default=2000)
     args = ap.parse_args()
+    if args.scene == "procedural":
+        args.mode = "binned"
 
     if args.cpu_devices:
         os.environ["XLA_FLAGS"] = (
@@ -65,8 +72,14 @@ def main() -> None:
     from smallpt_tpu.core.scene import cornell_box_scene
     from smallpt_tpu.parallel import shard
     from smallpt_tpu.parallel.stream_shard import ShardedStreamingRenderer
+    from smallpt_tpu.parallel.binned_shard import ShardedBinnedRenderer
 
-    scene = cornell_box_scene()
+    if args.scene == "procedural":
+        from smallpt_tpu.core.scene import procedural_sphere_scene
+
+        scene = procedural_sphere_scene(args.n_spheres)
+    else:
+        scene = cornell_box_scene()
     camera = smallpt_camera()
     n_dev = len(jax.devices())
     counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
@@ -88,6 +101,12 @@ def main() -> None:
             run = lambda: np.asarray(
                 shard.render_sharded(scene, camera, config, key, mesh)
             )
+        elif args.mode == "binned":
+            def run():
+                r = ShardedBinnedRenderer(scene, camera, config, mesh)
+                r.step(add_samples=args.spp, n_bounces=args.max_depth)
+                r.flush()
+                return r.image
         else:
             def run():
                 r = ShardedStreamingRenderer(scene, camera, config, mesh)
@@ -121,9 +140,21 @@ def main() -> None:
         if args.height % d:
             continue
         mesh = shard.make_mesh(n_tile=d, devices=jax.devices()[:d])
-        imgs[d] = np.asarray(
-            shard.render_sharded(scene, camera, config, key, mesh)
-        )
+        if args.mode == "binned":
+            # tile-axis invariance of the sharded binned scheduler (the
+            # sample axis is fixed at 1: its re-sharding carve-out must
+            # not excuse tile-placement sensitivity)
+            r = ShardedBinnedRenderer(scene, camera, config, mesh)
+            r.step(add_samples=args.spp, n_bounces=args.max_depth)
+            r.flush()
+            rad, w = r.accumulators()
+            imgs[d] = np.concatenate(
+                [np.asarray(rad), np.asarray(w)[..., None]], axis=-1
+            )
+        else:
+            imgs[d] = np.asarray(
+                shard.render_sharded(scene, camera, config, key, mesh)
+            )
     base = imgs[min(imgs)]
     all_equal = all(np.array_equal(base, im) for im in imgs.values())
     print(json.dumps({
