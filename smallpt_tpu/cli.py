@@ -183,11 +183,13 @@ def main(argv=None) -> int:
         build_parser().error("--streaming and --interactive are exclusive "
                              "(the interactive protocol drives the "
                              "progressive accumulator)")
-    if args.binned:
+    if args.binned and not args.interactive:
         from smallpt_tpu.engine.binned import BinnedStreamingRenderer
         from smallpt_tpu.utils.metrics import log_json
 
         br = BinnedStreamingRenderer(scene, camera, config, seed=args.seed)
+        if args.resume:
+            br.load_checkpoint(args.resume)
         t0 = time.time()
         br.step(add_samples=config.spp * n_passes,
                 n_bounces=2 * config.max_depth)
@@ -202,6 +204,8 @@ def main(argv=None) -> int:
             img_io.write_png(args.out, img)
         else:
             img_io.write_ppm(args.out, img)
+        if args.checkpoint:
+            br.save_checkpoint(args.checkpoint)
         if not args.quiet:
             print(f"Wrote {args.out}", file=sys.stderr)
         return 0
@@ -242,7 +246,24 @@ def main(argv=None) -> int:
             print(f"Wrote {args.out}", file=sys.stderr)
         return 0
 
-    r = ProgressiveRenderer(scene, camera, config, seed=args.seed)
+    # big sphere scenes route through the persistent binned (grid-culled)
+    # scheduler — the reference's accelerated backend serves its interactive
+    # loop too (smallpt.cpp:605,895-941)
+    from smallpt_tpu.ops.megakernel import MEGA_MAX_SPHERES
+
+    use_binned = args.binned or (
+        not mesh_scene
+        and int(scene.center.shape[0]) > MEGA_MAX_SPHERES
+        and config.mode == Mode.FULL
+        and config.split_budget == 1
+        and not config.nee_lights
+    )
+    if use_binned:
+        from smallpt_tpu.engine.progressive import BinnedProgressiveRenderer
+
+        r = BinnedProgressiveRenderer(scene, camera, config, seed=args.seed)
+    else:
+        r = ProgressiveRenderer(scene, camera, config, seed=args.seed)
     r.log_stats = args.stats
     if args.resume:
         r.load_checkpoint(args.resume)
@@ -252,6 +273,7 @@ def main(argv=None) -> int:
 
         session = InteractiveSession(r, frame_pattern=args.frames)
         passes = session.run(max_passes=args.passes)
+        r.finalize()
         if not args.quiet:
             print(f"interactive session ended after {passes} passes",
                   file=sys.stderr)
@@ -282,6 +304,7 @@ def main(argv=None) -> int:
             )
     if frame_writer is not None:
         frame_writer.close()
+    r.finalize()  # binned wavefronts drain; per-pass accumulation is a no-op
     np.asarray(r.accum.block_until_ready())
     if not args.quiet:
         print(f"\nElapsed time: {(time.time() - t0) * 1000:.0f} ms", file=sys.stderr)

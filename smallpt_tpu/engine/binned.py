@@ -349,6 +349,30 @@ class BinnedStreamingRenderer:
             )
         return self._advance(n_bounces)
 
+    def step_timed(self, target_ms: float = 33.0,
+                   add_samples: int = 1) -> int:
+        """Equal-time display step (engine/streaming.py::step_timed on the
+        binned path): advance the culled wavefront for ~target_ms of wall
+        clock by converting the EMA-tracked bounce rate into a bounce
+        budget. This is the interactive cadence of the reference's UI loop
+        (one render pass per display frame, smallpt.cpp:946-988) for
+        big scenes: each display frame costs ~target_ms regardless of
+        sphere count, and the completed-sample weights keep the displayed
+        estimate consistent at any interruption point. Returns rays."""
+        rate = getattr(self, "_bounces_per_s", None)
+        if rate is None:
+            n = 4  # bootstrap guess; corrected after one measurement
+        else:
+            n = max(1, int(rate * target_ms / 1e3))
+        t0 = time.perf_counter()
+        rays = self.step(add_samples=add_samples, n_bounces=n)
+        dt = max(time.perf_counter() - t0, 1e-4)
+        inst = n / dt
+        self._bounces_per_s = (
+            inst if rate is None else 0.7 * rate + 0.3 * inst
+        )
+        return rays
+
     def step_adaptive(self, n_bounces: int = 8,
                       add_samples_total: int | None = None) -> int:
         """Variance-adaptive step (engine/streaming.py::step_adaptive
@@ -446,6 +470,88 @@ class BinnedStreamingRenderer:
         self.camera = camera
         self.cam_vec = build_camera_vec(camera, self.config)
         self.reset()
+
+    def update_scene(self, scene: SphereScene) -> None:
+        """Swap scene geometry/materials: rebuild the grid accel (chunk
+        AABBs, reach tables and the chunk-sorted scene table all depend on
+        geometry) and restart the wavefront — the reference's
+        accumulation-reset-on-change semantics (smallpt.cpp:931-939)."""
+        self.scene = scene
+        self.accel = build_accel_for_camera(scene, self.camera, self.config)
+        base_table = build_scene_table(scene, self.config)
+        self.table = jnp.take(base_table, self.accel.order, axis=0)
+        self._bounce = self._make_bounce()
+        self.reset()
+
+    # -- checkpoint / resume (SURVEY.md §5.4 on the binned path): the full
+    # resumable state is every stream's plane state + budgets + key ----------
+    def save_checkpoint(self, path: str) -> None:
+        G = self.config.n_pixels
+        budgets = np.stack([
+            np.asarray(s.budgets) if s.budgets is not None
+            else np.full((G,), s.budget, np.int64)
+            for s in self.streams
+        ])
+        np.savez(
+            path,
+            f=np.stack([np.asarray(s.f) for s in self.streams]),
+            i=np.stack([np.asarray(s.i) for s in self.streams]),
+            budget=np.asarray([s.budget for s in self.streams]),
+            budgets=budgets,
+            has_budgets=np.asarray(
+                [s.budgets is not None for s in self.streams]
+            ),
+            key=np.asarray(jax.random.key_data(self.key)),
+            n_streams=self.n_streams,
+            inflight=self.inflight,
+            bounce_idx=self._bounce_idx,
+            stats_rays=self.stats.rays,
+            stats_passes=self.stats.passes,
+            stats_wall=self.stats.wall_s,
+            stream_key_version=prng.STREAM_KEY_VERSION,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path)
+        ck_ver = (int(data["stream_key_version"])
+                  if "stream_key_version" in data else 1)
+        if ck_ver != prng.STREAM_KEY_VERSION:
+            raise ValueError(
+                f"binned checkpoint uses sample-keying v{ck_ver}; this "
+                f"build uses v{prng.STREAM_KEY_VERSION} (resuming would "
+                "mix incompatible sample streams) — re-render from scratch"
+            )
+        if int(data["n_streams"]) != self.n_streams or (
+            int(data["inflight"]) != self.inflight
+        ):
+            raise ValueError(
+                "binned checkpoint stream layout mismatch: saved "
+                f"n_streams={int(data['n_streams'])}/inflight="
+                f"{int(data['inflight'])} vs this renderer's "
+                f"{self.n_streams}/{self.inflight} (lane->sample keying "
+                "differs; images would mix streams)"
+            )
+        for j, s in enumerate(self.streams):
+            if data["f"][j].shape != s.f.shape or (
+                data["i"][j].shape != s.i.shape
+            ):
+                raise ValueError(
+                    "incompatible binned checkpoint plane layout: "
+                    f"f{data['f'][j].shape}/i{data['i'][j].shape} vs "
+                    f"current f{s.f.shape}/i{s.i.shape}"
+                )
+            s.f = jnp.asarray(data["f"][j])
+            s.i = jnp.asarray(data["i"][j])
+            s.budget = int(data["budget"][j])
+            s.budgets = (
+                np.asarray(data["budgets"][j])
+                if bool(data["has_budgets"][j]) else None
+            )
+        self.key = jax.random.wrap_key_data(jnp.asarray(data["key"]))
+        self._bounce_idx = int(data["bounce_idx"])
+        self.stats.rays = int(data["stats_rays"])
+        self.stats.passes = int(data["stats_passes"])
+        self.stats.wall_s = float(data["stats_wall"])
 
     @property
     def image(self) -> np.ndarray:

@@ -190,6 +190,12 @@ class ProgressiveRenderer:
         if "scene_leaves" in data:  # older checkpoints lack the scene
             self.scene = unflatten_like(self.scene, data["scene_leaves"])
 
+    # -- finalization hook (overridden where draining matters) ---------------
+    def finalize(self) -> None:
+        """Make ``image`` the exact estimate of everything rendered so far.
+        A no-op here (per-pass rendering is always complete); the binned
+        subclass drains in-flight wavefronts."""
+
     # -- headless interactive loop ------------------------------------------
     def run(
         self,
@@ -228,3 +234,108 @@ class ProgressiveRenderer:
         finally:
             if writer is not None:
                 writer.close()
+
+
+class BinnedProgressiveRenderer(ProgressiveRenderer):
+    """Progressive/interactive driver over the binned big-scene scheduler.
+
+    The reference's interactive app is scheduler-agnostic: the render thread
+    loops whatever Renderer::render is bound to — including the accelerated
+    OptiX backend (smallpt.cpp:605,895-941) — and the UI's JSON requests
+    reset accumulation on change. This subclass gives big sphere scenes the
+    same surface: one PERSISTENT BinnedStreamingRenderer (grid accel built
+    once, wavefront state carried across passes — no per-pass rebuild),
+    driven either per-pass (each step adds spp samples/pixel) or equal-time
+    (target_ms, the display cadence of smallpt.cpp:946-988).
+
+    Protocol semantics match ProgressiveRenderer exactly: ``update_camera``
+    re-aims and resets the wavefront (binned update_camera), ``update_scene``
+    rebuilds the accel (geometry moved => chunk AABBs/reach tables stale),
+    ``reset`` restarts. ``image`` is weight-normalized by completed sample
+    counts, so a frame displayed mid-wavefront is a consistent estimate at
+    any interruption point; ``finalize()`` drains for the exact image.
+    """
+
+    def __init__(self, scene, camera, config: RenderConfig, seed: int = 0,
+                 n_bounces: int | None = None, target_ms: float | None = None,
+                 **binned_kwargs):
+        super().__init__(scene, camera, config, seed)
+        from smallpt_tpu.engine.binned import BinnedStreamingRenderer
+
+        self._binned_kwargs = binned_kwargs
+        self._r = BinnedStreamingRenderer(
+            scene, camera, config, seed=seed, **binned_kwargs
+        )
+        self.n_bounces = (
+            2 * config.max_depth if n_bounces is None else n_bounces
+        )
+        self.target_ms = target_ms
+
+    def step(self, n_passes: int = 1) -> None:
+        if self._apply_requests():
+            self.reset_accumulation()
+        for _ in range(n_passes):
+            if self._t_first_step is None:
+                self._t_first_step = time.perf_counter()
+            if self.target_ms is not None:
+                rays = self._r.step_timed(
+                    target_ms=self.target_ms, add_samples=self.config.spp
+                )
+            else:
+                rays = self._r.step(
+                    add_samples=self.config.spp, n_bounces=self.n_bounces
+                )
+            self._stats.passes += 1
+            self.sample_count += 1
+            if self.log_stats:
+                log_json("render_pass", {
+                    "pass": self.sample_count, "pass_rays": rays,
+                    **self.stats.as_dict(),
+                })
+
+    def _apply_requests(self) -> bool:
+        prev_scene, prev_camera = self.scene, self.camera
+        invalidate = super()._apply_requests()
+        if invalidate:
+            # route the change to the persistent binned state: scene edits
+            # need the accel rebuilt; camera moves only re-aim + reset
+            if self.scene is not prev_scene:
+                self._r.camera = self.camera
+                self._r.cam_vec = _binned_cam_vec(self.camera, self.config)
+                self._r.update_scene(self.scene)
+            elif self.camera is not prev_camera:
+                self._r.update_camera(self.camera)
+            else:
+                self._r.reset()
+        return invalidate
+
+    @property
+    def stats(self):
+        return self._r.stats
+
+    def reset_accumulation(self) -> None:
+        # the accumulation (radiance sums + completed-sample weights) lives
+        # in the binned wavefront planes; reset() is idempotent, so the
+        # double reset after _apply_requests' update_* hooks is harmless
+        self.sample_count = 0
+        self._r.reset()
+
+    def finalize(self) -> None:
+        self._r.flush()
+
+    @property
+    def image(self) -> np.ndarray:
+        return self._r.image
+
+    def save_checkpoint(self, path: str) -> None:
+        self._r.save_checkpoint(path)
+
+    def load_checkpoint(self, path: str) -> None:
+        self._r.load_checkpoint(path)
+        self.sample_count = self._r.stats.passes
+
+
+def _binned_cam_vec(camera, config):
+    from smallpt_tpu.ops.megakernel import build_camera_vec
+
+    return build_camera_vec(camera, config)

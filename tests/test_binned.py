@@ -427,3 +427,21 @@ def test_nosort_lists_cover_reach_exactly():
             continue
         assert stops_np[t] == ids.size
         assert (lists_np[t, :ids.size] == ids).all()
+
+
+def test_binned_step_timed_advances():
+    """Equal-time stepping (the interactive display cadence): bounces are
+    budgeted from the EMA-tracked rate and the estimator stays consistent
+    (weights complete after flush regardless of where the frame landed)."""
+    from smallpt_tpu.core.camera import smallpt_camera as _cam
+
+    r = BinnedStreamingRenderer(SCENE, _cam(), CFG, seed=0)
+    rays = r.step_timed(target_ms=50.0, add_samples=2)
+    assert rays > 0
+    assert r._bounces_per_s > 0
+    first_rate = r._bounces_per_s
+    r.step_timed(target_ms=50.0, add_samples=0)  # EMA update, budgeted n
+    assert r._bounces_per_s > 0 and r._bounces_per_s != first_rate
+    r.flush()
+    _, w = r.accumulators()
+    assert (np.asarray(w) == 2).all()
