@@ -140,10 +140,55 @@ def stream_camera_uniforms(
         jnp.broadcast_to(k0 + k1, a_w.shape),
     )
     return jnp.stack([_to_unit(a, dtype), _to_unit(b, dtype)], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def stream_shade_uniforms(
+    key: jax.Array,
+    pixel: jnp.ndarray,
+    ip: jnp.ndarray,
+    depth: jnp.ndarray,
+    dtype=jnp.float32,
+):
+    """Host mirror of the streaming/binned kernels' per-bounce shade
+    uniforms (ops/megakernel.py: _pcg4d(wa, wb, depth + _GOLDEN, k0+k1)
+    with the v2 (pixel, ip) words) — lets the NumPy oracle replay the
+    streaming schedulers' exact decision streams. Streaming paths never
+    split (split_budget == 1), so there is no hist word."""
+    a_w, b_w = stream_key_words(key, pixel, ip)
+    k0, k1 = _key_words(key)
+    a, b, c, d = _pcg4d(
+        a_w,
+        b_w,
+        depth.astype(jnp.uint32) + jnp.uint32(_GOLDEN),
+        jnp.broadcast_to(k0 + k1, a_w.shape),
+    )
+    return jnp.stack(
+        [_to_unit(a, dtype), _to_unit(b, dtype), _to_unit(c, dtype),
+         _to_unit(d, dtype)],
+        axis=-1,
+    )
 # per-light-slot salt stride: a bare "+ slot" would alias slot s+1 at depth d
 # with slot s at depth d+1 (the c-word is depth + salt), correlating direct
 # samples across bounces in multi-light configs
 _NEE_SLOT_STRIDE = 0x632BE59B
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def stream_lens_uniforms(
+    key: jax.Array, pixel: jnp.ndarray, ip: jnp.ndarray, dtype=jnp.float32
+):
+    """Host mirror of the streaming kernels' thin-lens aperture uniforms
+    (the in-kernel _LENS_SALT block with v2 (pixel, ip) words)."""
+    a_w, b_w = stream_key_words(key, pixel, ip)
+    k0, k1 = _key_words(key)
+    a, b, _, _ = _pcg4d(
+        a_w,
+        b_w,
+        jnp.full_like(a_w, jnp.uint32(_LENS_SALT)),
+        jnp.broadcast_to(k0 + k1, a_w.shape),
+    )
+    return jnp.stack([_to_unit(a, dtype), _to_unit(b, dtype)], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))

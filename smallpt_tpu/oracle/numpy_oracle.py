@@ -135,6 +135,68 @@ class PrecomputedUniformProvider(JaxUniformProvider):
         return plane[self._slot(sample_id)]
 
 
+class StreamUniformProvider(PrecomputedUniformProvider):
+    """Uniforms from the STREAMING sample keying (core/rng.py v2: PCG4D
+    words (pixel, ip) instead of the packed global sid) — the streams the
+    continuous-wavefront and grid-binned schedulers draw in-kernel
+    (ops/megakernel.py). With this provider the oracle replays a streaming/
+    binned render's exact decision tree, so render()'s big-scene binned
+    route can be pinned against ground truth path-for-path, not only
+    against the classic kernel's statistics.
+
+    sid convention is unchanged (sid = pixel * spp + ip; the per-pass drain
+    gives each pixel ip in [0, spp)), so Oracle.render_pixels works as-is.
+    Valid for the schedulers' actual envelope: single stream, inflight=1
+    (ip_offset 0), split_budget == 1 (hist stays 0 — streaming never
+    splits), no NEE."""
+
+    def __init__(self, seed_or_key, config: RenderConfig, sids):
+        JaxUniformProvider.__init__(self, seed_or_key)
+        sids = np.asarray(sids, np.int64)
+        self._idx = {int(s): i for i, s in enumerate(sids)}
+        self.n = sids.shape[0]
+        spp = config.spp
+        self._pix = (sids // spp).astype(np.int32)
+        self._ip = (sids % spp).astype(np.int32)
+        self._sids = sids.astype(np.int32)
+        self._cam = np.asarray(
+            prng.stream_camera_uniforms(self.key, self._pix, self._ip),
+            dtype=np.float64,
+        )
+        self._shade = {}
+
+    def shade(self, sample_id: int, hist: int, depth: int) -> np.ndarray:
+        if hist != 0:
+            raise NotImplementedError(
+                "streaming keying has no split-history word "
+                "(split_budget == 1)"
+            )
+        plane = self._shade.get(depth)
+        if plane is None:
+            plane = np.asarray(
+                prng.stream_shade_uniforms(
+                    self.key, self._pix, self._ip,
+                    np.full((self.n,), depth, np.int32),
+                ),
+                dtype=np.float64,
+            )
+            self._shade[depth] = plane
+        return plane[self._slot(sample_id)]
+
+    def lens(self, sample_id: int) -> np.ndarray:
+        plane = self._shade.get("lens")
+        if plane is None:
+            plane = np.asarray(
+                prng.stream_lens_uniforms(self.key, self._pix, self._ip),
+                dtype=np.float64,
+            )
+            self._shade["lens"] = plane
+        return plane[self._slot(sample_id)]
+
+    def nee(self, sample_id: int, hist: int, depth: int, slot: int):
+        raise NotImplementedError("binned/streaming NEE keying not defined")
+
+
 def _norm(v):
     return v / np.linalg.norm(v)
 
