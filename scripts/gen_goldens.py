@@ -59,6 +59,19 @@ def main() -> None:
             ),
             11,
         ),
+        # SHALLOW-depth tight golden (VERDICT r2 weak #6): at depth 4 the
+        # razor-flip population is near zero, so the test gate can be an
+        # order of magnitude tighter than the depth-24 golden's — a
+        # systematic few-percent brightness bug that hides inside the deep
+        # golden's envelope fails loudly here
+        "golden_cornell_shallow_48x36": (
+            cornell_box_scene(),
+            RenderConfig(
+                width=48, height=36, spp_per_cell=4, max_depth=4,
+                camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+            ),
+            17,
+        ),
         # thin-lens depth of field
         "golden_dof_32x24": (
             cornell_box_scene(),

@@ -256,7 +256,6 @@ def main(argv=None) -> int:
         and int(scene.center.shape[0]) > MEGA_MAX_SPHERES
         and config.mode == Mode.FULL
         and config.split_budget == 1
-        and not config.nee_lights
     )
     if use_binned:
         from smallpt_tpu.engine.progressive import BinnedProgressiveRenderer

@@ -174,6 +174,33 @@ def stream_shade_uniforms(
 _NEE_SLOT_STRIDE = 0x632BE59B
 
 
+@functools.partial(jax.jit, static_argnames=("light_slot", "dtype"))
+def stream_nee_uniforms(
+    key: jax.Array,
+    pixel: jnp.ndarray,
+    ip: jnp.ndarray,
+    depth: jnp.ndarray,
+    light_slot: int,
+    dtype=jnp.float32,
+):
+    """Host mirror of the streaming kernels' next-event light-cone
+    uniforms: _pcg4d(wa, wb, depth + _NEE_SALT + slot*stride, k0+k1) with
+    the v2 (pixel, ip) words — the draw the classic streaming kernel makes
+    in-kernel and the binned scheduler makes in its XLA shadow-prep stage
+    (the direction is drawn ONCE there and carried into the kernel, so bin
+    keys and the sweep see bit-identical rays)."""
+    a_w, b_w = stream_key_words(key, pixel, ip)
+    k0, k1 = _key_words(key)
+    a, b, _, _ = _pcg4d(
+        a_w,
+        b_w,
+        depth.astype(jnp.uint32)
+        + jnp.uint32((_NEE_SALT + light_slot * _NEE_SLOT_STRIDE) & 0xFFFFFFFF),
+        jnp.broadcast_to(k0 + k1, a_w.shape),
+    )
+    return jnp.stack([_to_unit(a, dtype), _to_unit(b, dtype)], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("dtype",))
 def stream_lens_uniforms(
     key: jax.Array, pixel: jnp.ndarray, ip: jnp.ndarray, dtype=jnp.float32

@@ -34,12 +34,18 @@ BIT-EQUAL per stream (tests pin this). Against the CLASSIC megakernel the
 match is exact up to the documented razor-flip floor (~1e-4 FMA
 contraction differences flipping rare discrete events on deep paths).
 
-Restrictions (v3 of the binned path): Mode.FULL, split_budget == 1, no
-next-event estimation yet (the shadow sweep needs its own toward-the-light
-chunk lists). Thin-lens DoF is supported (regen_binned carries the same
-lens block as the classic streaming kernel's in-kernel regen; the accel
-grid bounds cover the aperture disc), and adaptive sampling works via
-step_adaptive / per-pixel budget arrays gathered through the pixel plane.
+Restrictions (v4 of the binned path): Mode.FULL, split_budget == 1.
+Next-event estimation IS supported (fused mode): a diffuse vertex marks
+per-slot pending bits and the shadow resolves ONE LAUNCH LATER — the XLA
+prep stage draws the light-cone direction from the concrete vertex point,
+the list builder unions the shadow rays' reach into the tile lists
+(forced into the swept prefix), and the kernel folds per-slot occluder
+minima through the same chunk walk as the main sweep (see
+ops/megakernel.py NEE plane comments). Thin-lens DoF is supported
+(regen_binned carries the same lens block as the classic streaming
+kernel's in-kernel regen; the accel grid bounds cover the aperture disc),
+and adaptive sampling works via step_adaptive / per-pixel budget arrays
+gathered through the pixel plane.
 """
 
 from __future__ import annotations
@@ -151,10 +157,11 @@ class BinnedStreamingRenderer:
     ):
         if config.mode != Mode.FULL or config.split_budget != 1:
             raise ValueError("binned streaming: Mode.FULL, split_budget=1")
-        if config.nee_lights:
+        if config.nee_lights and not fused:
             raise ValueError(
-                "binned streaming does not support nee_lights yet (the "
-                "shadow sweep needs its own chunk lists)"
+                "binned NEE needs the fused bounce (shadow rays resolve in "
+                "one launch via full-reach shadow lists; the 3-program "
+                "distance-ordered path has no shadow marching)"
             )
         if not isinstance(scene, SphereScene):
             raise TypeError("binned streaming renders SphereScenes")
@@ -186,6 +193,7 @@ class BinnedStreamingRenderer:
         self.key = prng.base_key(seed)
         base_table = build_scene_table(scene, config)
         self.table = jnp.take(base_table, self.accel.order, axis=0)
+        self.nee_rows = self._light_rows()
         self.cam_vec = build_camera_vec(camera, config)
         self.streams = [
             _Stream(*init_binned_state(config, self.inflight),
@@ -230,9 +238,24 @@ class BinnedStreamingRenderer:
             )
         return tot.astype(np.int32)
 
+    def _light_rows(self) -> tuple:
+        """config.nee_lights are ORIGINAL scene indices; the binned table
+        is permuted by accel.order, so the kernel's static light rows are
+        each light's first occurrence in the reordered table (padding
+        duplicates sit after the originals and never win the strict-<
+        min-fold)."""
+        if not self.config.nee_lights:
+            return ()
+        order = np.asarray(self.accel.order)
+        return tuple(
+            int(np.nonzero(order == li)[0][0])
+            for li in self.config.nee_lights
+        )
+
     def _make_bounce(self):
         config, accel = self.config, self.accel
         table, inflight = self.table, self.inflight
+        nee_rows = self.nee_rows
 
         import functools
 
@@ -252,8 +275,19 @@ class BinnedStreamingRenderer:
             # measured ~198 ms/bounce vs ~12 ms for the prefix kernel.
             f, i = regen_binned(f, i, cam_vec, config, key,
                                 ip_offset=ip_offset, inflight=inflight)
+            shadow_keys = None
+            if nee_rows:
+                # deferred NEE: draw shadow directions (once — bin keys
+                # and the kernel sweep must see bit-identical rays) and
+                # union their reach into this launch's lists
+                f, shadow_keys = acc.nee_shadow_prep(
+                    f, i, table, config, accel, key,
+                    ip_offset=ip_offset, inflight=inflight,
+                    nee_rows=nee_rows,
+                )
             lists, stops, dcut = acc.tile_work_lists_bucketed(
-                f, i, config, accel, k_near=k_near
+                f, i, config, accel, k_near=k_near,
+                shadow_keys=shadow_keys,
             )
             return stream_step_binned(
                 table, config, key, f, i, lists, stops, dcut,
@@ -263,6 +297,7 @@ class BinnedStreamingRenderer:
                 inflight=inflight,
                 geo_lo=accel.geo_lo,
                 geo_hi=accel.geo_hi,
+                nee_rows=nee_rows,
             )
 
         @jax.jit
@@ -429,9 +464,15 @@ class BinnedStreamingRenderer:
         return self._advance(n_bounces)
 
     def pending(self) -> tuple:
-        """(n_alive, n_can_regen) summed over streams — ONE device fetch."""
+        """(n_alive, n_can_regen) summed over streams — ONE device fetch.
+        With NEE, lanes holding unresolved deferred-shadow bits count as
+        alive so flush() drains them."""
+        has_nee = bool(self.config.nee_lights)
         both = np.asarray(
-            jnp.stack([_stream_pending_dev(s.i) for s in self.streams])
+            jnp.stack([
+                _stream_pending_dev(s.i, has_nee=has_nee)
+                for s in self.streams
+            ])
         ).sum(axis=0)
         return (int(both[0]), int(both[1]))
 
@@ -439,11 +480,15 @@ class BinnedStreamingRenderer:
         """Drain all in-flight paths and remaining budget; afterwards
         image() is the exact per-pixel MC estimate."""
         while True:
-            if self.pending() == (0, 0):
+            p = self.pending()
+            if p == (0, 0):
                 return
-            # progress = rays traced: pending counts alone can legitimately
-            # repeat (lanes die and regenerate in equal numbers)
-            if self._advance(8) == 0:
+            # progress = rays traced OR the pending counts changed: ray
+            # counts alone miss the NEE tail (a launch that only resolves
+            # deferred shadows finalizes zero rays), and pending counts
+            # alone can legitimately repeat (lanes die and regenerate in
+            # equal numbers)
+            if self._advance(8) == 0 and self.pending() == p:
                 raise RuntimeError("flush made no progress (paths stuck?)")
 
     def accumulators(self):
@@ -480,6 +525,7 @@ class BinnedStreamingRenderer:
         self.accel = build_accel_for_camera(scene, self.camera, self.config)
         base_table = build_scene_table(scene, self.config)
         self.table = jnp.take(base_table, self.accel.order, axis=0)
+        self.nee_rows = self._light_rows()
         self._bounce = self._make_bounce()
         self.reset()
 

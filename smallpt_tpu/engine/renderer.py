@@ -215,8 +215,6 @@ def _use_binned(scene, config: RenderConfig, differentiable: bool,
         and config.split_budget == 1
         and config.mode == Mode.FULL
         and config.dtype == "float32"
-        and not config.nee_lights
-        and config.aperture == 0.0
         and isinstance(scene, SphereScene)
         and scene.n_spheres > MEGA_MAX_SPHERES
         and not traced(scene)

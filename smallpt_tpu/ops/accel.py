@@ -526,7 +526,8 @@ def _masked_minmax_sub(key, valid, n_bins):
     return lo, hi
 
 
-def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None):
+def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None,
+                             shadow_keys=None):
     """Distance-BUCKETED FRONTIER work lists, free of lax.sort/argsort/
     scatter — the fused-program companion of the frontier-marching kernel.
 
@@ -595,6 +596,32 @@ def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None):
         )
         > 0.0
     )  # (T, C)
+
+    # deferred-NEE shadow rays (ops/megakernel.py binned NEE): every chunk
+    # any pending shadow ray can reach must be IN this launch's swept set
+    # (occlusion resolves in one launch — shadow rays have no pending/
+    # marching machinery), so their reach is unioned in and FORCED into
+    # bucket 0. dcut stays a valid finality bound for the main rays:
+    # forcing chunks into the swept prefix only shrinks the unswept set,
+    # and the bound is the min bucket edge over what remains.
+    reach_sh = None
+    if shadow_keys:
+        in1_sh = jnp.zeros_like(in1)
+        for k_s, v_s in shadow_keys:
+            lo2, hi2 = _masked_minmax_sub(k_s, v_s, n_bins)
+            in1_sh = in1_sh | jnp.any(
+                (bins[None, None, :] >= lo2[:, :, None])
+                & (bins[None, None, :] <= hi2[:, :, None]),
+                axis=1,
+            )
+        reach_sh = (
+            jax.lax.dot(
+                in1_sh.astype(jnp.bfloat16), accel.masks.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            > 0.0
+        )
+        reach = reach | reach_sh
     n_reach = jnp.sum(reach, axis=1).astype(jnp.int32)
 
     def axis_gap(olo, ohi, klo, khi):
@@ -631,6 +658,8 @@ def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None):
             0, nb_ - 1,
         ).astype(jnp.int32),
     )
+    if reach_sh is not None:
+        bucket = jnp.where(reach_sh, 0, bucket)
     edges = jnp.asarray(
         [0.0] + [d0 * 2.0 ** ((b - 1) / 4.0) for b in range(1, nb_)],
         jnp.float32,
@@ -678,6 +707,107 @@ def tile_work_lists_bucketed(f, i, config, accel: GridAccel, k_near=None):
         (stops < 0) | (stops >= n_reach), jnp.float32(jnp.inf), dcut
     )
     return lists, stops, dcut
+
+
+# ---------------------------------------------------------------------------
+# Deferred-NEE shadow prep (binned NEE, ops/megakernel.py::_binned_kernel)
+# ---------------------------------------------------------------------------
+
+
+def nee_shadow_prep(f, i, table, config, accel: GridAccel, key,
+                    ip_offset=0, inflight: int = 1, nee_rows: tuple = ()):
+    """Draw the light-cone shadow directions for lanes with pending NEE
+    bits and bin the resulting shadow rays.
+
+    Runs in XLA between the regen and list stages of the fused bounce: the
+    direction is drawn HERE, once, written into the state's ld planes and
+    used for BOTH the bin keys (list builder union) and the kernel's
+    occluder sweep — so the swept set is conservative for exactly the ray
+    the kernel traces (recomputing the f32 cone in two compilers could
+    disagree in ulps and flip a direction bucket at its boundary, silently
+    dropping an occluder's chunk).
+
+    The draw mirrors the classic streaming kernel's in-kernel NEE block
+    (same stream_nee_uniforms streams, same cone construction,
+    megakernel.py classic kernel NEE) at the vertex depth (= depth - 1:
+    the kernel increments depth when a vertex finalizes; pending-shadow
+    lanes have had no shading event since).
+
+    Returns (f with ld planes written, [(key_plane, valid_plane), ...])."""
+    from smallpt_tpu.core import rng as prng
+    from smallpt_tpu.ops import megakernel as mk
+
+    def fplane(idx):
+        return jax.lax.dynamic_slice_in_dim(f, 8 * idx, 8, axis=0)
+
+    def iplane(idx):
+        return jax.lax.dynamic_slice_in_dim(i, 8 * idx, 8, axis=0)
+
+    ox, oy, oz = fplane(mk._F_OX), fplane(mk._F_OY), fplane(mk._F_OZ)
+    neep = iplane(mk._I_NEEP)
+    pixel = iplane(mk._I_PIXEL)
+    s_idx = iplane(mk._I_SIDX)
+    depth = iplane(mk._I_DEPTH)
+
+    shift = inflight.bit_length() - 1
+    pix = jax.lax.shift_right_logical(pixel, shift) if shift else pixel
+    ip = ip_offset + s_idx
+    if shift:
+        sub = pixel - jax.lax.shift_left(pix, shift)
+        ip = ip + sub * jnp.int32(mk._BINNED_SUB_STRIDE)
+    depth_v = jnp.maximum(depth - 1, 0)
+
+    shadow_keys = []
+    for slot, row in enumerate(nee_rows):
+        valid = ((neep >> slot) & 1) == 1
+        lcx, lcy, lcz = table[row, 0], table[row, 1], table[row, 2]
+        lrr = table[row, 3]
+        u = prng.stream_nee_uniforms(key, pix, ip, depth_v, slot)
+        nu0, nu1 = u[..., 0], u[..., 1]
+        swx = lcx - ox
+        swy = lcy - oy
+        swz = lcz - oz
+        d2 = swx * swx + swy * swy + swz * swz
+        cos_a_max = jnp.sqrt(jnp.maximum(
+            1.0 - (lrr * lrr) / jnp.maximum(d2, 1e-12), 0.0
+        ))
+        cos_a = 1.0 - nu0 + nu0 * cos_a_max
+        sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+        nphi = jnp.float32(2.0 * np.pi) * nu1
+        inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
+        swnx = swx * inv_d
+        swny = swy * inv_d
+        swnz = swz * inv_d
+        bigx2 = jnp.abs(swnx) > 0.1
+        upx2 = jnp.where(bigx2, 0.0, 1.0)
+        upy2 = jnp.where(bigx2, 1.0, 0.0)
+        sux = upy2 * swnz
+        suy = -upx2 * swnz
+        suz = upx2 * swny - upy2 * swnx
+        inv_su = jax.lax.rsqrt(sux * sux + suy * suy + suz * suz)
+        sux, suy, suz = sux * inv_su, suy * inv_su, suz * inv_su
+        svx = swny * suz - swnz * suy
+        svy = swnz * sux - swnx * suz
+        svz = swnx * suy - swny * sux
+        cphi = jnp.cos(nphi) * sin_a
+        sphi = jnp.sin(nphi) * sin_a
+        ldx = sux * cphi + svx * sphi + swnx * cos_a
+        ldy = suy * cphi + svy * sphi + swny * cos_a
+        ldz = suz * cphi + svz * sphi + swnz * cos_a
+        inv_ld = jax.lax.rsqrt(ldx * ldx + ldy * ldy + ldz * ldz)
+        ldx, ldy, ldz = ldx * inv_ld, ldy * inv_ld, ldz * inv_ld
+        # unit dummy for non-pending lanes: _shadow_tt stays well-behaved
+        ldx = jnp.where(valid, ldx, 0.0)
+        ldy = jnp.where(valid, ldy, 0.0)
+        ldz = jnp.where(valid, ldz, 1.0)
+        for off, plane in ((0, ldx), (1, ldy), (2, ldz)):
+            f = jax.lax.dynamic_update_slice_in_dim(
+                f, plane, 8 * (mk._F_LD0 + 3 * slot + off), axis=0
+            )
+        shadow_keys.append(
+            (ray_bin_keys(ox, oy, oz, ldx, ldy, ldz, accel), valid)
+        )
+    return f, shadow_keys
 
 
 # ---------------------------------------------------------------------------

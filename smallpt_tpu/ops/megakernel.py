@@ -919,14 +919,19 @@ def set_sample_budget(i, budgets, config: RenderConfig,
     return jax.lax.dynamic_update_slice_in_dim(i, plane, 8 * _I_BUDGET, axis=0)
 
 
-@jax.jit
-def _stream_pending_dev(i):
+@functools.partial(jax.jit, static_argnames=("has_nee",))
+def _stream_pending_dev(i, has_nee: bool = False):
     s_idx = jax.lax.dynamic_slice_in_dim(i, 8 * _I_SIDX, 8, axis=0)
     alive = jax.lax.dynamic_slice_in_dim(i, 8 * _I_ALIVE, 8, axis=0)
     bud = jax.lax.dynamic_slice_in_dim(i, 8 * _I_BUDGET, 8, axis=0)
+    live = alive != 0
+    if has_nee:
+        # a dead lane with unresolved deferred-shadow bits still owes work
+        neep = jax.lax.dynamic_slice_in_dim(i, 8 * _I_NEEP, 8, axis=0)
+        live = live | (neep != 0)
     return jnp.stack([
-        jnp.sum(alive != 0),
-        jnp.sum((alive == 0) & (s_idx < bud - 1)),
+        jnp.sum(live),
+        jnp.sum(jnp.logical_not(live) & (s_idx < bud - 1)),
     ])
 
 
@@ -1141,6 +1146,36 @@ _F_TS = _NF + 2        # resolved-frontier distance: every potential hit
                        # launches instead of forcing its whole tile to a
                        # full-reach sweep (196 ms vs 18 ms, measured r3)
 _NF_B = _NF + 3
+# NEE planes (allocated only when config.nee_lights — the binned state is
+# sized by _nf_b/_ni_b so the non-NEE path pays nothing). The binned NEE
+# is DEFERRED BY ONE LAUNCH: a diffuse vertex marks per-slot pending bits
+# (_I_NEEP) and stores its shading normal; the next launch's XLA prep
+# stage (ops/accel.py::nee_shadow_prep) draws the light-cone direction —
+# ONCE, so bin keys and the kernel sweep see bit-identical rays — and the
+# list builder unions the shadow rays' reach into the tile lists (forced
+# bucket 0: occlusion must resolve in a single launch); the kernel then
+# folds per-slot occluder minima through the SAME chunk walk as the main
+# sweep and adds the direct term. This keeps the reference's accelerated
+# backend feature-universal (smallpt.cpp:605 serves shadePaths' whole
+# material set) without per-vertex full sweeps.
+_F_NLX = _NF_B       # vertex shading normal (cosine term at resolve)
+_F_NLY = _NF_B + 1
+_F_NLZ = _NF_B + 2
+_F_LD0 = _NF_B + 3   # + 3 planes PER LIGHT SLOT: the XLA-drawn shadow dir
+_I_NEEP = _NI_B      # per-slot pending-shadow bits
+
+
+def _nf_b(config) -> int:
+    n = _NF_B
+    if config.nee_lights:
+        n += 3 + 3 * len(config.nee_lights)
+    return n
+
+
+def _ni_b(config) -> int:
+    return _NI_B + (1 if config.nee_lights else 0)
+
+
 # chunks swept in a NEAR pass (per tile, distance-ordered prefix); tiles
 # holding pending lanes sweep their full list instead
 K_NEAR = int(os.environ.get("SMALLPT_TPU_BINNED_KNEAR", "64"))
@@ -1177,6 +1212,7 @@ def _binned_kernel(
     inflight: int = 1,
     geo_lo: tuple = (-3e38, -3e38, -3e38),
     geo_hi: tuple = (3e38, 3e38, 3e38),
+    nee_rows: tuple = (),
 ):
     """One FRONTIER-MARCHING culled bounce step.
 
@@ -1221,6 +1257,17 @@ def _binned_kernel(
     nrays = iplane(_I_RAYS)
     budget = iplane(_I_BUDGET)
     pixel = iplane(_I_PIXEL)
+    if nee_rows:
+        sup = iplane(_I_SUP)       # suppression bits (vertex -> next hit)
+        neep = iplane(_I_NEEP)     # pending shadow bits (vertex -> resolve)
+        vnlx = fplane(_F_NLX)      # vertex shading normal
+        vnly = fplane(_F_NLY)
+        vnlz = fplane(_F_NLZ)
+        lds = [
+            (fplane(_F_LD0 + 3 * s), fplane(_F_LD0 + 3 * s + 1),
+             fplane(_F_LD0 + 3 * s + 2))
+            for s in range(len(nee_rows))
+        ]
 
     k0 = kw_ref[0, 0]
     k1 = kw_ref[0, 1]
@@ -1241,8 +1288,14 @@ def _binned_kernel(
     wb = k1 ^ (pltpu.bitcast(ip, jnp.uint32) * jnp.uint32(_STREAM_IP_MULT))
 
     # ---- distance-ordered culled sweep -----------------------------------
+    # With NEE: per-slot shadow-occluder minima fold through the SAME chunk
+    # walk (the shadow rays' reach is unioned into this launch's lists by
+    # nee_shadow_prep + the builder, so the swept set covers the full
+    # segment; the light itself is in the global block, so equality with
+    # t_light identifies visibility exactly as in the classic kernel).
     def chunk_fold(cid, carry):
-        bt, bi = carry
+        bt, bi = carry[0], carry[1]
+        sbts = carry[2:]
         blk = tbl_ref[pl.ds(cid * 8, 8), :]
         for r in range(8):
             tt = _shadow_tt(ox, oy, oz, dx, dy, dz,
@@ -1252,7 +1305,17 @@ def _binned_kernel(
             sid_f = (cid * 8 + r).astype(jnp.float32)
             bt = jnp.where(better, tt, bt)
             bi = jnp.where(better, sid_f, bi)
-        return (bt, bi)
+            if nee_rows:
+                sbts = tuple(
+                    jnp.minimum(
+                        sbt,
+                        _shadow_tt(ox, oy, oz, ldx_s, ldy_s, ldz_s,
+                                   blk[r, 0], blk[r, 1], blk[r, 2],
+                                   blk[r, 3], blk[r, 4]),
+                    )
+                    for sbt, (ldx_s, ldy_s, ldz_s) in zip(sbts, lds)
+                )
+        return (bt, bi) + tuple(sbts)
 
     stop = stp_ref[t]
     full_sweep = stop < 0
@@ -1272,12 +1335,52 @@ def _binned_kernel(
     # carried candidates resume (fresh lanes hold (_BIG, -1)); globals are
     # re-swept every launch — idempotent for the min-fold, and they give
     # every lane a wall-hit bound immediately
-    carry = jax.lax.fori_loop(
-        0, n_glob_chunks, lambda c, cr: chunk_fold(c, cr), (bt0, bi0)
+    carry0 = (bt0, bi0) + tuple(
+        jnp.full(shp, _BIG, jnp.float32) for _ in nee_rows
     )
-    bt, bi = jax.lax.fori_loop(
+    carry = jax.lax.fori_loop(
+        0, n_glob_chunks, lambda c, cr: chunk_fold(c, cr), carry0
+    )
+    carry = jax.lax.fori_loop(
         0, n_eff, lambda j, c: chunk_fold(local_cid(j), c), carry
     )
+    bt, bi = carry[0], carry[1]
+    sbts = carry[2:]
+
+    if nee_rows:
+        # ---- deferred shadow resolution: bits were set at the PREVIOUS
+        # vertex; the weight planes still equal w_vertex * f (weights
+        # change only at shading events and the lane has had none since),
+        # so the direct term is w * Le * cos * omega / pi — exactly the
+        # classic kernel's contribution, one launch later. The resolve is
+        # independent of `alive`: a lane that died AT its vertex (max
+        # depth) still resolves here, and regen_binned refuses to recycle
+        # it until its bits clear.
+        for slot, row in enumerate(nee_rows):
+            ldx_s, ldy_s, ldz_s = lds[slot]
+            lcx, lcy, lcz = tbl_ref[row, 0], tbl_ref[row, 1], tbl_ref[row, 2]
+            lrr = tbl_ref[row, 3]
+            lex, ley, lez = tbl_ref[row, 5], tbl_ref[row, 6], tbl_ref[row, 7]
+            pendb = ((neep >> slot) & 1) == 1
+            t_light = _shadow_tt(ox, oy, oz, ldx_s, ldy_s, ldz_s,
+                                 lcx, lcy, lcz, lrr, tbl_ref[row, 4])
+            swx = lcx - ox
+            swy = lcy - oy
+            swz = lcz - oz
+            d2 = swx * swx + swy * swy + swz * swz
+            cos_a_max = jnp.sqrt(jnp.maximum(
+                1.0 - (lrr * lrr) / jnp.maximum(d2, 1e-12), 0.0
+            ))
+            omega = jnp.float32(2.0 * np.pi) * (1.0 - cos_a_max)
+            cosine = jnp.maximum(
+                ldx_s * vnlx + ldy_s * vnly + ldz_s * vnlz, 0.0
+            )
+            lit = jnp.logical_and(t_light < _BIG, sbts[slot] >= t_light)
+            active = jnp.logical_and(pendb, lit)
+            scale = cosine * omega * jnp.float32(1.0 / np.pi)
+            rx = rx + jnp.where(active, wx * lex * scale, 0.0)
+            ry = ry + jnp.where(active, wy * ley * scale, 0.0)
+            rz = rz + jnp.where(active, wz * lez * scale, 0.0)
 
     d_cut = dct_ref[t]
     # frontier escape: all LOCAL spheres live inside the static AABB
@@ -1351,9 +1454,24 @@ def _binned_kernel(
     else:
         nlx, nly, nlz = nx, ny, nz
 
-    rx = rx + jnp.where(live_hit, wx * em_x, 0.0)
-    ry = ry + jnp.where(live_hit, wy * em_y, 0.0)
-    rz = rz + jnp.where(live_hit, wz * em_z, 0.0)
+    # emission whose light was explicitly sampled at the previous vertex is
+    # suppressed here (classic kernel semantics; sup bit per light slot).
+    # bi is the winner's TABLE row, and nee_rows are table rows too (the
+    # engine maps original scene indices through accel.order).
+    if nee_rows:
+        hit_sup = jnp.zeros(shp, jnp.bool_)
+        for slot, row in enumerate(nee_rows):
+            is_li = bi == jnp.float32(row)
+            hit_sup = jnp.logical_or(
+                hit_sup,
+                jnp.logical_and(is_li, ((sup >> slot) & 1) == 1),
+            )
+        em_keep = jnp.logical_and(live_hit, jnp.logical_not(hit_sup))
+    else:
+        em_keep = live_hit
+    rx = rx + jnp.where(em_keep, wx * em_x, 0.0)
+    ry = ry + jnp.where(em_keep, wy * em_y, 0.0)
+    rz = rz + jnp.where(em_keep, wz * em_z, 0.0)
 
     sa, sb, sc, sd_ = _pcg4d(
         wa, wb,
@@ -1455,6 +1573,26 @@ def _binned_kernel(
     noy = hy + eps_off * nly
     noz = hz + eps_off * nlz
 
+    # ---- NEE vertex marking: surviving diffuse vertices outside the light
+    # shell flag per-slot pending bits; the shadow itself is DEFERRED to
+    # the next launch (nee_shadow_prep draws the cone direction from the
+    # offset point nox — the same point the classic kernel samples from)
+    if nee_rows:
+        new_sup = jnp.zeros(shp, jnp.int32)
+        for slot, row in enumerate(nee_rows):
+            lcx, lcy, lcz = tbl_ref[row, 0], tbl_ref[row, 1], tbl_ref[row, 2]
+            lrr = tbl_ref[row, 3]
+            vswx = lcx - nox
+            vswy = lcy - noy
+            vswz = lcz - noz
+            vd2 = vswx * vswx + vswy * vswy + vswz * vswz
+            inside = vd2 <= lrr * lrr
+            sampled = jnp.logical_and(
+                jnp.logical_and(live_hit, survive),
+                jnp.logical_and(is_diff, jnp.logical_not(inside)),
+            )
+            new_sup = new_sup | jnp.where(sampled, jnp.int32(1 << slot), 0)
+
     parent = jnp.logical_and(live_hit, survive)
     ox = jnp.where(parent, nox, ox)
     oy = jnp.where(parent, noy, oy)
@@ -1492,10 +1630,23 @@ def _binned_kernel(
     wi_(_I_SIDX, s_idx)
     wi_(_I_ALIVE, alive.astype(jnp.int32))
     wi_(_I_RAYS, nrays)
-    wi_(_I_SUP, iplane(_I_SUP))
     wi_(_I_BUDGET, budget)
     wi_(_I_PIXEL, pixel)
     wi_(_I_PEND, pend_out.astype(jnp.int32))
+    if nee_rows:
+        # sup persists to the next shading event (suppression there); neep
+        # is consumed by the resolve above, so non-final lanes clear it
+        wi_(_I_SUP, jnp.where(final, new_sup, sup))
+        wi_(_I_NEEP, jnp.where(final, new_sup, jnp.int32(0)))
+        wf_(_F_NLX, jnp.where(final, nlx, vnlx))
+        wf_(_F_NLY, jnp.where(final, nly, vnly))
+        wf_(_F_NLZ, jnp.where(final, nlz, vnlz))
+        for s, (ldx_s, ldy_s, ldz_s) in enumerate(lds):
+            wf_(_F_LD0 + 3 * s, ldx_s)
+            wf_(_F_LD0 + 3 * s + 1, ldy_s)
+            wf_(_F_LD0 + 3 * s + 2, ldz_s)
+    else:
+        wi_(_I_SUP, iplane(_I_SUP))
 
 
 @functools.partial(jax.jit, static_argnames=("config", "inflight"))
@@ -1531,6 +1682,11 @@ def regen_binned(f, i, cam_vec, config: RenderConfig, key: jax.Array,
     m1, m2 = fplane(_F_M1), fplane(_F_M2)
 
     need = jnp.logical_and(jnp.logical_not(alive), s_idx < budget - 1)
+    if config.nee_lights:
+        # a lane that died AT a diffuse vertex (max depth) still owes its
+        # deferred shadow resolution — hold it one launch (the kernel's
+        # resolve clears the bits regardless of aliveness)
+        need = jnp.logical_and(need, iplane(_I_NEEP) == 0)
     cur_lum = (rx + ry + rz) * jnp.float32(1.0 / 3.0)
     delta = cur_lum - m1
     m2 = jnp.where(need, m2 + delta * delta, m2)
@@ -1671,6 +1827,14 @@ def regen_binned(f, i, cam_vec, config: RenderConfig, key: jax.Array,
     i = jax.lax.dynamic_update_slice_in_dim(
         i, jnp.where(need, 0, pend), 8 * _I_PEND, axis=0
     )
+    if config.nee_lights:
+        # a fresh camera ray must not inherit the previous sample's
+        # suppression bits (its first light hit would be wrongly dropped —
+        # the classic kernel resets sup in its in-kernel regen block)
+        sup = iplane(_I_SUP)
+        i = jax.lax.dynamic_update_slice_in_dim(
+            i, jnp.where(need, 0, sup), 8 * _I_SUP, axis=0
+        )
     return f, i
 
 
@@ -1698,15 +1862,19 @@ def init_binned_state(config: RenderConfig, inflight: int = 1,
     if inflight & (inflight - 1):
         raise ValueError("inflight must be a power of two")
     g, n_tiles, n_cols = _binned_geometry(config, inflight, n_pix)
-    f0 = jnp.concatenate(
-        [
-            jnp.zeros((_SUB * _NF, n_cols), jnp.float32),
-            jnp.full((_SUB, n_cols), _BIG, jnp.float32),   # bt carry
-            jnp.full((_SUB, n_cols), -1.0, jnp.float32),   # bi carry
-            jnp.zeros((_SUB, n_cols), jnp.float32),        # ts frontier
-        ],
-        axis=0,
-    )
+    f_parts = [
+        jnp.zeros((_SUB * _NF, n_cols), jnp.float32),
+        jnp.full((_SUB, n_cols), _BIG, jnp.float32),   # bt carry
+        jnp.full((_SUB, n_cols), -1.0, jnp.float32),   # bi carry
+        jnp.zeros((_SUB, n_cols), jnp.float32),        # ts frontier
+    ]
+    if config.nee_lights:
+        # nl planes + one ld triple per light (read only under _I_NEEP
+        # bits, so zero-init is safe)
+        f_parts.append(jnp.zeros(
+            (_SUB * (3 + 3 * len(config.nee_lights)), n_cols), jnp.float32
+        ))
+    f0 = jnp.concatenate(f_parts, axis=0)
     # COLUMN-major lane ids: lane[r, c] = c*8 + r. A kernel tile is a
     # LANE_B-column block, so this makes tile t hold the CONTIGUOUS id
     # range [t*8192, (t+1)*8192) — one compact image block (and, with
@@ -1720,19 +1888,19 @@ def init_binned_state(config: RenderConfig, inflight: int = 1,
         + jnp.arange(n_cols, dtype=jnp.int32)[None, :] * _SUB
         + jnp.asarray(pixel_lo * inflight, jnp.int32)  # traced-ok (sharded
     )                                                  # bands pass axis_index)
-    i0 = jnp.concatenate(
-        [
-            jnp.zeros((_SUB, n_cols), jnp.int32),      # depth
-            jnp.full((_SUB, n_cols), -1, jnp.int32),   # s_idx
-            jnp.zeros((_SUB, n_cols), jnp.int32),      # alive
-            jnp.zeros((_SUB, n_cols), jnp.int32),      # rays
-            jnp.zeros((_SUB, n_cols), jnp.int32),      # budget
-            jnp.zeros((_SUB, n_cols), jnp.int32),      # sup (unused: no NEE)
-            lane,                                       # pixel identity
-            jnp.zeros((_SUB, n_cols), jnp.int32),      # pending flag
-        ],
-        axis=0,
-    )
+    i_parts = [
+        jnp.zeros((_SUB, n_cols), jnp.int32),      # depth
+        jnp.full((_SUB, n_cols), -1, jnp.int32),   # s_idx
+        jnp.zeros((_SUB, n_cols), jnp.int32),      # alive
+        jnp.zeros((_SUB, n_cols), jnp.int32),      # rays
+        jnp.zeros((_SUB, n_cols), jnp.int32),      # budget
+        jnp.zeros((_SUB, n_cols), jnp.int32),      # sup (NEE suppression)
+        lane,                                       # pixel identity
+        jnp.zeros((_SUB, n_cols), jnp.int32),      # pending flag
+    ]
+    if config.nee_lights:
+        i_parts.append(jnp.zeros((_SUB, n_cols), jnp.int32))  # neep bits
+    i0 = jnp.concatenate(i_parts, axis=0)
     return f0, i0
 
 
@@ -1811,7 +1979,7 @@ def binned_variance(f, i, config: RenderConfig, inflight: int = 1,
     jax.jit,
     static_argnames=(
         "config", "n_glob_chunks", "n_chunks", "interpret", "inflight",
-        "geo_lo", "geo_hi",
+        "geo_lo", "geo_hi", "nee_rows",
     ),
 )
 def stream_step_binned(
@@ -1830,6 +1998,7 @@ def stream_step_binned(
     inflight: int = 1,
     geo_lo: tuple = (-3e38, -3e38, -3e38),
     geo_hi: tuple = (3e38, 3e38, 3e38),
+    nee_rows: tuple = (),
 ):
     """ONE culled bounce over the whole binned stream state.
 
@@ -1860,8 +2029,10 @@ def stream_step_binned(
         inflight=inflight,
         geo_lo=geo_lo,
         geo_hi=geo_hi,
+        nee_rows=nee_rows,
     )
     s_pad = table.shape[0]
+    nf_b, ni_b = _nf_b(config), _ni_b(config)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -1870,15 +2041,15 @@ def stream_step_binned(
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # ipv
             pl.BlockSpec((s_pad, 16), lambda t, *_: (0, 0),
                          memory_space=pltpu.VMEM),                   # table
-            pl.BlockSpec((_SUB * _NF_B, _LANE_B), lambda t, *_: (0, t),
+            pl.BlockSpec((_SUB * nf_b, _LANE_B), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),                   # f
-            pl.BlockSpec((_SUB * _NI_B, _LANE_B), lambda t, *_: (0, t),
+            pl.BlockSpec((_SUB * ni_b, _LANE_B), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),                   # i
         ],
         out_specs=[
-            pl.BlockSpec((_SUB * _NF_B, _LANE_B), lambda t, *_: (0, t),
+            pl.BlockSpec((_SUB * nf_b, _LANE_B), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUB * _NI_B, _LANE_B), lambda t, *_: (0, t),
+            pl.BlockSpec((_SUB * ni_b, _LANE_B), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -1889,8 +2060,8 @@ def stream_step_binned(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((_SUB * _NF_B, n_cols), jnp.float32),
-            jax.ShapeDtypeStruct((_SUB * _NI_B, n_cols), jnp.int32),
+            jax.ShapeDtypeStruct((_SUB * nf_b, n_cols), jnp.float32),
+            jax.ShapeDtypeStruct((_SUB * ni_b, n_cols), jnp.int32),
         ],
         # aliasing saves HBM but may constrain the pipeline; the env toggle
         # exists for perf experiments

@@ -193,8 +193,22 @@ class StreamUniformProvider(PrecomputedUniformProvider):
             self._shade["lens"] = plane
         return plane[self._slot(sample_id)]
 
-    def nee(self, sample_id: int, hist: int, depth: int, slot: int):
-        raise NotImplementedError("binned/streaming NEE keying not defined")
+    def nee(self, sample_id: int, hist: int, depth: int, slot: int) -> np.ndarray:
+        if hist != 0:
+            raise NotImplementedError(
+                "streaming keying has no split-history word"
+            )
+        plane = self._shade.get(("nee", depth, slot))
+        if plane is None:
+            plane = np.asarray(
+                prng.stream_nee_uniforms(
+                    self.key, self._pix, self._ip,
+                    np.full((self.n,), depth, np.int32), slot,
+                ),
+                dtype=np.float64,
+            )
+            self._shade[("nee", depth, slot)] = plane
+        return plane[self._slot(sample_id)]
 
 
 def _norm(v):

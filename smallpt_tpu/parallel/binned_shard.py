@@ -80,8 +80,6 @@ class ShardedBinnedRenderer:
                  k_near: int | None = None, inflight: int = 1):
         if config.mode != Mode.FULL or config.split_budget != 1:
             raise ValueError("binned streaming: Mode.FULL, split_budget=1")
-        if config.nee_lights:
-            raise ValueError("sharded binned: nee_lights unsupported")
         if not isinstance(scene, SphereScene):
             raise TypeError("binned streaming renders SphereScenes")
         if inflight & (inflight - 1):
@@ -101,6 +99,13 @@ class ShardedBinnedRenderer:
         self.key = prng.base_key(seed)
         base_table = build_scene_table(scene, config)
         self.table = jnp.take(base_table, self.accel.order, axis=0)
+        # NEE light rows in the permuted table (engine/binned.py
+        # _light_rows semantics: first occurrence wins the strict-< fold)
+        order_np = np.asarray(self.accel.order)
+        self.nee_rows = tuple(
+            int(np.nonzero(order_np == li)[0][0])
+            for li in config.nee_lights
+        )
         self.cam_vec = build_camera_vec(camera, config)
         self.band = _band_pixels(config, mesh)
         self._fns = self._make_fns()
@@ -115,6 +120,7 @@ class ShardedBinnedRenderer:
     def _make_fns(self):
         config, accel, mesh = self.config, self.accel, self.mesh
         table, inflight, band = self.table, self.inflight, self.band
+        nee_rows = self.nee_rows
         state_spec = P("tile", "sample", None, None)
 
         @functools.partial(
@@ -141,8 +147,19 @@ class ShardedBinnedRenderer:
             f, i = F[0, 0], I[0, 0]
             f, i = regen_binned(f, i, cam_vec, config, key,
                                 ip_offset=ip_offset, inflight=inflight)
+            shadow_keys = None
+            if nee_rows:
+                # deferred NEE, per shard: accel tables are replicated and
+                # the prep is pure per-lane arithmetic, so the sharded
+                # bounce stays collective-free during bounces
+                f, shadow_keys = acc.nee_shadow_prep(
+                    f, i, table, config, accel, key,
+                    ip_offset=ip_offset, inflight=inflight,
+                    nee_rows=nee_rows,
+                )
             lists, stops, dcut = acc.tile_work_lists_bucketed(
-                f, i, config, accel, k_near=k_near
+                f, i, config, accel, k_near=k_near,
+                shadow_keys=shadow_keys,
             )
             f, i, rays = stream_step_binned(
                 table, config, key, f, i, lists, stops, dcut,
@@ -152,6 +169,7 @@ class ShardedBinnedRenderer:
                 inflight=inflight,
                 geo_lo=accel.geo_lo,
                 geo_hi=accel.geo_hi,
+                nee_rows=nee_rows,
             )
             rays = jax.lax.psum(jax.lax.psum(rays, "sample"), "tile")
             return f[None, None], i[None, None], rays
@@ -191,7 +209,9 @@ class ShardedBinnedRenderer:
             out_specs=P(), check_vma=False,
         )
         def pending(I):
-            both = _stream_pending_dev(I[0, 0])
+            both = _stream_pending_dev(
+                I[0, 0], has_nee=bool(nee_rows)
+            )
             return jax.lax.psum(jax.lax.psum(both, "sample"), "tile")
 
         return dict(init=init, bounce=bounce, add_budget=add_budget,
@@ -228,9 +248,12 @@ class ShardedBinnedRenderer:
 
     def flush(self) -> None:
         while True:
-            if self.pending() == (0, 0):
+            p = self.pending()
+            if p == (0, 0):
                 return
-            if self._advance(8) == 0:
+            # NEE tail: a launch resolving only deferred shadows finalizes
+            # zero rays (engine/binned.py flush semantics)
+            if self._advance(8) == 0 and self.pending() == p:
                 raise RuntimeError("sharded binned flush made no progress")
 
     def accumulators(self):

