@@ -25,6 +25,12 @@ import time
 
 import jax
 
+import os
+
+if os.environ.get("SMALLPT_TPU_BENCH_CPU"):
+    # JAX_PLATFORMS=cpu is unreliable under the axon plugin (CLAUDE.md);
+    # the config update is the dependable switch for CPU smoke runs
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_smallpt_tpu")
 # cache EVERYTHING including sub-second eager-op programs: through the
 # remote compile helper even trivial compiles cost tens of seconds when the
@@ -482,9 +488,76 @@ def cmd_brute(args):
     print(json.dumps({"metric": "brute", "rays_per_s": round(best)}))
 
 
+def cmd_crossover(args):
+    """VERDICT r2 item 5: measure classic-vs-binned at several sphere
+    counts IN ONE PROCESS (interleaved, best-of-rounds — never A/B across
+    processes on the thermally-ramping tunnel chip) so the router's
+    MEGA_MAX_SPHERES cliff can be set where the data says.
+
+    classic = the classic streaming megakernel (brute sweep of all
+    spheres, SMEM/VMEM table) — only eligible up to its table cap;
+    binned = the grid-culled fused scheduler."""
+    from smallpt_tpu.engine.streaming import StreamingRenderer
+    from smallpt_tpu.ops.megakernel import MEGA_MAX_SPHERES
+
+    counts = [int(x) for x in args.counts.split(",")]
+    config = RenderConfig(
+        width=args.width, height=args.height, spp_per_cell=1,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+        max_depth=args.depth,
+    )
+    cam = smallpt_camera()
+    runners = {}
+    for n in counts:
+        scene = procedural_sphere_scene(n)
+        variants = {}
+        if n <= MEGA_MAX_SPHERES:
+            variants["classic"] = StreamingRenderer(scene, cam, config,
+                                                    seed=0)
+        variants["binned"] = BinnedStreamingRenderer(
+            scene, cam, config, seed=0, inflight=args.inflight or None,
+        )
+        runners[n] = variants
+
+    def drive_one(r):
+        t0 = time.perf_counter()
+        if isinstance(r, StreamingRenderer):
+            r.step(n_iters=1_000_000, add_samples=args.spp)
+        else:
+            r.step(add_samples=args.spp, n_bounces=args.bounces)
+        r.flush()
+        return r.stats.rays, time.perf_counter() - t0
+
+    # compile+warm every variant first (stamped: remote compiles are slow)
+    for n, variants in runners.items():
+        for name, r in variants.items():
+            t0 = time.perf_counter()
+            drive_one(r)
+            print(f"# warm n={n} {name}: {time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr, flush=True)
+
+    best = {(n, name): 0.0 for n, vs in runners.items() for name in vs}
+    for rep in range(args.rounds):
+        for n, variants in runners.items():
+            for name, r in variants.items():
+                r.reset()
+                r.stats.rays = 0
+                r.stats.wall_s = 0.0
+                rays, dt = drive_one(r)
+                rate = rays / dt
+                best[(n, name)] = max(best[(n, name)], rate)
+                print(f"# rep{rep} n={n} {name}: {rate/1e6:.2f} M",
+                      file=sys.stderr, flush=True)
+    for (n, name), rate in sorted(best.items()):
+        print(json.dumps({"n_spheres": n, "path": name,
+                          "rays_per_s": round(rate)}))
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("cmd", choices=["stages", "e2e", "sweep", "brute", "chain", "trace"])
+    p.add_argument("cmd", choices=["stages", "e2e", "sweep", "brute",
+                                   "chain", "trace", "crossover"])
+    p.add_argument("--counts", default="512,1024,2048,4096,10000")
     p.add_argument("--n", type=int, default=10_000)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=384)
@@ -499,7 +572,8 @@ def main():
     print(f"# backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
     dict(stages=cmd_stages, e2e=cmd_e2e, sweep=cmd_sweep,
-         brute=cmd_brute, chain=cmd_chain, trace=cmd_trace)[args.cmd](args)
+         brute=cmd_brute, chain=cmd_chain, trace=cmd_trace,
+         crossover=cmd_crossover)[args.cmd](args)
 
 
 if __name__ == "__main__":
