@@ -300,6 +300,34 @@ def test_binned_dof_matches_classic_streaming():
     assert close.mean() > 0.95, close.mean()
 
 
+def test_binned_dof_oracle_replay():
+    """Path-for-path vs the f64 oracle replaying the STREAMING lens streams
+    (StreamUniformProvider.lens -> core/rng.py::stream_lens_uniforms — the
+    only coverage of that host mirror): thin-lens DoF on the binned
+    scheduler at shallow depth. Defocus moves primary hits, so razor flips
+    are more common than pinhole; the gate allows a slightly higher floor
+    with the same mean pin."""
+    from smallpt_tpu.core import rng as prng
+    from smallpt_tpu.oracle.numpy_oracle import Oracle, StreamUniformProvider
+
+    cfg = CFG.replace(max_depth=3, aperture=3.0, focal_distance=112.0)
+    r = BinnedStreamingRenderer(SCENE, smallpt_camera(), cfg, seed=0)
+    r.step(add_samples=4, n_bounces=4)
+    r.flush()
+    rad, w = map(np.asarray, r.accumulators())
+    assert (w == 4).all()
+
+    G = cfg.n_pixels
+    pixels = np.arange(G, dtype=np.int64)
+    sids = (pixels[:, None] * cfg.spp + np.arange(cfg.spp)).reshape(-1)
+    oracle = Oracle(SCENE, smallpt_camera(), cfg, StreamUniformProvider(
+        prng.base_key(0), cfg, sids))
+    ovals = oracle.render_pixels(pixels).reshape(cfg.height, cfg.width, 3)
+    rel = np.abs(rad - ovals) / (1.0 + np.abs(ovals))
+    assert (rel > 0.1).mean() <= 0.03, (rel > 0.1).mean()
+    assert abs(rad.mean() - ovals.mean()) < 0.03 * (abs(ovals.mean()) + 0.1)
+
+
 def test_binned_adaptive_budgets():
     """step_adaptive distributes per-pixel budgets through the (permuted)
     pixel plane; after flush the completed-sample weights must equal each
