@@ -56,6 +56,8 @@ def make_renderer(args, sort_every=0, n_streams=None, fused=True):
         width=args.width, height=args.height, spp_per_cell=1,
         camera_model=CameraModel.LEGACY, filter=Filter.TENT,
         max_depth=args.depth,
+        # procedural scenes embed the Cornell base; sphere 8 is the light
+        nee_lights=(8,) if getattr(args, "nee", False) else (),
     )
     scene = procedural_sphere_scene(args.n)
     return BinnedStreamingRenderer(
@@ -414,7 +416,8 @@ def cmd_e2e(args):
     _, stops, _ = acc.tile_work_lists_nosort(r.f, r.i, r.config, r.accel)
     st = np.asarray(stops)
     print(json.dumps({
-        "metric": f"binned_{args.n}sph_{args.width}x{args.height}",
+        "metric": f"binned_{args.n}sph_{args.width}x{args.height}"
+                  + ("_nee" if args.nee else ""),
         "rays_per_s": round(best[0]),
         "rays": best[1], "wall_s": round(best[2], 3),
         "sort_every": args.sort_every, "bounces": args.bounces,
@@ -568,6 +571,7 @@ def main():
     p.add_argument("--streams", type=int, default=None)
     p.add_argument("--inflight", type=int, default=None)
     p.add_argument("--bounces", type=int, default=8)
+    p.add_argument("--nee", action="store_true")
     args = p.parse_args()
     print(f"# backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)

@@ -45,9 +45,14 @@ run stages 3600 python $B stages
 # 2. end-to-end fused binned, default inflight (TPU=4), 512x384/10k
 run e2e_512 3600 python $B e2e --rounds 4
 [ "${1:-}" = quick ] && { echo quick done | tee -a "$LOG"; exit 0; }
+# 2b. per-advance trace: where the drain wall goes (pending-fetch RTTs vs
+#     bounce compute) — feeds the drain-schedule tuning (VERDICT weak 3)
+run trace 1800 python $B trace
 # 3. oversubscription sweep
 run e2e_if1 1800 python $B e2e --rounds 2 --inflight 1
 run e2e_if8 1800 python $B e2e --rounds 2 --inflight 8
+# 3b. binned NEE (round-3 feature): deferred one-launch shadows throughput
+run e2e_nee 3600 python $B e2e --rounds 2 --nee
 # 4. tuning sweep (sort_every x k_near)
 run sweep 3600 python $B sweep --rounds 2
 # 5. crossover: classic megakernel vs binned at several sphere counts
