@@ -136,10 +136,12 @@ def bench_streaming(width=1024, height=768, spp=24, warmup_s=3.0, rounds=3):
 
 
 def bench_binned(width=512, height=384, spp=4, max_depth=24, rounds=3,
-                 sort_every=2, n=10_000):
+                 sort_every=0, n=10_000):
     """BASELINE config 5 scene through the binned (grid-culled,
     distance-ordered) streaming scheduler — the acceleration-structure
-    path for big scenes."""
+    path for big scenes. sort_every=0: the r3 TPU stage table measured the
+    row-wise bin sort at 56 ms vs a 4.9 ms kernel it does not reduce
+    (pixel-block tiles stay origin-coherent), so sorting defaults OFF."""
     from smallpt_tpu.core.scene import procedural_sphere_scene
     from smallpt_tpu.engine.binned import BinnedStreamingRenderer
 
@@ -150,10 +152,13 @@ def bench_binned(width=512, height=384, spp=4, max_depth=24, rounds=3,
     )
     scene = procedural_sphere_scene(n)
     camera = smallpt_camera()
+    accel = None
 
     def one(seed):
+        nonlocal accel
         r = BinnedStreamingRenderer(scene, camera, config, seed=seed,
-                                    sort_every=sort_every)
+                                    sort_every=sort_every, accel=accel)
+        accel = r.accel
         t0 = time.perf_counter()
         r.step(add_samples=spp, n_bounces=3)
         r.flush()
