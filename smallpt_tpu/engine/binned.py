@@ -344,9 +344,12 @@ class BinnedStreamingRenderer:
 
         return bounce, shuffle
 
-    def _advance(self, n_bounces: int) -> int:
+    def _advance_dev(self, n_bounces: int):
+        """Advance n_bounces without any host fetch; returns the rays-traced
+        total as a DEVICE scalar so callers can fold it into their own
+        single fetch (each host fetch pays a full ~30 ms axon tunnel
+        round-trip)."""
         bounce, shuffle = self._bounce
-        t0 = time.perf_counter()
         rays_dev = []
         for _ in range(n_bounces):
             do_sort = (
@@ -361,11 +364,14 @@ class BinnedStreamingRenderer:
                     self.table, self.cam_vec, self.key, s.f, s.i,
                     s.ip_offset,
                 )
-                # keep counters on device: each host fetch pays a full
-                # axon tunnel round-trip (~30 ms measured)
+                # keep counters on device (see docstring)
                 rays_dev.append(rays)
             self._bounce_idx += 1
-        total = int(sum(rays_dev))
+        return sum(rays_dev)
+
+    def _advance(self, n_bounces: int) -> int:
+        t0 = time.perf_counter()
+        total = int(self._advance_dev(n_bounces))
         self.stats.rays += total
         self.stats.wall_s += time.perf_counter() - t0
         self.stats.passes += 1
@@ -478,18 +484,40 @@ class BinnedStreamingRenderer:
 
     def flush(self) -> None:
         """Drain all in-flight paths and remaining budget; afterwards
-        image() is the exact per-pixel MC estimate."""
+        image() is the exact per-pixel MC estimate.
+
+        One host fetch per drain iteration: the advance's rays-traced total
+        rides the SAME fetch as the pending counts (each fetch is a ~30 ms
+        tunnel round-trip, so the old pending-then-advance pair of fetches
+        cost as much host time as a whole 8-bounce advance computes)."""
+        has_nee = bool(self.config.nee_lights)
+        p = self.pending()
+        if p == (0, 0):
+            return
         while True:
-            p = self.pending()
-            if p == (0, 0):
+            t0 = time.perf_counter()
+            rays_d = self._advance_dev(8)
+            packed = np.asarray(jnp.concatenate([
+                jnp.asarray(rays_d, jnp.int32)[None],
+                sum(
+                    _stream_pending_dev(s.i, has_nee=has_nee)
+                    for s in self.streams
+                ),
+            ]))
+            rays, p_new = int(packed[0]), (int(packed[1]), int(packed[2]))
+            self.stats.rays += rays
+            self.stats.wall_s += time.perf_counter() - t0
+            self.stats.passes += 1
+            if p_new == (0, 0):
                 return
             # progress = rays traced OR the pending counts changed: ray
             # counts alone miss the NEE tail (a launch that only resolves
             # deferred shadows finalizes zero rays), and pending counts
             # alone can legitimately repeat (lanes die and regenerate in
             # equal numbers)
-            if self._advance(8) == 0 and self.pending() == p:
+            if rays == 0 and p_new == p:
                 raise RuntimeError("flush made no progress (paths stuck?)")
+            p = p_new
 
     def accumulators(self):
         """(radiance sums (H,W,3), completed-sample weights (H,W)), summed
