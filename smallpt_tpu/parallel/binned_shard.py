@@ -217,17 +217,22 @@ class ShardedBinnedRenderer:
         return dict(init=init, bounce=bounce, add_budget=add_budget,
                     accum=accum, pending=pending)
 
-    def _advance(self, n_bounces: int) -> int:
-        import time
-
-        t0 = time.perf_counter()
+    def _advance_dev(self, n_bounces: int):
+        """Advance without a host fetch; rays total stays a device scalar
+        (engine/binned.py::_advance_dev semantics)."""
         rays_dev = []
         for _ in range(n_bounces):
             self.F, self.I, rays = self._fns["bounce"](
                 self.F, self.I, self.cam_vec, self.key, self.k_near
             )
             rays_dev.append(rays)
-        total = int(sum(rays_dev))  # ONE fetch closes the step
+        return sum(rays_dev)
+
+    def _advance(self, n_bounces: int) -> int:
+        import time
+
+        t0 = time.perf_counter()
+        total = int(self._advance_dev(n_bounces))  # ONE fetch closes the step
         self.stats.rays += total
         self.stats.wall_s += time.perf_counter() - t0
         self.stats.passes += 1
@@ -247,14 +252,31 @@ class ShardedBinnedRenderer:
         return (int(both[0]), int(both[1]))
 
     def flush(self) -> None:
+        """One host fetch per drain iteration: the rays total rides the
+        same fetch as the pending counts (engine/binned.py::flush)."""
+        import time
+
+        p = self.pending()
+        if p == (0, 0):
+            return
         while True:
-            p = self.pending()
-            if p == (0, 0):
+            t0 = time.perf_counter()
+            rays_d = self._advance_dev(8)
+            packed = np.asarray(jnp.concatenate([
+                jnp.asarray(rays_d, jnp.int32)[None],
+                self._fns["pending"](self.I),
+            ]))
+            rays, p_new = int(packed[0]), (int(packed[1]), int(packed[2]))
+            self.stats.rays += rays
+            self.stats.wall_s += time.perf_counter() - t0
+            self.stats.passes += 1
+            if p_new == (0, 0):
                 return
             # NEE tail: a launch resolving only deferred shadows finalizes
             # zero rays (engine/binned.py flush semantics)
-            if self._advance(8) == 0 and self.pending() == p:
+            if rays == 0 and p_new == p:
                 raise RuntimeError("sharded binned flush made no progress")
+            p = p_new
 
     def accumulators(self):
         return self._fns["accum"](self.F, self.I)
