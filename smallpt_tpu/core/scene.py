@@ -257,6 +257,76 @@ def mesh_scene_from_spheres(
     )
 
 
+def procedural_mesh_scene(
+    n_balls: int = 500,
+    seed: int = 0,
+    subdiv_longitude: int = 4,
+    dtype=jnp.float32,
+) -> MeshScene:
+    """Large procedural TRIANGLE scene for the mesh acceleration path
+    (ops/mesh_accel.py) — the mesh analog of procedural_sphere_scene.
+
+    The Cornell interior is bounded by QUAD walls (2 triangles per face,
+    exactly on the planes the 1e5-radius wall spheres define: x=1, x=99,
+    y=0, y=81.6, z=0, z=170) plus a ceiling light quad, instead of
+    tessellating the giant spheres — 14 wall-class triangles land in the
+    accel's always-swept global block (one chunk) where 8 tessellated
+    walls would contribute thousands. Balls are lat/long tessellations
+    (make_sphere_tri_mesh) scattered in the same volume / radius / BSDF
+    mix as the sphere variant.
+
+    Default size: 500 balls x 64 tris = ~32k triangles — 100x the brute
+    Cornell mesh workload, with a VMEM-resident table (~2 MB)."""
+    rng = np.random.default_rng(seed)
+    wall_mats = [
+        ((0, 0, 0), (0.75, 0.25, 0.25), DIFF),   # left  x=1
+        ((0, 0, 0), (0.25, 0.25, 0.75), DIFF),   # right x=99
+        ((0, 0, 0), (0.75, 0.75, 0.75), DIFF),   # back  z=0
+        ((0, 0, 0), (0, 0, 0), DIFF),            # front z=170
+        ((0, 0, 0), (0.75, 0.75, 0.75), DIFF),   # floor y=0
+        ((0, 0, 0), (0.75, 0.75, 0.75), DIFF),   # ceil  y=81.6
+        ((12, 12, 12), (0, 0, 0), DIFF),         # light quad
+    ]
+
+    def quad(p0, p1, p2, p3, normal):
+        pos = np.asarray([p0, p1, p2, p3], np.float64)
+        nrm = np.tile(np.asarray(normal, np.float64), (4, 1))
+        idx = np.asarray([[0, 1, 2], [0, 2, 3]], np.int64)
+        return pos, nrm, idx
+
+    x0, x1, y0, y1, z0, z1 = 1.0, 99.0, 0.0, 81.6, 0.0, 170.0
+    instances = [
+        (*quad((x0, y0, z0), (x0, y0, z1), (x0, y1, z1), (x0, y1, z0),
+               (1, 0, 0)), None, wall_mats[0]),
+        (*quad((x1, y0, z0), (x1, y1, z0), (x1, y1, z1), (x1, y0, z1),
+               (-1, 0, 0)), None, wall_mats[1]),
+        (*quad((x0, y0, z0), (x0, y1, z0), (x1, y1, z0), (x1, y0, z0),
+               (0, 0, 1)), None, wall_mats[2]),
+        (*quad((x0, y0, z1), (x1, y0, z1), (x1, y1, z1), (x0, y1, z1),
+               (0, 0, -1)), None, wall_mats[3]),
+        (*quad((x0, y0, z0), (x1, y0, z0), (x1, y0, z1), (x0, y0, z1),
+               (0, 1, 0)), None, wall_mats[4]),
+        (*quad((x0, y1, z0), (x0, y1, z1), (x1, y1, z1), (x1, y1, z0),
+               (0, -1, 0)), None, wall_mats[5]),
+        (*quad((35, y1 - 0.02, 66.6), (35, y1 - 0.02, 96.6),
+               (65, y1 - 0.02, 96.6), (65, y1 - 0.02, 66.6),
+               (0, -1, 0)), None, wall_mats[6]),
+    ]
+
+    centers = rng.uniform([5, 5, 20], [95, 75, 150], size=(n_balls, 3))
+    radii = rng.uniform(0.4, 1.6, size=(n_balls,))
+    albedo = rng.uniform(0.2, 0.95, size=(n_balls, 3))
+    refl = rng.choice([DIFF, SPEC, REFR], p=[0.8, 0.1, 0.1], size=(n_balls,))
+    for b in range(n_balls):
+        p, nn, t = make_sphere_tri_mesh(
+            centers[b], float(radii[b]), subdiv_longitude
+        )
+        instances.append(
+            (p, nn, t, None, ((0, 0, 0), tuple(albedo[b]), int(refl[b])))
+        )
+    return make_instanced_mesh_scene(instances, dtype=dtype)
+
+
 def transform_points(t34, p):
     """Apply a (3,4) affine transform to (N,3) points (row-vector form)."""
     t34 = np.asarray(t34, np.float64)

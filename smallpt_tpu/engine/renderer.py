@@ -14,6 +14,7 @@ which keeps accumulation exact.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,13 +27,19 @@ from smallpt_tpu.ops import intersect as isect
 from smallpt_tpu.ops import wavefront
 
 
-def make_intersect_fn(scene, config: RenderConfig, differentiable: bool = False):
+def make_intersect_fn(scene, config: RenderConfig, differentiable: bool = False,
+                      mesh_accel=None):
     """Backend selection — the ``using Intersector = ...`` switch
     (smallpt.cpp:605), at runtime instead of compile time.
 
     differentiable + PALLAS selects the hybrid: Mosaic kernel winner search
     (non-differentiable, fast) + per-lane differentiable replay of the hit
-    equation (ops/intersect_pallas.py::intersect_spheres_hybrid_diff)."""
+    equation (ops/intersect_pallas.py::intersect_spheres_hybrid_diff).
+
+    ``mesh_accel``: a pre-built MeshGridAccel for big mesh scenes. Under a
+    jit trace the scene arrays are tracers and the accel cannot be built
+    here — render()/render_with_stats() build it eagerly and thread it
+    through (it is a registered pytree); eager callers may omit it."""
     if isinstance(scene, SphereScene):
         if config.intersector == Intersector.PALLAS:
             if differentiable:
@@ -59,6 +66,13 @@ def make_intersect_fn(scene, config: RenderConfig, differentiable: bool = False)
         )
     elif isinstance(scene, MeshScene):
         if config.intersector == Intersector.PALLAS:
+            accel = mesh_accel if mesh_accel is not None else _mesh_accel_for(scene)
+            if accel is not None:
+                from smallpt_tpu.ops.mesh_pallas import intersect_mesh_culled
+
+                return lambda o, d: intersect_mesh_culled(
+                    o, d, scene, accel, eps=0.0
+                )
             from smallpt_tpu.ops.mesh_pallas import intersect_mesh_pallas
 
             return lambda o, d: intersect_mesh_pallas(o, d, scene, eps=0.0)
@@ -66,6 +80,55 @@ def make_intersect_fn(scene, config: RenderConfig, differentiable: bool = False)
             o, d, scene, eps=0.0, chunk=config.prim_chunk
         )
     raise TypeError(f"unknown scene type {type(scene)}")
+
+
+# Triangle count above which mesh scenes route through the grid-culled
+# sweep (ops/mesh_accel.py) — below it the brute sweep's VMEM table walk
+# is already cheap and the list-build glue doesn't pay.
+MESH_ACCEL_MIN_TRIS = int(
+    os.environ.get("SMALLPT_TPU_MESH_ACCEL_MIN", "4096")
+)
+_MESH_ACCEL_CACHE: dict = {}
+
+
+def _mesh_accel_for(scene: MeshScene):
+    """MeshGridAccel for big concrete mesh scenes, else None (brute).
+
+    Mirrors the sphere-path _ACCEL_CACHE discipline: keyed by the identity
+    of BOTH geometry arrays via weakrefs (ADVICE r2: a same-id reuse with
+    different geometry would make reach masks non-conservative), LRU
+    capped, tracers and unsupported shapes fall through to the brute
+    sweep."""
+    import weakref
+
+    if isinstance(scene.positions, jax.core.Tracer) or isinstance(
+        scene.indices, jax.core.Tracer
+    ):
+        return None
+    if scene.n_triangles < MESH_ACCEL_MIN_TRIS:
+        return None
+    cache_key = (id(scene.positions), id(scene.indices))
+    cached = _MESH_ACCEL_CACHE.get(cache_key)
+    if cached is not None:
+        ref_p, ref_i, acc_obj = cached
+        if ref_p() is scene.positions and ref_i() is scene.indices:
+            _MESH_ACCEL_CACHE[cache_key] = _MESH_ACCEL_CACHE.pop(cache_key)
+            return acc_obj
+    from smallpt_tpu.ops.mesh_accel import build_mesh_grid_accel
+
+    try:
+        accel = build_mesh_grid_accel(scene)
+    except ValueError:
+        return None
+    try:
+        _MESH_ACCEL_CACHE[cache_key] = (
+            weakref.ref(scene.positions), weakref.ref(scene.indices), accel,
+        )
+        while len(_MESH_ACCEL_CACHE) > _ACCEL_CACHE_MAX:
+            _MESH_ACCEL_CACHE.pop(next(iter(_MESH_ACCEL_CACHE)))
+    except TypeError:
+        pass
+    return accel
 
 
 def render_samples(
@@ -80,6 +143,7 @@ def render_samples(
     cell_y: jnp.ndarray,
     differentiable: bool = False,
     return_stats: bool = False,
+    mesh_accel=None,
 ):
     """Render an arbitrary flat batch of camera samples.
 
@@ -103,7 +167,8 @@ def render_samples(
         if config.split_budget == 1
         else jnp.repeat(sample_ids, config.split_budget, axis=0)
     )
-    intersect_fn = make_intersect_fn(scene, config, differentiable)
+    intersect_fn = make_intersect_fn(scene, config, differentiable,
+                                     mesh_accel=mesh_accel)
     nee_scene = _nee_scene_for(scene, config)
     final, rays = wavefront.run_wavefront(
         state,
@@ -133,10 +198,11 @@ def render_pixels(
     row: jnp.ndarray,
     ip_offset,
     k_samples: int,
+    mesh_accel=None,
 ):
     """Regenerative-scheduler core: one lane per pixel consuming k_samples
     sequentially. Returns (per-pixel radiance (G,3), rays_traced)."""
-    intersect_fn = make_intersect_fn(scene, config)
+    intersect_fn = make_intersect_fn(scene, config, mesh_accel=mesh_accel)
     nee_scene = _nee_scene_for(scene, config)
     return wavefront.run_wavefront_regen(
         camera, intersect_fn, scene.material, config, key,
@@ -278,12 +344,22 @@ def render(
             return img
         except AccelUnsupported:
             pass  # e.g. all-small-sphere open scene: brute fallback below
-    return _render_jit(scene, camera, config, key, differentiable)
+    mesh_accel = _render_mesh_accel(scene, config)
+    return _render_jit(scene, camera, config, key, differentiable, mesh_accel)
+
+
+def _render_mesh_accel(scene, config: RenderConfig):
+    """Eager-side accel build for the jitted render paths (inside the trace
+    the scene arrays are tracers, so _mesh_accel_for would no-op there)."""
+    if isinstance(scene, MeshScene) and config.intersector == Intersector.PALLAS:
+        return _mesh_accel_for(scene)
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("config", "differentiable"))
 def _render_jit(
-    scene, camera, config: RenderConfig, key: jax.Array, differentiable: bool = False
+    scene, camera, config: RenderConfig, key: jax.Array,
+    differentiable: bool = False, mesh_accel=None,
 ) -> jnp.ndarray:
     if _use_mega(scene, config, differentiable):
         from smallpt_tpu.ops.megakernel import render_pass_megakernel
@@ -295,12 +371,14 @@ def _render_jit(
         col = pixel % config.width
         row = pixel // config.width
         rad, _ = render_pixels(
-            scene, camera, config, key, pixel, col, row, 0, config.spp
+            scene, camera, config, key, pixel, col, row, 0, config.spp,
+            mesh_accel=mesh_accel,
         )
         return rad.reshape(config.height, config.width, 3)
     sample_ids, pixel, col, row, cx, cy = cam.sample_indices(config, config.n_pixels)
     rad = render_samples(
-        scene, camera, config, key, sample_ids, col, row, cx, cy, differentiable
+        scene, camera, config, key, sample_ids, col, row, cx, cy, differentiable,
+        mesh_accel=mesh_accel,
     )
     img = rad.reshape(config.n_pixels, config.spp, 3).sum(axis=1)
     return img.reshape(config.height, config.width, 3)
@@ -316,11 +394,14 @@ def render_with_stats(scene, camera, config: RenderConfig, key: jax.Array):
             return _render_binned_drain(scene, camera, config, key)
         except AccelUnsupported:
             pass
-    return _render_with_stats_jit(scene, camera, config, key)
+    return _render_with_stats_jit(
+        scene, camera, config, key, _render_mesh_accel(scene, config)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _render_with_stats_jit(scene, camera, config: RenderConfig, key: jax.Array):
+def _render_with_stats_jit(scene, camera, config: RenderConfig, key: jax.Array,
+                           mesh_accel=None):
     if _use_mega(scene, config, False):
         from smallpt_tpu.ops.megakernel import render_pass_megakernel
 
@@ -330,13 +411,14 @@ def _render_with_stats_jit(scene, camera, config: RenderConfig, key: jax.Array):
         col = pixel % config.width
         row = pixel // config.width
         rad, rays = render_pixels(
-            scene, camera, config, key, pixel, col, row, 0, config.spp
+            scene, camera, config, key, pixel, col, row, 0, config.spp,
+            mesh_accel=mesh_accel,
         )
         return rad.reshape(config.height, config.width, 3), rays
     sample_ids, pixel, col, row, cx, cy = cam.sample_indices(config, config.n_pixels)
     rad, rays = render_samples(
         scene, camera, config, key, sample_ids, col, row, cx, cy,
-        return_stats=True,
+        return_stats=True, mesh_accel=mesh_accel,
     )
     img = rad.reshape(config.n_pixels, config.spp, 3).sum(axis=1)
     return img.reshape(config.height, config.width, 3), rays

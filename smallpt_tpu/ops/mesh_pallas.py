@@ -153,6 +153,176 @@ def _closest_tri(org_t, dir_t, table, n_chunks, eps, interpret=False):
     return t[0], i[0], u[0], v[0]
 
 
+def _mesh_culled_kernel(stp_ref, lst_ref, org_ref, dir_ref, tbl_ref,
+                        t_ref, i_ref, u_ref, v_ref,
+                        *, n_glob_chunks, n_chunks, eps):
+    """Grid-culled closest-hit: global chunks + this tile's listed chunks.
+
+    stp_ref (T,) int32 scalar-prefetch: list entries to sweep (-1 => all
+    local chunks — list overflow); lst_ref (T, l_max) int32: reachable
+    chunk ids, ascending. tbl_ref rows are mesh_accel's reordered table
+    (global block first); chunk c occupies rows [c*CHUNK_T, (c+1)*CHUNK_T).
+    The per-chunk math is the brute _mesh_kernel body (iq's formulation)
+    at CHUNK_T rows, so the winner fold is order-compatible with the brute
+    sweep over the same reordered table."""
+    from smallpt_tpu.ops.mesh_accel import CHUNK_T
+
+    t = pl.program_id(0)
+    ox = org_ref[0:1, :]
+    oy = org_ref[1:2, :]
+    oz = org_ref[2:3, :]
+    dx = dir_ref[0:1, :]
+    dy = dir_ref[1:2, :]
+    dz = dir_ref[2:3, :]
+
+    def chunk_body(cid, carry):
+        bt, bi, bu, bv = carry
+        tbl = tbl_ref[pl.ds(cid * CHUNK_T, CHUNK_T), :]  # (TC, 16)
+        v0x, v0y, v0z = tbl[:, 0:1], tbl[:, 1:2], tbl[:, 2:3]
+        e1x, e1y, e1z = tbl[:, 3:4], tbl[:, 4:5], tbl[:, 5:6]
+        e2x, e2y, e2z = tbl[:, 6:7], tbl[:, 7:8], tbl[:, 8:9]
+        nx, ny, nz = tbl[:, 9:10], tbl[:, 10:11], tbl[:, 11:12]
+        valid = tbl[:, 12:13] > 0.5
+
+        rx = ox - v0x
+        ry = oy - v0y
+        rz = oz - v0z
+        qx = ry * dz - rz * dy
+        qy = rz * dx - rx * dz
+        qz = rx * dy - ry * dx
+        dn = dx * nx + dy * ny + dz * nz
+        inv = 1.0 / jnp.where(dn == 0.0, 1.0, dn)
+        u = -(qx * e2x + qy * e2y + qz * e2z) * inv
+        v = (qx * e1x + qy * e1y + qz * e1z) * inv
+        tt = -(nx * rx + ny * ry + nz * rz) * inv
+        inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & ((u + v) <= 1.0)
+        tt = jnp.where(inside & valid & (dn != 0.0) & (tt > eps), tt, _BIG)
+
+        tmin = jnp.min(tt, axis=0, keepdims=True)
+        srow = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+        winner = tt <= tmin
+        idx = jnp.min(
+            jnp.where(winner, srow, jnp.int32(0x7FFFFFFF)),
+            axis=0, keepdims=True,
+        )
+        first = winner & (srow == idx)
+        usel = jnp.sum(jnp.where(first, u, 0.0), axis=0, keepdims=True)
+        vsel = jnp.sum(jnp.where(first, v, 0.0), axis=0, keepdims=True)
+        better = tmin < bt
+        return (
+            jnp.where(better, tmin, bt),
+            jnp.where(better, idx + cid * CHUNK_T, bi),
+            jnp.where(better, usel, bu),
+            jnp.where(better, vsel, bv),
+        )
+
+    stop = stp_ref[t]
+    full_sweep = stop < 0
+    n_eff = jnp.where(full_sweep, n_chunks, stop)
+    l_max = lst_ref.shape[1]
+
+    def local_cid(j):
+        # jnp.where evaluates both branches: clamp the (discarded) list
+        # read on full sweeps — an unclamped SMEM read past the buffer is
+        # UB on Mosaic (ADVICE r2 on the sphere binned kernel)
+        return n_glob_chunks + jnp.where(
+            full_sweep, j, lst_ref[t, jnp.minimum(j, l_max - 1)]
+        )
+
+    init = (
+        jnp.full((1, _RAY_TILE), _BIG, jnp.float32),
+        jnp.zeros((1, _RAY_TILE), jnp.int32),
+        jnp.zeros((1, _RAY_TILE), jnp.float32),
+        jnp.zeros((1, _RAY_TILE), jnp.float32),
+    )
+    carry = jax.lax.fori_loop(
+        0, n_glob_chunks, lambda c, cr: chunk_body(c, cr), init
+    )
+    bt, bi, bu, bv = jax.lax.fori_loop(
+        0, n_eff, lambda j, cr: chunk_body(local_cid(j), cr), carry
+    )
+    t_ref[:, :] = bt
+    i_ref[:, :] = bi
+    u_ref[:, :] = bu
+    v_ref[:, :] = bv
+
+
+def intersect_mesh_culled(
+    org: jnp.ndarray,
+    dirs: jnp.ndarray,
+    scene: MeshScene,
+    accel,
+    eps: float = 0.0,
+    interpret: bool | None = None,
+) -> Hit:
+    """Grid-culled closest triangle hit — the accelerated traceRays
+    (OptixIntersector's BVH query slot, smallpt.cpp:578-582), drop-in for
+    intersect_mesh_pallas. ``accel`` is a mesh_accel.MeshGridAccel built
+    once per mesh; per call this computes per-tile reachable-chunk lists
+    in XLA (sort-free) and sweeps global + listed chunks in the kernel.
+    Conservative reach masks guarantee the same closest hit as the brute
+    sweep (tests pin exact equality)."""
+    from smallpt_tpu.ops.mesh_accel import CHUNK_T, RAY_TILE, mesh_tile_lists
+
+    assert RAY_TILE == _RAY_TILE
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = org.shape[0]
+    n_pad = -(-n // _RAY_TILE) * _RAY_TILE
+    org_t = (
+        jnp.zeros((3, n_pad), jnp.float32)
+        .at[:, :n].set(org.astype(jnp.float32).T)
+    )
+    dir_t = (
+        jnp.zeros((3, n_pad), jnp.float32)
+        .at[0, :].set(1.0)
+        .at[:, :n].set(dirs.astype(jnp.float32).T)
+    )
+    valid = jnp.arange(n_pad, dtype=jnp.int32) < n
+    lists, stops = mesh_tile_lists(org_t, dir_t, valid, accel)
+
+    table = accel.table
+    t_pad = table.shape[0]
+    kernel = functools.partial(
+        _mesh_culled_kernel,
+        n_glob_chunks=accel.n_glob_chunks,
+        n_chunks=accel.n_chunks,
+        eps=float(eps),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pad // _RAY_TILE,),
+        in_specs=[
+            pl.BlockSpec((3, _RAY_TILE), lambda g, *_: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, _RAY_TILE), lambda g, *_: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_pad, 16), lambda g, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _RAY_TILE), lambda g, *_: (0, g),
+                         memory_space=pltpu.VMEM)
+        ] * 4,
+    )
+    t, i, u, v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(stops, lists, org_t, dir_t, table)
+    t, i, u, v = t[0, :n], i[0, :n], u[0, :n], v[0, :n]
+    bi = jnp.take(accel.order, jnp.clip(i, 0, accel.order.shape[0] - 1))
+    t = jnp.where(t >= _BIG, jnp.inf, t).astype(org.dtype)
+    return complete_mesh_hit(scene, t, bi, u.astype(org.dtype),
+                             v.astype(org.dtype))
+
+
 def intersect_mesh_pallas(
     org: jnp.ndarray,
     dirs: jnp.ndarray,

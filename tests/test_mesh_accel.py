@@ -1,0 +1,226 @@
+"""Grid-culled triangle acceleration (ops/mesh_accel.py) vs the brute sweep.
+
+The reference's accelerated backend is first a triangle-mesh BVH
+(rtpModelCreate over index/vertex buffers, /root/reference/smallpt.cpp:489-516,
+queried CLOSEST at :578-582). The TPU rebuild cullls with conservative
+grid reach masks instead; the contract is EXACT closest-hit equality with
+the brute sweep — conservatism means culling may only drop chunks no ray
+in the tile can reach.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from smallpt_tpu.core.scene import procedural_mesh_scene
+from smallpt_tpu.ops.mesh_accel import (
+    CHUNK_T,
+    build_mesh_grid_accel,
+    mesh_tile_lists,
+)
+from smallpt_tpu.ops.mesh_pallas import (
+    intersect_mesh_culled,
+    intersect_mesh_pallas,
+)
+
+
+@pytest.fixture(scope="module")
+def small_mesh():
+    # 60 balls x 64 tris + 14 wall/light tris = ~3.9k triangles
+    return procedural_mesh_scene(n_balls=60, seed=3)
+
+
+@pytest.fixture(scope="module")
+def small_accel(small_mesh):
+    return build_mesh_grid_accel(small_mesh)
+
+
+def _rand_rays(n, seed, lo=(5, 5, 25), hi=(95, 75, 145)):
+    rng = np.random.default_rng(seed)
+    org = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(org), jnp.asarray(d, jnp.float32)
+
+
+def _camera_like_rays(n, seed):
+    """Coherent bundle: one origin cell, cone of directions (the layout
+    real tiles have — exercises the narrow-interval cull path)."""
+    rng = np.random.default_rng(seed)
+    org = (
+        np.asarray([50.0, 52.0, 155.0], np.float32)
+        + rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    )
+    d = np.asarray([0.0, -0.04, -1.0]) + rng.uniform(-0.08, 0.08, (n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(org), jnp.asarray(d, jnp.float32)
+
+
+def test_build_shapes(small_mesh, small_accel):
+    acc = small_accel
+    assert acc.table.shape[0] == (acc.n_glob_chunks + acc.n_chunks) * CHUNK_T
+    assert acc.table.shape == (acc.order.shape[0], 16)
+    # wall/light quads are global; every ball triangle is local
+    assert acc.n_glob_chunks == 1
+    assert acc.n_chunks * CHUNK_T >= small_mesh.n_triangles - 14
+    assert acc.masks.shape == (acc.n_bins, acc.n_chunks)
+    # padding rows never valid
+    tbl = np.asarray(acc.table)
+    n_real = small_mesh.n_triangles
+    assert (np.asarray(acc.order) < n_real).all()
+
+
+@pytest.mark.parametrize("rays", ["random", "coherent", "surface"])
+def test_culled_equals_brute(small_mesh, small_accel, rays):
+    if rays == "random":
+        org, d = _rand_rays(2048, 11)
+    elif rays == "coherent":
+        org, d = _camera_like_rays(2048, 12)
+    else:
+        # origins ON ball surfaces (bounce rays): take brute hits of a
+        # coherent bundle and respawn from the hit points
+        org0, d0 = _camera_like_rays(2048, 13)
+        h = intersect_mesh_pallas(org0, d0, small_mesh)
+        tt = jnp.where(jnp.isfinite(h.t), h.t, 1.0)[:, None]
+        org = org0 + d0 * tt * 0.999
+        rng = np.random.default_rng(14)
+        d = rng.normal(size=(2048, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d, jnp.float32)
+    a = intersect_mesh_pallas(org, d, small_mesh)
+    b = intersect_mesh_culled(org, d, small_mesh, small_accel)
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    hit = np.isfinite(np.asarray(a.t))
+    np.testing.assert_array_equal(
+        np.asarray(a.prim)[hit], np.asarray(b.prim)[hit]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.uv)[hit], np.asarray(b.uv)[hit]
+    )
+    assert hit.sum() > 1000  # closed scene: nearly everything hits
+
+
+def test_lists_conservative(small_mesh, small_accel):
+    """Every chunk containing any ray's true winner must be listed (or the
+    tile must be in full-sweep overflow)."""
+    acc = small_accel
+    org, d = _camera_like_rays(1024, 21)
+    n_pad = 1024
+    org_t = org.astype(jnp.float32).T
+    dir_t = d.astype(jnp.float32).T
+    valid = jnp.ones(n_pad, bool)
+    lists, stops = mesh_tile_lists(org_t, dir_t, valid, acc)
+    lists, stops = np.asarray(lists), np.asarray(stops)
+    h = intersect_mesh_culled(org, d, small_mesh, acc)
+    # map winner tri id -> table row -> local chunk
+    order = np.asarray(acc.order)
+    prim = np.asarray(h.prim)
+    tfin = np.isfinite(np.asarray(h.t))
+    rows = np.full(order.max() + 1, -1)
+    rows[order[::-1]] = np.arange(order.shape[0])[::-1]  # first row wins
+    for k in np.nonzero(tfin)[0]:
+        row = rows[prim[k]]
+        chunk = row // CHUNK_T - acc.n_glob_chunks
+        if chunk < 0:
+            continue  # global block: always swept
+        if stops[0] < 0:
+            continue  # overflow: full sweep
+        assert chunk in lists[0, : stops[0]]
+
+
+def test_coherent_tiles_cull(small_accel):
+    """Camera-like tiles must reach a strict subset of chunks. The static
+    cut is modest by geometry (a cone from the box rear spans most of the
+    interior by the far wall — measured 56% reach for ONE dir bin); the
+    real pair reduction comes from the distance-ordered early exit, which
+    test_culled_equals_brute covers for correctness."""
+    acc = small_accel
+    org, d = _camera_like_rays(1024, 31)
+    lists, stops = mesh_tile_lists(
+        org.astype(jnp.float32).T, d.astype(jnp.float32).T,
+        jnp.ones(1024, bool), acc,
+    )
+    stop = int(stops[0])
+    assert 0 < stop < acc.n_chunks
+
+
+def test_renderer_routes_and_matches(small_mesh):
+    """render() through the PALLAS intersector picks the accel for big
+    meshes and produces the identical image to the brute path."""
+    from smallpt_tpu.config import (
+        CameraModel, RenderConfig, Intersector, Scheduler,
+    )
+    from smallpt_tpu.core.camera import smallpt_camera
+    from smallpt_tpu.engine import renderer as R
+
+    cam = smallpt_camera()
+    key = jax.random.key(7)
+    # width 36: a shape no other test renders, so _render_jit must trace
+    # fresh here (the culled-call counter only fires at trace time)
+    cfg = RenderConfig(
+        width=36, height=24, spp_per_cell=1, max_depth=3,
+        camera_model=CameraModel.LEGACY,
+        intersector=Intersector.PALLAS, scheduler=Scheduler.FLAT,
+    )
+    import smallpt_tpu.ops.mesh_pallas as mp
+
+    calls = {"culled": 0}
+    orig = mp.intersect_mesh_culled
+
+    def counting(*a, **k):
+        calls["culled"] += 1
+        return orig(*a, **k)
+
+    old = R.MESH_ACCEL_MIN_TRIS
+    try:
+        mp.intersect_mesh_culled = counting
+        R.MESH_ACCEL_MIN_TRIS = 1 << 30  # force brute
+        R._MESH_ACCEL_CACHE.clear()
+        img_brute = R.render(small_mesh, cam, cfg, key)
+        assert calls["culled"] == 0
+        R.MESH_ACCEL_MIN_TRIS = 1  # force accel
+        R._MESH_ACCEL_CACHE.clear()
+        img_accel = R.render(small_mesh, cam, cfg, key)
+        # the culled kernel must ACTUALLY run through render() — building
+        # the accel inside the jit trace silently no-ops (tracer guard),
+        # which this pins against (found live: r3)
+        assert calls["culled"] > 0
+        assert len(R._MESH_ACCEL_CACHE) == 1
+    finally:
+        mp.intersect_mesh_culled = orig
+        R.MESH_ACCEL_MIN_TRIS = old
+        R._MESH_ACCEL_CACHE.clear()
+    np.testing.assert_array_equal(
+        np.asarray(img_brute), np.asarray(img_accel)
+    )
+    assert float(jnp.max(img_accel)) > 0.0
+
+
+def test_cache_rejects_stale_geometry(small_mesh):
+    """Same-id reuse with different geometry must rebuild (ADVICE r2)."""
+    from smallpt_tpu.engine import renderer as R
+
+    old = R.MESH_ACCEL_MIN_TRIS
+    try:
+        R.MESH_ACCEL_MIN_TRIS = 1
+        R._MESH_ACCEL_CACHE.clear()
+        a1 = R._mesh_accel_for(small_mesh)
+        assert a1 is not None
+        assert R._mesh_accel_for(small_mesh) is a1  # hit
+        moved = small_mesh._replace(
+            positions=small_mesh.positions + 1.0
+        )
+        a2 = R._mesh_accel_for(moved)
+        assert a2 is not None and a2 is not a1
+    finally:
+        R.MESH_ACCEL_MIN_TRIS = old
+        R._MESH_ACCEL_CACHE.clear()
+
+
+def test_small_and_traced_fall_through():
+    from smallpt_tpu.core.scene import single_triangle_scene
+    from smallpt_tpu.engine import renderer as R
+
+    tiny = single_triangle_scene()
+    assert R._mesh_accel_for(tiny) is None  # below min-tris threshold
