@@ -261,6 +261,7 @@ def procedural_mesh_scene(
     n_balls: int = 500,
     seed: int = 0,
     subdiv_longitude: int = 4,
+    radius_range: tuple = (0.4, 1.6),
     dtype=jnp.float32,
 ) -> MeshScene:
     """Large procedural TRIANGLE scene for the mesh acceleration path
@@ -314,7 +315,7 @@ def procedural_mesh_scene(
     ]
 
     centers = rng.uniform([5, 5, 20], [95, 75, 150], size=(n_balls, 3))
-    radii = rng.uniform(0.4, 1.6, size=(n_balls,))
+    radii = rng.uniform(radius_range[0], radius_range[1], size=(n_balls,))
     albedo = rng.uniform(0.2, 0.95, size=(n_balls, 3))
     refl = rng.choice([DIFF, SPEC, REFR], p=[0.8, 0.1, 0.1], size=(n_balls,))
     for b in range(n_balls):

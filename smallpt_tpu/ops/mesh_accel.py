@@ -19,21 +19,23 @@ chunk AABBs:
    not reimplemented).
 3. **Per-tile chunk lists**: each 1024-ray kernel tile takes sub-block
    bin-key intervals over its rays, unions the reach masks with one bf16
-   matmul, and compacts the reachable chunk ids (ascending — sort-free
-   one-hot cumsum, the fused-program idiom from accel.py) into a
-   fixed-capacity list.
-4. **Culled sweep** (ops/mesh_pallas.py::intersect_mesh_culled): global
-   chunks plus ONLY the listed chunks — the pair-count reduction the BVH
-   provides, at tile granularity, with closest-hit semantics identical to
-   the brute sweep (ascending chunk order makes the winner fold
-   order-compatible; conservatism means no reachable chunk is ever
-   dropped).
+   matmul, and compacts the reachable chunk ids into a fixed-capacity
+   list in (distance bucket, id) order — sort/argsort/scatter-free
+   (the accel.py one-hot cumsum ranking), with a per-slot conservative
+   lower bound on every remaining chunk's distance.
+4. **Culled, distance-ordered sweep with tile-level early exit**
+   (ops/mesh_pallas.py::intersect_mesh_culled): global chunks plus the
+   listed chunks nearest-first; the tile stops sweeping once every lane's
+   best hit is strictly below the bound on all remaining chunks. The
+   winner fold tie-breaks equal t on the ORIGINAL triangle id, so the
+   result is bit-identical to the brute ascending sweep for ANY order
+   (conservatism means no winning chunk is ever dropped or exited past).
 
-Unlike the streaming binned scheduler there is no distance ordering or
-pending-lane marching here: the per-pass mesh path resolves every ray's
-exact closest hit in ONE kernel launch (sweeping the full reachable set),
-so it composes with every scheduler feature automatically — NEE shadow
-rays, DoF, split lanes all just call intersect_fn.
+Unlike the streaming binned scheduler there is no pending-lane marching
+or cross-launch carry here: the per-pass mesh path resolves every ray's
+exact closest hit in ONE kernel launch, so it composes with every
+scheduler feature automatically — NEE shadow rays, DoF, split lanes all
+just call intersect_fn.
 """
 
 from __future__ import annotations
@@ -69,7 +71,9 @@ GLOBAL_TRI_EXTENT = 50.0
 @dataclasses.dataclass(frozen=True)
 class MeshGridAccel:
     """Static culled-sweep tables for one (mesh, binning) pair. Built
-    eagerly with numpy; NOT a pytree (host-side handle only)."""
+    eagerly with numpy; registered as a pytree (arrays are leaves, the
+    shape/grid metadata is static aux data) so it can cross jit
+    boundaries as an argument."""
 
     table: jnp.ndarray     # (T_pad, 16) f32 rows [v0 e1 e2 n valid 0 0 0]
                            # — global chunks first, then cell-sorted local
@@ -85,6 +89,7 @@ class MeshGridAccel:
     k_lo: jnp.ndarray      # (C, 3) f32 local chunk AABB mins
     k_hi: jnp.ndarray      # (C, 3) f32 local chunk AABB maxs
     l_max: int             # per-tile chunk-list capacity
+    d0: float              # distance-bucket-0 radius (static; see _mesh_d0)
 
     @property
     def n_bins(self) -> int:
@@ -98,17 +103,17 @@ class MeshGridAccel:
 # build cannot happen there).
 def _mga_flatten(a: "MeshGridAccel"):
     leaves = (a.table, a.order, a.lo, a.inv_cell, a.masks, a.k_lo, a.k_hi)
-    aux = (a.n_glob_chunks, a.n_chunks, a.nb, a.l_max)
+    aux = (a.n_glob_chunks, a.n_chunks, a.nb, a.l_max, a.d0)
     return leaves, aux
 
 
 def _mga_unflatten(aux, leaves):
     table, order, lo, inv_cell, masks, k_lo, k_hi = leaves
-    n_glob_chunks, n_chunks, nb, l_max = aux
+    n_glob_chunks, n_chunks, nb, l_max, d0 = aux
     return MeshGridAccel(
         table=table, order=order, n_glob_chunks=n_glob_chunks,
         n_chunks=n_chunks, lo=lo, inv_cell=inv_cell, nb=nb, masks=masks,
-        k_lo=k_lo, k_hi=k_hi, l_max=l_max,
+        k_lo=k_lo, k_hi=k_hi, l_max=l_max, d0=d0,
     )
 
 
@@ -162,7 +167,7 @@ def _closest_point_on_tri_raw(p, a, b, c):
 def build_mesh_grid_accel(
     scene: MeshScene,
     nb=None,
-    l_max: int = 512,
+    l_max: int | None = None,
     global_extent: float = GLOBAL_TRI_EXTENT,
     extra_points=None,
     cell_target: float | None = None,
@@ -229,7 +234,12 @@ def build_mesh_grid_accel(
     # products (measured: ~1e-7 rel t drift on ~8% of hits)
     from smallpt_tpu.ops.mesh_pallas import build_tri_table
 
-    base_rows = np.asarray(build_tri_table(scene))[: idx.shape[0]]
+    base_rows = np.asarray(build_tri_table(scene))[: idx.shape[0]].copy()
+    # column 13 (spare) = ORIGINAL tri id: the kernel tie-breaks equal-t
+    # winners on it and emits it directly, so the culled winner matches
+    # the brute sweep's first-min-row fold bit-exactly REGARDLESS of the
+    # sweep order the distance bucketing imposes (f32 is id-exact to 2^24)
+    base_rows[:, 13] = np.arange(idx.shape[0], dtype=np.float32)
 
     def pad_rows(ids):
         rows = base_rows[ids]
@@ -294,7 +304,11 @@ def build_mesh_grid_accel(
         masks=jnp.asarray(masks),
         k_lo=jnp.asarray(k_lo, jnp.float32),
         k_hi=jnp.asarray(k_hi, jnp.float32),
-        l_max=int(min(l_max, n_chunks)),
+        # default list capacity: cover everything up to 1024 chunks so the
+        # overflow fallback (a full re-sweep on affected tiles) stays rare;
+        # the kernel slabs its launches to keep SMEM bounded either way
+        l_max=int(min(l_max if l_max is not None else 1024, n_chunks)),
+        d0=float(np.mean(cell)) * 0.125,
     )
 
 
@@ -309,14 +323,42 @@ def mesh_ray_bin_keys(org_t, dir_t, accel: MeshGridAccel):
     return cl * N_DIR + _dir_bin(dir_t[0], dir_t[1], dir_t[2])
 
 
+# distance buckets for the early-exit sweep order (quarter-octave, like
+# accel.py's frontier buckets: bucket 0 = [0, d0), b >= 1 =
+# [d0*2^((b-1)/4), d0*2^(b/4)))
+N_MBUCKET = 32
+
+
+def _mesh_d0(accel: MeshGridAccel) -> float:
+    """Bucket-0 radius: an eighth of the mean grid cell (accel._bucket_d0's
+    rationale — fine enough that the near band is small, coarse enough
+    that bucket edges carry real distance information). Static aux data
+    (set at build time) so list building works under a jit trace."""
+    return accel.d0
+
+
 def mesh_tile_lists(org_t, dir_t, valid, accel: MeshGridAccel):
-    """Per-tile reachable-chunk lists for a flat ray batch.
+    """Per-tile reachable-chunk lists for a flat ray batch, DISTANCE-
+    BUCKET-ORDERED for the kernel's tile-level early exit.
 
     org_t/dir_t: (3, N_pad) with N_pad a RAY_TILE multiple; valid: (N_pad,)
-    bool. Returns (lists (T, l_max) int32 ascending, stops (T,) int32 with
-    -1 = sweep all local chunks). Sort/argsort/scatter-free (the accel.py
-    one-hot cumsum compaction) so it fuses into one XLA program with the
-    surrounding prep."""
+    bool. Returns (lists (T, l_max) int32 in (distance bucket, chunk id)
+    order, dlo (T, l_max) f32 — per-slot lower bound on the distance from
+    ANY valid lane origin in the tile to every chunk at that slot OR LATER
+    (the bucket lower edge; non-decreasing along slots; ALSO a bound on
+    every unlisted chunk when the reach set overflows l_max, because the
+    one-hot rank drops exactly the farthest-bucket tail), stops (T,) int32
+    = the number of list entries to walk, NEGATED when the reachable set
+    overflowed l_max (the kernel then falls back to the full ascending
+    sweep only if the early-exit bound was not met after the walk).
+
+    Sort/argsort/scatter-free (the accel.py one-hot cumsum ranking) so it
+    fuses into one XLA program with the surrounding prep. Conservatism:
+    dlo uses per-subblock origin AABB -> chunk AABB gaps, min over
+    subblocks — a true lower bound for every lane in the tile, so the
+    kernel exit (all lanes' best t strictly below the next slot's dlo)
+    can never drop a winner, and equal-t ties are excluded by strictness
+    (the oid tie-break stays bit-exact vs the brute fold)."""
     n_bins = accel.n_bins
     c_ = accel.n_chunks
     n = org_t.shape[1]
@@ -343,15 +385,73 @@ def mesh_tile_lists(org_t, dir_t, valid, accel: MeshGridAccel):
     )  # (T, C)
     n_reach = jnp.sum(reach, axis=1).astype(jnp.int32)
 
+    # per-subblock origin boxes -> per-chunk distance lower bound
+    ob = org_t.reshape(3, t_, SUBBLOCKS, w)
+    vb = v[None]
+    big = jnp.float32(3e38)
+    olo = jnp.min(jnp.where(vb, ob, big), axis=3)    # (3, T, S)
+    ohi = jnp.max(jnp.where(vb, ob, -big), axis=3)
+
+    def axis_gap(a):
+        klo = accel.k_lo[:, a]
+        khi = accel.k_hi[:, a]
+        return jnp.maximum(
+            jnp.maximum(
+                klo[None, None, :] - ohi[a][:, :, None],
+                olo[a][:, :, None] - khi[None, None, :],
+            ),
+            0.0,
+        )  # (T, S, C)
+
+    gx, gy, gz = axis_gap(0), axis_gap(1), axis_gap(2)
+    dist = jnp.min(jnp.sqrt(gx * gx + gy * gy + gz * gz), axis=1)  # (T, C)
+
+    d0 = _mesh_d0(accel)
+    nb_ = N_MBUCKET
+    bucket = jnp.where(
+        dist < d0,
+        0,
+        jnp.clip(
+            1 + jnp.floor(4.0 * jnp.log2(jnp.maximum(dist, d0) / d0)),
+            0, nb_ - 1,
+        ).astype(jnp.int32),
+    )
+    edges = jnp.asarray(
+        [0.0] + [d0 * 2.0 ** ((b - 1) / 4.0) for b in range(1, nb_)],
+        jnp.float32,
+    )
+
+    # rank by (bucket, cid) with cumsums only (accel.py idiom)
+    oh = jnp.logical_and(
+        bucket[:, :, None] == jnp.arange(nb_, dtype=jnp.int32)[None, None, :],
+        reach[:, :, None],
+    )  # (T, C, NB)
+    counts = jnp.sum(oh, axis=1).astype(jnp.int32)              # (T, NB)
+    offset = jnp.cumsum(counts, axis=1) - counts                # exclusive
+    cum3 = jnp.cumsum(oh.astype(jnp.int32), axis=1)             # (T, C, NB)
+    within = jnp.sum(jnp.where(oh, cum3, 0), axis=2)            # (T, C)
+    off_g = jnp.sum(jnp.where(oh, offset[:, None, :], 0), axis=2)
+    pos = off_g + within - 1                                    # (T, C)
+
     l_max = accel.l_max
-    pos = jnp.cumsum(reach.astype(jnp.int32), axis=1) - 1
-    cid = jnp.arange(c_, dtype=jnp.int32)
     slot = jnp.arange(l_max, dtype=jnp.int32)
-    onehot = jnp.logical_and(
+    oh_pos = jnp.logical_and(
         pos[:, :, None] == slot[None, None, :], reach[:, :, None]
     )
+    cid = jnp.arange(c_, dtype=jnp.int32)
     lists = jnp.sum(
-        jnp.where(onehot, cid[None, :, None], 0), axis=1, dtype=jnp.int32
+        jnp.where(oh_pos, cid[None, :, None], 0), axis=1, dtype=jnp.int32
     )
-    stops = jnp.where(n_reach > l_max, -1, n_reach)
-    return lists, stops
+    # per-slot bucket lower edge; bucket-ascending order makes this the
+    # remaining-distance bound. Empty slots (>= n_reach) get +inf.
+    slot_bucket = jnp.sum(
+        jnp.where(oh_pos, bucket[:, :, None], 0), axis=1, dtype=jnp.int32
+    )
+    dlo = jnp.where(
+        slot[None, :] < jnp.minimum(n_reach, l_max)[:, None],
+        edges[jnp.clip(slot_bucket, 0, nb_ - 1)],
+        jnp.float32(jnp.inf),
+    )
+    walk = jnp.minimum(n_reach, l_max)
+    stops = jnp.where(n_reach > l_max, -walk, walk)
+    return lists, dlo, stops

@@ -110,8 +110,13 @@ def test_lists_conservative(small_mesh, small_accel):
     org_t = org.astype(jnp.float32).T
     dir_t = d.astype(jnp.float32).T
     valid = jnp.ones(n_pad, bool)
-    lists, stops = mesh_tile_lists(org_t, dir_t, valid, acc)
-    lists, stops = np.asarray(lists), np.asarray(stops)
+    lists, dlo, stops = mesh_tile_lists(org_t, dir_t, valid, acc)
+    lists, dlo, stops = np.asarray(lists), np.asarray(dlo), np.asarray(stops)
+    # dlo must be non-decreasing (bucket-ascending list order); slots past
+    # the reachable count are +inf (inf-inf diffs are nan — mask them)
+    fin = np.isfinite(dlo[0])
+    assert (np.diff(dlo[0][fin]) >= 0).all()
+    assert np.isinf(dlo[0][~fin]).all()
     h = intersect_mesh_culled(org, d, small_mesh, acc)
     # map winner tri id -> table row -> local chunk
     order = np.asarray(acc.order)
@@ -125,7 +130,7 @@ def test_lists_conservative(small_mesh, small_accel):
         if chunk < 0:
             continue  # global block: always swept
         if stops[0] < 0:
-            continue  # overflow: full sweep
+            continue  # overflow: fallback sweep covers unlisted chunks
         assert chunk in lists[0, : stops[0]]
 
 
@@ -137,12 +142,44 @@ def test_coherent_tiles_cull(small_accel):
     test_culled_equals_brute covers for correctness."""
     acc = small_accel
     org, d = _camera_like_rays(1024, 31)
-    lists, stops = mesh_tile_lists(
+    lists, dlo, stops = mesh_tile_lists(
         org.astype(jnp.float32).T, d.astype(jnp.float32).T,
         jnp.ones(1024, bool), acc,
     )
     stop = int(stops[0])
     assert 0 < stop < acc.n_chunks
+
+
+def test_overflow_fallback_equals_brute(small_mesh):
+    """l_max far below the reachable count: the kernel walks the nearest
+    prefix, then the overflow fallback sweeps ascending — still bit-exact
+    (dense scenes at big ray spread exercise this for real)."""
+    acc = build_mesh_grid_accel(small_mesh, l_max=16)
+    org, d = _rand_rays(2048, 41)
+    a = intersect_mesh_pallas(org, d, small_mesh)
+    b = intersect_mesh_culled(org, d, small_mesh, acc)
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    hit = np.isfinite(np.asarray(a.t))
+    np.testing.assert_array_equal(
+        np.asarray(a.prim)[hit], np.asarray(b.prim)[hit]
+    )
+
+
+def test_multi_slab_equals_single(small_mesh, small_accel, monkeypatch):
+    """Slabbing the tile axis (SMEM budget for full-frame batches) must
+    not change anything, including the valid-lane masking of the ragged
+    last tile."""
+    import smallpt_tpu.ops.mesh_pallas as mp
+
+    org, d = _rand_rays(3 * 1024 + 17, 51)
+    one = intersect_mesh_culled(org, d, small_mesh, small_accel)
+    monkeypatch.setattr(mp, "_MAX_TILES_PER_CALL", 2)
+    multi = intersect_mesh_culled(org, d, small_mesh, small_accel)
+    np.testing.assert_array_equal(np.asarray(one.t), np.asarray(multi.t))
+    hit = np.isfinite(np.asarray(one.t))
+    np.testing.assert_array_equal(
+        np.asarray(one.prim)[hit], np.asarray(multi.prim)[hit]
+    )
 
 
 def test_renderer_routes_and_matches(small_mesh):
