@@ -176,6 +176,55 @@ def bench_binned(width=512, height=384, spp=4, max_depth=24, rounds=3,
     return best
 
 
+def bench_mesh(width=256, height=192, spp_per_cell=1, max_depth=12,
+               rounds=3, n_balls=500, dense=False):
+    """Triangle-mesh path: grid-culled distance-ordered sweep
+    (ops/mesh_accel.py) vs the brute per-chunk sweep, interleaved in ONE
+    process (never A/B across processes — thermal band, CLAUDE.md).
+
+    The reference's accelerated backend is first a triangle BVH
+    (smallpt.cpp:489-516,578-582); this measures the pair-cut our grid
+    replacement delivers end-to-end through render(). dense=True uses
+    radius 3-8 balls (heavy occlusion — the early-exit regime)."""
+    from smallpt_tpu.config import Scheduler
+    from smallpt_tpu.core.scene import procedural_mesh_scene
+    from smallpt_tpu.engine import renderer as R
+
+    config = RenderConfig(
+        width=width, height=height, spp_per_cell=spp_per_cell,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+        max_depth=max_depth, intersector=Intersector.PALLAS,
+        scheduler=Scheduler.FLAT,
+    )
+    scene = procedural_mesh_scene(
+        n_balls, radius_range=(3.0, 8.0) if dense else (0.4, 1.6)
+    )
+    camera = smallpt_camera()
+    base = prng.base_key(0)
+
+    def one(min_tris, seed):
+        R.MESH_ACCEL_MIN_TRIS = min_tris
+        img, rays = render_with_stats(
+            scene, camera, config, jax.random.fold_in(base, seed)
+        )
+        return int(rays)
+
+    for s in range(2):  # compile + clock ramp, both variants
+        one(1, 1000 + s)
+        one(1 << 30, 2000 + s)
+    best = {}
+    for window in range(rounds):
+        for name, mt in (("culled", 1), ("brute", 1 << 30)):
+            t0 = time.perf_counter()
+            rays = one(mt, window)
+            dt = time.perf_counter() - t0
+            rate = rays / dt
+            if name not in best or rate > best[name][0]:
+                best[name] = (rate, rays, dt)
+    R.MESH_ACCEL_MIN_TRIS = 4096
+    return best, scene.n_triangles
+
+
 def bench_diff(width=512, height=512, max_depth=16, warmup_s=3.0, rounds=5,
                use_pallas=True):
     """BASELINE config 4: one inverse-rendering training step (render +
@@ -267,6 +316,33 @@ def main():
             f"# diff path={'pallas-hybrid' if use_pallas else 'pure-jax'}; "
             f"forward rays/step {rays_fwd}; fwd rays/s "
             f"{rays_fwd/step_s/1e6:.1f}M",
+            file=sys.stderr,
+        )
+        return
+    if "--mesh" in sys.argv:
+        dense = "--mesh-dense" in sys.argv
+        kw2 = dict(width=96, height=72, rounds=1, n_balls=60) if quick else {}
+        best, n_tris = bench_mesh(dense=dense, **kw2)
+        rate_c, rays_c, dt_c = best["culled"]
+        rate_b, rays_b, dt_b = best["brute"]
+        metric = (
+            f"rays_per_sec_per_chip_mesh_{'dense' if dense else 'sparse'}"
+            "_256x192_culled"
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(rate_c),
+                    "unit": "rays/s",
+                    "vs_baseline": round(rate_c / rate_b, 4),
+                }
+            )
+        )
+        print(
+            f"# {n_tris} tris; culled {rate_c/1e6:.2f} Mrays/s vs brute "
+            f"{rate_b/1e6:.2f} (speedup {rate_c/rate_b:.2f}x); "
+            f"{rays_c} rays in {dt_c:.2f}s",
             file=sys.stderr,
         )
         return
