@@ -221,8 +221,26 @@ class Oracle:
         numpy float64 here). uniforms: provider with camera()/shade()."""
         self.config = config
         self.u = uniforms
-        self.center = np.asarray(scene.center, np.float64)
-        self.radius = np.asarray(scene.radius, np.float64)
+        self.is_mesh = hasattr(scene, "indices")
+        if self.is_mesh:
+            # mesh transport mirror (the CPUIntersector/convertHits slot for
+            # triangle scenes, smallpt.cpp:598-603 + scene.cpp:73-93): the
+            # SAME iq-form algebra as ops/mesh_pallas, evaluated in f64
+            pos = np.asarray(scene.positions, np.float64)
+            idx = np.asarray(scene.indices, np.int64)
+            self.positions = pos
+            self.vnormals = np.asarray(scene.normals, np.float64)
+            self.indices = idx
+            self.tri_inst = np.asarray(scene.tri_inst, np.int64)
+            self.tv0 = pos[idx[:, 0]]
+            self.te1 = pos[idx[:, 1]] - self.tv0
+            self.te2 = pos[idx[:, 2]] - self.tv0
+            self.tn = np.cross(self.te1, self.te2)
+            if config.nee_lights:
+                raise ValueError("oracle NEE is sphere-only (as the engine)")
+        else:
+            self.center = np.asarray(scene.center, np.float64)
+            self.radius = np.asarray(scene.radius, np.float64)
         self.emission = np.asarray(scene.material.emission, np.float64)
         self.albedo = np.asarray(scene.material.albedo, np.float64)
         self.refl = np.asarray(scene.material.refl, np.int64)
@@ -236,6 +254,29 @@ class Oracle:
                 "budgets depend on wavefront slot occupancy"
             )
         self.splitting = config.split_budget > 1
+
+    # -- mesh intersection: iq-form ray/triangle over ALL triangles
+    # (vectorized f64), winner = lexicographic (t, tri id) — the fold the
+    # Pallas culled kernel tie-breaks to and the brute ascending sweep's
+    # first-min behavior
+    def intersect_mesh(self, o, d):
+        r = o[None, :] - self.tv0                       # (T, 3)
+        q = np.cross(r, d[None, :])
+        dn = self.tn @ d                                # (T,)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / dn
+            u = -(q * self.te2).sum(axis=1) * inv
+            v = (q * self.te1).sum(axis=1) * inv
+            t = -(self.tn * r[:, :]).sum(axis=1) * inv
+            ok = (
+                (dn != 0.0) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                & (u + v <= 1.0) & (t > 0.0)
+            )
+        t = np.where(ok, t, np.inf)
+        if not np.isfinite(t).any():
+            return np.inf, -1, 0.0, 0.0
+        best = int(np.argmin(t))  # argmin takes the FIRST minimum: (t, id)
+        return float(t[best]), best, float(u[best]), float(v[best])
 
     # -- intersection (scene.cpp:129-140 + closest-hit loop smallpt.cpp:54-70)
     def intersect(self, o, d):
@@ -342,16 +383,33 @@ class Oracle:
         if depth >= cfg.max_depth:
             # wavefront lanes die unprocessed once the bounce cap is reached
             return np.zeros(3)
-        t, i = self.intersect(o, d)
-        if not np.isfinite(t):
-            return np.zeros(3)
-        x = o + t * d
-        n = _norm(x - self.center[i])
+        if self.is_mesh:
+            t, tri, bu, bv = self.intersect_mesh(o, d)
+            if not np.isfinite(t):
+                return np.zeros(3)
+            iv = self.indices[tri]
+            bw = 1.0 - bu - bv
+            # barycentric hit construction EXACTLY as complete_mesh_hit
+            # (scene.cpp:73-93 convention): position interpolated from
+            # vertices, normal interpolated UNNORMALIZED from vertex normals
+            x = (bw * self.positions[iv[0]] + bu * self.positions[iv[1]]
+                 + bv * self.positions[iv[2]])
+            n = (bw * self.vnormals[iv[0]] + bu * self.vnormals[iv[1]]
+                 + bv * self.vnormals[iv[2]])
+            i = int(self.tri_inst[tri])
+        else:
+            t, i = self.intersect(o, d)
+            if not np.isfinite(t):
+                return np.zeros(3)
+            x = o + t * d
+            n = _norm(x - self.center[i])
         nl = n if (np.dot(n, d) < 0 or not cfg.flip_normals) else -n
 
         if cfg.mode == Mode.NORMAL:
             return nl.copy()
         if cfg.mode == Mode.UV:
+            if self.is_mesh:
+                return np.array([bu, bv, 0.0])
             # spherical parameterization of the UNFLIPPED normal, matching
             # ops/intersect.py::sphere_uv (the makeSphereTriMesh lat/long
             # grid, scene.cpp:3-48)

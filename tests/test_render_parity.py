@@ -123,3 +123,42 @@ def test_uv_aov_parity_on_spheres():
     du = np.minimum(du, 1.0 - du)
     assert (du < 5e-3).mean() > 0.98, du.max()
     assert np.allclose(img[..., 1], oimg[..., 1], atol=5e-3)
+
+
+def test_mesh_scene_transport_parity():
+    """Full transport on a TRIANGLE scene (quad-walled Cornell + tessellated
+    balls) vs the f64 oracle's mesh mirror — pins the mesh path's hit
+    construction (barycentric position, UNNORMALIZED interpolated normals,
+    per-instance materials) and the culled accel route end-to-end, since
+    render() auto-routes this scene through intersect_mesh_culled."""
+    from smallpt_tpu.config import Intersector, Scheduler
+    from smallpt_tpu.core.scene import procedural_mesh_scene
+    from smallpt_tpu.engine import renderer as R
+
+    scene = procedural_mesh_scene(n_balls=60, seed=3)
+    cfg = RenderConfig(
+        width=12, height=12, spp_per_cell=1,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT, max_depth=10,
+        intersector=Intersector.PALLAS, scheduler=Scheduler.FLAT,
+    )
+    old = R.MESH_ACCEL_MIN_TRIS
+    try:
+        R.MESH_ACCEL_MIN_TRIS = 1  # force the accel route
+        R._MESH_ACCEL_CACHE.clear()
+        _compare(cfg, scene, smallpt_camera(), prng.base_key(5))
+    finally:
+        R.MESH_ACCEL_MIN_TRIS = old
+        R._MESH_ACCEL_CACHE.clear()
+
+
+def test_mesh_normal_aov_parity():
+    from smallpt_tpu.config import Intersector, Scheduler
+    from smallpt_tpu.core.scene import procedural_mesh_scene
+
+    scene = procedural_mesh_scene(n_balls=30, seed=4)
+    cfg = RenderConfig(
+        width=12, height=12, spp_per_cell=1, mode=Mode.NORMAL,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT, max_depth=4,
+        intersector=Intersector.PALLAS, scheduler=Scheduler.FLAT,
+    )
+    _compare(cfg, scene, smallpt_camera(), prng.base_key(6))
