@@ -35,6 +35,9 @@ SCENES = {
     "two_sphere": scenes.two_sphere_scene,
     "triangle": scenes.single_triangle_scene,
     "procedural": scenes.procedural_sphere_scene,
+    # 32k-triangle quad-walled Cornell + tessellated balls: exercises the
+    # grid-culled mesh acceleration (ops/mesh_accel.py) via auto-routing
+    "mesh": scenes.procedural_mesh_scene,
 }
 
 
@@ -50,7 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--filter", choices=[f.value for f in Filter], default=None)
     p.add_argument("--camera", choices=[c.value for c in CameraModel], default=None)
     p.add_argument("--intersector", choices=[i.value for i in Intersector],
-                   default="jax")
+                   default=None,
+                   help="default: pallas for --scene mesh (the culled "
+                        "accel path), jax otherwise")
     p.add_argument("--scheduler", choices=[s.value for s in Scheduler],
                    default="mega",
                    help="wavefront scheduler: mega (fused Pallas bounce "
@@ -108,10 +113,14 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     scene = SCENES[args.scene]()
-    mesh_scene = args.scene == "triangle"
+    mesh_scene = args.scene in ("triangle", "mesh")
     # scene-appropriate defaults mirroring the reference's two pipelines
+    # (the "mesh" ball scene lives in the Cornell interior: legacy camera)
     camera_model = CameraModel(args.camera) if args.camera else (
-        CameraModel.MATRIX if mesh_scene else CameraModel.LEGACY
+        CameraModel.MATRIX if args.scene == "triangle" else CameraModel.LEGACY
+    )
+    intersector = Intersector(args.intersector) if args.intersector else (
+        Intersector.PALLAS if args.scene == "mesh" else Intersector.JAX
     )
     filt = Filter(args.filter) if args.filter else (
         Filter.BOX if camera_model == CameraModel.MATRIX else Filter.TENT
@@ -127,7 +136,7 @@ def main(argv=None) -> int:
         mode=Mode(args.mode),
         filter=filt,
         camera_model=camera_model,
-        intersector=Intersector(args.intersector),
+        intersector=intersector,
         scheduler=(
             Scheduler.FLAT if args.split_budget > 1
             else Scheduler(args.scheduler)
