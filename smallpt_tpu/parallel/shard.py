@@ -35,6 +35,7 @@ from smallpt_tpu.config import RenderConfig
 from smallpt_tpu.engine.renderer import (
     render_samples,
     render_pixels,
+    _render_mesh_accel,
     _use_mega,
     _use_regen,
 )
@@ -96,18 +97,23 @@ def render_sharded(
         raise ValueError(f"spp {config.spp} not divisible by sample axis {n_sample}")
 
     sid, col, row, cx, cy = _sample_grids(config)
+    # mesh-scene accel tables: built eagerly here (inside shard_map the
+    # scene arrays are tracers) and REPLICATED — per-shard ray batches
+    # build their own tile lists against the shared tables
+    maccel = _render_mesh_accel(scene, config)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P("tile", "sample"), P("tile", "sample"),
-                  P("tile", "sample"), P("tile", "sample"), P("tile", "sample")),
+                  P("tile", "sample"), P("tile", "sample"),
+                  P("tile", "sample"), P()),
         out_specs=P("tile", None, None),
         # the wavefront while_loop carry mixes device-varying lanes with
         # replicated-constant init values; skip the static vma check
         check_vma=False,
     )
-    def shard_render(scene, camera, key, sid, col, row, cx, cy):
+    def shard_render(scene, camera, key, sid, col, row, cx, cy, maccel):
         h_loc, cols_loc = sid.shape
         W = config.width
         spp_loc = cols_loc // W
@@ -131,7 +137,7 @@ def render_sharded(
             ip_offset = jax.lax.axis_index("sample").astype(jnp.int32) * spp_loc
             rad, _ = render_pixels(
                 scene, camera, config, key, pixel, pix_col, pix_row,
-                ip_offset, spp_loc,
+                ip_offset, spp_loc, mesh_accel=maccel,
             )
             part = rad.reshape(h_loc, W, 3)
         else:
@@ -139,14 +145,14 @@ def render_sharded(
             rad = render_samples(
                 scene, camera, config, key,
                 flat(sid), flat(col), flat(row), flat(cx), flat(cy),
-                differentiable=differentiable,
+                differentiable=differentiable, mesh_accel=maccel,
             )
             # local layout (h_loc, spp_loc, W, 3) -> partial image
             part = rad.reshape(h_loc, spp_loc, W, 3).sum(axis=1)
         # reduce partial sample sums across the sample axis (ICI psum)
         return jax.lax.psum(part, axis_name="sample")
 
-    img = shard_render(scene, camera, key, sid, col, row, cx, cy)
+    img = shard_render(scene, camera, key, sid, col, row, cx, cy, maccel)
     return img
 
 
