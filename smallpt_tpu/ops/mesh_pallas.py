@@ -164,14 +164,16 @@ def _mesh_culled_kernel(stp_ref, lst_ref, dlo_ref, org_ref, dir_ref, tbl_ref,
                         *, n_glob_chunks, n_chunks, eps, n_rays, tile0=0):
     """Grid-culled closest-hit with DISTANCE-ORDERED tile-level early exit.
 
-    stp_ref (T,) int32 scalar-prefetch: list entries to sweep (-1 => all
-    local chunks — list overflow, ascending, no exit); lst_ref (T, l_max)
-    int32: reachable chunk ids in (distance bucket, id) order; dlo_ref
-    (T, l_max) f32: per-slot lower bound on every REMAINING chunk's
-    distance from any valid lane origin (non-decreasing). After each
-    listed chunk the tile exits once every valid lane's best t is
-    STRICTLY below the next slot's bound — no remaining chunk can then
-    contain a closer (or equal-t smaller-id) hit for any lane.
+    stp_ref (T,) int32 scalar-prefetch: signed walk count — |stop| listed
+    entries to sweep, negative when the reachable set overflowed l_max
+    (then a full ascending fallback sweep runs iff the exit bound was not
+    met after the walk); lst_ref (T, l_max) int32: reachable chunk ids in
+    (distance bucket, id) order; dlo_ref (T, l_max) f32: per-slot lower
+    bound on every REMAINING chunk's distance from any valid lane origin
+    (non-decreasing). After each listed chunk the tile exits once every
+    valid lane's best t is STRICTLY below the next slot's bound — no
+    remaining chunk can then contain a closer (or equal-t smaller-id) hit
+    for any lane.
 
     tbl_ref rows are mesh_accel's reordered table (global block first;
     column 13 = original tri id); chunk c occupies rows
