@@ -30,7 +30,11 @@ def main() -> None:
     from smallpt_tpu.core.scene import (
         cornell_box_scene,
         cornell_box_small_light_scene,
+        procedural_mesh_scene,
     )
+
+    def _mesh_scene():
+        return procedural_mesh_scene(n_balls=60, seed=3)
     from smallpt_tpu.oracle.numpy_oracle import (
         Oracle, PrecomputedUniformProvider,
     )
@@ -81,6 +85,17 @@ def main() -> None:
                 aperture=4.0, focal_distance=120.0,
             ),
             13,
+        ),
+        # triangle-mesh transport (r3): quad-walled Cornell + tessellated
+        # balls through the oracle's f64 mesh mirror — guards the culled
+        # accel route (test_golden forces it) against ground truth
+        "golden_mesh_32x24": (
+            _mesh_scene(),
+            RenderConfig(
+                width=32, height=24, spp_per_cell=2, max_depth=10,
+                camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+            ),
+            19,
         ),
     }
 

@@ -184,6 +184,10 @@ def build_mesh_grid_accel(
     # exact, and chunk AABBs must bound the f32 geometry the kernel sweeps
     pos = np.asarray(scene.positions, np.float32)
     idx = np.asarray(scene.indices, np.int64)
+    if idx.shape[0] >= (1 << 24):
+        # tri ids ride an f32 table column for the kernel's tie-break;
+        # f32 is integer-exact only to 2^24
+        raise ValueError("mesh accel supports < 2^24 triangles")
     v0 = pos[idx[:, 0]]
     v1 = pos[idx[:, 1]]
     v2 = pos[idx[:, 2]]

@@ -170,3 +170,29 @@ def test_binned_route_oracle_gate_512x384_procedural():
     # edges (2k sphere rims) than Cornell, same gate shape
     assert (rel > 0.1).mean() <= 0.05, (rel > 0.1).mean()
     assert abs(rvals.mean() - ovals.mean()) < 0.1 * (abs(ovals.mean()) + 0.1)
+
+
+def test_golden_mesh_culled():
+    """Triangle transport + the grid-culled accel route vs the stored f64
+    mesh golden (r3): the route is FORCED (min-tris 1) so a reach-mask or
+    early-exit conservatism bug diverges from ground truth here even if
+    culled==brute stays self-consistent."""
+    from smallpt_tpu.config import Intersector, Scheduler
+    from smallpt_tpu.core.scene import procedural_mesh_scene
+    from smallpt_tpu.engine import renderer as R
+
+    cfg = RenderConfig(
+        width=32, height=24, spp_per_cell=2, max_depth=10,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+        intersector=Intersector.PALLAS, scheduler=Scheduler.FLAT,
+    )
+    scene = procedural_mesh_scene(n_balls=60, seed=3)
+    old = R.MESH_ACCEL_MIN_TRIS
+    try:
+        R.MESH_ACCEL_MIN_TRIS = 1
+        R._MESH_ACCEL_CACHE.clear()
+        _check_against_golden("golden_mesh_32x24", scene, cfg, 19)
+        assert len(R._MESH_ACCEL_CACHE) == 1  # the accel route really ran
+    finally:
+        R.MESH_ACCEL_MIN_TRIS = old
+        R._MESH_ACCEL_CACHE.clear()
