@@ -114,3 +114,47 @@ def test_binned_fuzz_matches_full_sweep(seed):
     rb, wb = run(full, int(rng.choice([0, 2])))
     assert (wa == spp).all() and (wb == spp).all()
     assert (ra == rb).all()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_mesh_accel_configs(seed):
+    """Seeded random (grid dims, l_max, scene density, ray mix) configs:
+    the culled distance-ordered sweep must be BIT-EXACT vs the brute mesh
+    kernel — exercises list overflow + fallback, tiny l_max, degenerate
+    pole triangles, and surface-origin rays across configurations the
+    curated tests don't reach."""
+    import jax.numpy as jnp
+
+    from smallpt_tpu.core.scene import procedural_mesh_scene
+    from smallpt_tpu.ops.mesh_accel import build_mesh_grid_accel
+    from smallpt_tpu.ops.mesh_pallas import (
+        intersect_mesh_culled, intersect_mesh_pallas,
+    )
+
+    rng = np.random.default_rng(9000 + seed)
+    scene = procedural_mesh_scene(
+        n_balls=int(rng.integers(20, 70)),
+        seed=int(rng.integers(0, 99)),
+        subdiv_longitude=int(rng.choice([3, 4, 6])),
+        radius_range=tuple(np.sort(rng.uniform(0.5, 7.0, 2))),
+    )
+    nb = tuple(int(x) for x in rng.integers(2, 9, size=3))
+    accel = build_mesh_grid_accel(
+        scene, nb=nb, l_max=int(rng.integers(4, 96))
+    )
+    n = int(rng.integers(900, 2100))
+    org = rng.uniform([5, 5, 25], [95, 75, 150], (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    org, d = jnp.asarray(org), jnp.asarray(d, jnp.float32)
+    if rng.random() < 0.5:  # respawn half the rays from surfaces
+        h0 = intersect_mesh_pallas(org, d, scene)
+        tt = jnp.where(jnp.isfinite(h0.t), h0.t, 1.0)[:, None]
+        org = org + d * tt * 0.999
+    a = intersect_mesh_pallas(org, d, scene)
+    b = intersect_mesh_culled(org, d, scene, accel)
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    hit = np.isfinite(np.asarray(a.t))
+    np.testing.assert_array_equal(
+        np.asarray(a.prim)[hit], np.asarray(b.prim)[hit]
+    )
