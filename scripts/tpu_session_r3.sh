@@ -61,7 +61,9 @@ run crossover 5400 python $B crossover --rounds 3
 run brute 1800 python $B brute --rounds 3
 # 7. 1920x1080 row
 run e2e_1080p 5400 python $B e2e --width 1920 --height 1080 --rounds 2
-# 7b. mesh acceleration: culled vs brute, sparse + dense occlusion
+# 7b. mesh acceleration: Mosaic smoke first (fail fast on a lowering
+#     error), then culled vs brute, sparse + dense occlusion
+run mesh_smoke 1800 python scripts/tpu_mesh_smoke.py
 run mesh 3600 python bench.py --mesh
 run mesh_dense 3600 python bench.py --mesh --mesh-dense
 # 8. differentiable train step (VERDICT item 4)
