@@ -308,10 +308,14 @@ def build_mesh_grid_accel(
         masks=jnp.asarray(masks),
         k_lo=jnp.asarray(k_lo, jnp.float32),
         k_hi=jnp.asarray(k_hi, jnp.float32),
-        # default list capacity: cover everything up to 1024 chunks so the
-        # overflow fallback (a full re-sweep on affected tiles) stays rare;
-        # the kernel slabs its launches to keep SMEM bounded either way
-        l_max=int(min(l_max if l_max is not None else 1024, n_chunks)),
+        # default list capacity: cover the WHOLE chunk set up to 2048 —
+        # measured at the 32k-tri headline (2001 chunks): random-direction
+        # bounce batches reach everything, so any smaller cap overflowed
+        # EVERY tile and the fallback re-sweep cost ~1.5x brute; with full
+        # capacity overflow is impossible, the walk is distance-ordered,
+        # and the early exit still prunes (worst case == brute + glue).
+        # The kernel slabs its launches to keep SMEM bounded either way.
+        l_max=int(min(l_max if l_max is not None else 2048, n_chunks)),
         d0=float(np.mean(cell)) * 0.125,
     )
 
