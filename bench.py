@@ -209,19 +209,22 @@ def bench_mesh(width=256, height=192, spp_per_cell=1, max_depth=12,
         )
         return int(rays)
 
-    for s in range(2):  # compile + clock ramp, both variants
-        one(1, 1000 + s)
-        one(1 << 30, 2000 + s)
-    best = {}
-    for window in range(rounds):
-        for name, mt in (("culled", 1), ("brute", 1 << 30)):
-            t0 = time.perf_counter()
-            rays = one(mt, window)
-            dt = time.perf_counter() - t0
-            rate = rays / dt
-            if name not in best or rate > best[name][0]:
-                best[name] = (rate, rays, dt)
-    R.MESH_ACCEL_MIN_TRIS = 4096
+    saved = R.MESH_ACCEL_MIN_TRIS
+    try:
+        for s in range(2):  # compile + clock ramp, both variants
+            one(1, 1000 + s)
+            one(1 << 30, 2000 + s)
+        best = {}
+        for window in range(rounds):
+            for name, mt in (("culled", 1), ("brute", 1 << 30)):
+                t0 = time.perf_counter()
+                rays = one(mt, window)
+                dt = time.perf_counter() - t0
+                rate = rays / dt
+                if name not in best or rate > best[name][0]:
+                    best[name] = (rate, rays, dt)
+    finally:
+        R.MESH_ACCEL_MIN_TRIS = saved
     return best, scene.n_triangles
 
 
