@@ -39,37 +39,42 @@ fi
 
 B=scripts/bench_binned_tpu.py
 
-# 1. per-stage costs at the headline config (fresh numbers for the fused
-#    scheduler incl. any NEE-free codegen drift)
-run stages 3600 python $B stages
-# 2. end-to-end fused binned, default inflight (TPU=4), 512x384/10k
+# Ordered by VERDICT criticality: if the tunnel wedges again mid-session,
+# the judge-decisive numbers must already be in the log.
+# 1. end-to-end fused binned, default inflight (TPU=4), 512x384/10k
+#    (VERDICT item 1's "done =" number)
 run e2e_512 3600 python $B e2e --rounds 4
+# 2. brute split-sweep baseline — same process class, adjacent thermal
+#    window: the x-vs-brute ratio the verdict asks for
+run brute 1800 python $B brute --rounds 3
+# 3. the bench.py binned path (what BASELINE config-5 cites)
+run procedural 3600 python bench.py --procedural
 [ "${1:-}" = quick ] && { echo quick done | tee -a "$LOG"; exit 0; }
-# 2b. per-advance trace: where the drain wall goes (pending-fetch RTTs vs
+# 4. crossover: classic megakernel vs binned at several sphere counts
+#    (VERDICT item 5: set MEGA_MAX_SPHERES where the data says)
+run crossover 5400 python $B crossover --rounds 3
+# 5. differentiable train step (VERDICT item 4)
+run diff 3600 python bench.py --diff
+# 6. Cornell streaming headline (BENCH_r03 sanity)
+run headline 3600 python bench.py
+# 7. per-stage costs at the headline config (fresh numbers for the fused
+#    scheduler incl. any NEE codegen drift)
+run stages 3600 python $B stages
+# 7b. per-advance trace: where the drain wall goes (pending-fetch RTTs vs
 #     bounce compute) — feeds the drain-schedule tuning (VERDICT weak 3)
 run trace 1800 python $B trace
-# 3. oversubscription sweep
+# 8. oversubscription sweep
 run e2e_if1 1800 python $B e2e --rounds 2 --inflight 1
 run e2e_if8 1800 python $B e2e --rounds 2 --inflight 8
-# 3b. binned NEE (round-3 feature): deferred one-launch shadows throughput
+# 8b. binned NEE (round-3 feature): deferred one-launch shadows throughput
 run e2e_nee 3600 python $B e2e --rounds 2 --nee
-# 4. tuning sweep (sort_every x k_near)
+# 9. tuning sweep (sort_every x k_near)
 run sweep 3600 python $B sweep --rounds 2
-# 5. crossover: classic megakernel vs binned at several sphere counts
-run crossover 5400 python $B crossover --rounds 3
-# 6. brute split-sweep baseline (same-process round recorded separately)
-run brute 1800 python $B brute --rounds 3
-# 7. 1920x1080 row
+# 10. 1920x1080 row
 run e2e_1080p 5400 python $B e2e --width 1920 --height 1080 --rounds 2
-# 7b. mesh acceleration: Mosaic smoke first (fail fast on a lowering
+# 11. mesh acceleration: Mosaic smoke first (fail fast on a lowering
 #     error), then culled vs brute, sparse + dense occlusion
 run mesh_smoke 1800 python scripts/tpu_mesh_smoke.py
 run mesh 3600 python bench.py --mesh
 run mesh_dense 3600 python bench.py --mesh --mesh-dense
-# 8. differentiable train step (VERDICT item 4)
-run diff 3600 python bench.py --diff
-# 9. the bench.py binned path (what BASELINE config-5 cites)
-run procedural 3600 python bench.py --procedural
-# 10. Cornell streaming headline (BENCH_r03 sanity)
-run headline 3600 python bench.py
 echo "SESSION COMPLETE -> $LOG" | tee -a "$LOG"
