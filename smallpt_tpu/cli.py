@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = pinhole)")
     p.add_argument("--focus", type=float, default=100.0,
                    help="focal distance (along-ray) for --aperture > 0")
+    p.add_argument("--env", type=float, nargs=3, default=None,
+                   metavar=("R", "G", "B"),
+                   help="constant environment radiance picked up by escaped "
+                        "rays (the smallpt.cpp:168 hook; default: black)")
     p.add_argument("--nee", type=int, nargs="+", default=None, metavar="LIGHT",
                    help="next-event estimation: sphere indices of the lights "
                         "to explicitly sample (e.g. --nee 8 for the Cornell "
@@ -145,6 +149,7 @@ def main(argv=None) -> int:
         rr_depth=args.rr_depth,
         split_budget=args.split_budget,
         nee_lights=tuple(args.nee) if args.nee else (),
+        env_emission=tuple(args.env) if args.env else (0.0, 0.0, 0.0),
         aperture=args.aperture,
         focal_distance=args.focus,
     )

@@ -166,6 +166,16 @@ class RenderConfig:
     aperture: float = 0.0
     focal_distance: float = 100.0
 
+    # Environment light: constant radiance picked up by rays that escape
+    # the scene. The reference leaves exactly this hook in its shading
+    # kernel — ``if (!hit) continue; // Here we could accumulate
+    # path.weight * envContrib`` (smallpt.cpp:168) — but never implements
+    # it. (0, 0, 0) keeps the reference's black-void behavior and compiles
+    # to the identical program (the term is gated at trace time). Applies
+    # to Mode.FULL transport only; AOV modes ignore misses like the
+    # reference's debug outputs do.
+    env_emission: tuple = (0.0, 0.0, 0.0)
+
     filter: Filter = Filter.BOX
     camera_model: CameraModel = CameraModel.MATRIX
 
@@ -199,8 +209,32 @@ class RenderConfig:
             )
         if self.aperture < 0:
             raise ValueError("aperture must be >= 0")
+        if (
+            not isinstance(self.env_emission, tuple)
+            or len(self.env_emission) != 3
+            or not all(
+                isinstance(c, numbers.Real) and c >= 0
+                for c in self.env_emission
+            )
+        ):
+            raise ValueError("env_emission must be a tuple of 3 floats >= 0")
+        if self.env_emission != (0.0, 0.0, 0.0) and not all(
+            type(c) is float for c in self.env_emission
+        ):
+            # coerce ints/np floats to plain hashable floats (config is a
+            # jit static arg — mixed numeric types would split the cache)
+            object.__setattr__(
+                self, "env_emission", tuple(float(c) for c in self.env_emission)
+            )
         if self.jitter_size < 1:
             raise ValueError("jitter_size must be >= 1")
+
+    @property
+    def has_env(self) -> bool:
+        """True when escaped rays pick up environment radiance (the
+        smallpt.cpp:168 hook). Checked at trace time so env-off configs
+        compile to exactly the pre-env programs."""
+        return self.env_emission != (0.0, 0.0, 0.0)
 
     @property
     def spp(self) -> int:

@@ -389,6 +389,16 @@ def _mega_kernel(
         hit = bt < _BIG
         live_hit = jnp.logical_and(alive, hit)
 
+        if config.has_env:
+            # escaped rays pick up the constant environment radiance (the
+            # smallpt.cpp:168 hook); the lane dies below as a plain miss.
+            # config is static, so env-off kernels compile unchanged.
+            live_miss = jnp.logical_and(alive, jnp.logical_not(hit))
+            ex, ey, ez = (jnp.float32(c) for c in config.env_emission)
+            rx = rx + jnp.where(live_miss, wx * ex, 0.0)
+            ry = ry + jnp.where(live_miss, wy * ey, 0.0)
+            rz = rz + jnp.where(live_miss, wz * ez, 0.0)
+
         # hit point + unit normal (sphere): n = (x - c) / |x - c|
         hx = ox + bt * dx
         hy = oy + bt * dy
@@ -1434,6 +1444,18 @@ def _binned_kernel(
 
     hit = bt < _BIG
     live_hit = jnp.logical_and(final, hit)
+
+    if config.has_env:
+        # environment pickup for lanes FINALIZING as misses this launch
+        # (smallpt.cpp:168 hook). Pending lanes must not collect: they may
+        # still find a hit on a later chunk sweep — `final` already
+        # excludes them (escape-finalized lanes have swept everything
+        # reachable, so bt == _BIG there is a true miss).
+        miss_final = jnp.logical_and(final, jnp.logical_not(hit))
+        env_x, env_y, env_z = (jnp.float32(c) for c in config.env_emission)
+        rx = rx + jnp.where(miss_final, wx * env_x, 0.0)
+        ry = ry + jnp.where(miss_final, wy * env_y, 0.0)
+        rz = rz + jnp.where(miss_final, wz * env_z, 0.0)
 
     hx = ox + bt * dx
     hy = oy + bt * dy

@@ -170,6 +170,17 @@ def bounce_step(
         radiance = state.radiance + jnp.where(live_hit[:, None], aov, 0.0)
         return state._replace(radiance=radiance, alive=jnp.zeros_like(state.alive))
 
+    if config.has_env:
+        # escaped rays pick up the constant environment radiance — the
+        # hook the reference leaves at smallpt.cpp:168; the lane then dies
+        # below exactly as a plain miss does
+        live_miss = state.alive & ~hit.valid
+        env = jnp.asarray(config.env_emission, dtype)
+        state = state._replace(
+            radiance=state.radiance
+            + jnp.where(live_miss[:, None], state.weight * env[None, :], 0.0)
+        )
+
     emission, albedo, is_diff, is_spec, is_refr = material_lookup(
         material, hit.inst, dtype
     )

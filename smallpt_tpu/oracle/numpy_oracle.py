@@ -378,6 +378,16 @@ class Oracle:
         return e, sup
 
     # -- recursive radiance following the wavefront's decision tree
+    def _env_contrib(self, weight):
+        """Escaped-ray environment pickup — the hook the reference leaves
+        unimplemented at smallpt.cpp:168 (``// Here we could accumulate
+        path.weight * envContrib``). FULL transport only: the AOV debug
+        modes skip misses exactly like the reference's `continue`."""
+        cfg = self.config
+        if cfg.mode == Mode.FULL and cfg.has_env:
+            return weight * np.asarray(cfg.env_emission, np.float64)
+        return np.zeros(3)
+
     def radiance(self, o, d, depth, hist, weight, sample_id, suppress=0):
         cfg = self.config
         if depth >= cfg.max_depth:
@@ -386,7 +396,7 @@ class Oracle:
         if self.is_mesh:
             t, tri, bu, bv = self.intersect_mesh(o, d)
             if not np.isfinite(t):
-                return np.zeros(3)
+                return self._env_contrib(weight)
             iv = self.indices[tri]
             bw = 1.0 - bu - bv
             # barycentric hit construction EXACTLY as complete_mesh_hit
@@ -400,7 +410,7 @@ class Oracle:
         else:
             t, i = self.intersect(o, d)
             if not np.isfinite(t):
-                return np.zeros(3)
+                return self._env_contrib(weight)
             x = o + t * d
             n = _norm(x - self.center[i])
         nl = n if (np.dot(n, d) < 0 or not cfg.flip_normals) else -n
