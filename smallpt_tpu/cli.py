@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="total samples per pixel (divided over jitter cells, "
                         "like the reference's argv[1])")
     p.add_argument("--scene", choices=sorted(SCENES), default="cornell")
+    p.add_argument("--scene-file", default=None, metavar="PATH",
+                   help="render a declarative JSON scene file "
+                        "(core/scene_io.py format; overrides --scene)")
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--mode", choices=[m.value for m in Mode], default="full")
@@ -116,15 +119,24 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    scene = SCENES[args.scene]()
-    mesh_scene = args.scene in ("triangle", "mesh")
+    if args.scene_file:
+        from smallpt_tpu.core.scene_io import load_scene
+        from smallpt_tpu.core.scene import MeshScene
+
+        scene = load_scene(args.scene_file)
+        mesh_scene = isinstance(scene, MeshScene)
+    else:
+        scene = SCENES[args.scene]()
+        mesh_scene = args.scene in ("triangle", "mesh")
     # scene-appropriate defaults mirroring the reference's two pipelines
     # (the "mesh" ball scene lives in the Cornell interior: legacy camera)
     camera_model = CameraModel(args.camera) if args.camera else (
-        CameraModel.MATRIX if args.scene == "triangle" else CameraModel.LEGACY
+        CameraModel.MATRIX if args.scene == "triangle" and not args.scene_file
+        else CameraModel.LEGACY
     )
     intersector = Intersector(args.intersector) if args.intersector else (
-        Intersector.PALLAS if args.scene == "mesh" else Intersector.JAX
+        Intersector.PALLAS if mesh_scene and args.scene != "triangle"
+        else Intersector.JAX
     )
     filt = Filter(args.filter) if args.filter else (
         Filter.BOX if camera_model == CameraModel.MATRIX else Filter.TENT
