@@ -155,8 +155,16 @@ class BinnedStreamingRenderer:
         inflight: int | None = None,
         fused: bool = True,
     ):
-        if config.mode != Mode.FULL or config.split_budget != 1:
-            raise ValueError("binned streaming: Mode.FULL, split_budget=1")
+        if config.split_budget != 1:
+            raise ValueError("binned streaming: split_budget=1 (the FLAT "
+                             "scheduler is the splitting fidelity mode)")
+        if config.mode == Mode.UV:
+            # the lat/long UV parameterization needs inverse trig, which is
+            # unproven in this Mosaic toolchain — big-scene UV renders fall
+            # back to the classic split-sweep path (renderer.py routing)
+            raise ValueError("binned streaming: UV AOV unsupported")
+        if config.nee_lights and config.mode != Mode.FULL:
+            raise ValueError("binned streaming: nee_lights require Mode.FULL")
         if config.nee_lights and not fused:
             raise ValueError(
                 "binned NEE needs the fused bounce (shadow rays resolve in "

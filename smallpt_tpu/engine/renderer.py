@@ -279,7 +279,11 @@ def _use_binned(scene, config: RenderConfig, differentiable: bool,
         and not differentiable
         and jax.default_backend() in ("tpu", "cpu")
         and config.split_budget == 1
-        and config.mode == Mode.FULL
+        # every mode except UV (lat/long needs inverse trig — unproven in
+        # Mosaic; UV keeps the classic split-sweep fallback). NEE + AOV is
+        # contradictory and rejected by BinnedStreamingRenderer.
+        and config.mode != Mode.UV
+        and not (config.nee_lights and config.mode != Mode.FULL)
         and config.dtype == "float32"
         and isinstance(scene, SphereScene)
         and scene.n_spheres > MEGA_MAX_SPHERES

@@ -389,7 +389,7 @@ def _mega_kernel(
         hit = bt < _BIG
         live_hit = jnp.logical_and(alive, hit)
 
-        if config.has_env:
+        if config.has_env and config.mode == Mode.FULL:
             # escaped rays pick up the constant environment radiance (the
             # smallpt.cpp:168 hook); the lane dies below as a plain miss.
             # config is static, so env-off kernels compile unchanged.
@@ -690,7 +690,12 @@ def _mega_kernel(
 
 
 def build_scene_table(scene: SphereScene, config: RenderConfig) -> jnp.ndarray:
-    """(S, 16) f32: [cx cy cz r eps | ex ey ez | ax ay az | refl | 0...]."""
+    """(S, 16) f32: [cx cy cz r eps | ex ey ez | ax ay az | refl | id 0...].
+
+    Col 12 carries the ORIGINAL scene index (exact in f32 below 2^24
+    spheres): the binned engine permutes rows by accel.order, and the
+    INST_ID AOV must report reference-visible ids (smallpt.cpp:182's
+    triId false-coloring slot), not table rows."""
     s = scene.n_spheres
     c = jnp.asarray(scene.center, jnp.float32)
     r = jnp.asarray(scene.radius, jnp.float32)
@@ -705,7 +710,8 @@ def build_scene_table(scene: SphereScene, config: RenderConfig) -> jnp.ndarray:
             jnp.asarray(m.emission, jnp.float32),
             jnp.asarray(m.albedo, jnp.float32),
             jnp.asarray(m.refl, jnp.float32)[:, None],
-            jnp.zeros((s, 4), jnp.float32),  # pad cols 12..15 -> 16 total
+            jnp.arange(s, dtype=jnp.float32)[:, None],  # col 12: orig id
+            jnp.zeros((s, 3), jnp.float32),  # pad cols 13..15 -> 16 total
         ],
         axis=1,
     )
@@ -1423,34 +1429,41 @@ def _binned_kernel(
     # winner-select walks the same swept sequence; near tiles hold no
     # pending lanes (the list builder forces them to full sweeps), so a
     # final lane's winner is always among globals + the swept prefix
+    # INST_ID additionally selects col 12 (the winner's ORIGINAL scene id)
+    _sel_cols = (5, 6, 7, 8, 9, 10, 11, 0, 1, 2, 3) + (
+        (12,) if config.mode == Mode.INST_ID else ()
+    )
+
     def pick_chunk(cid, vals):
         blk = tbl_ref[pl.ds(cid * 8, 8), :]
         for r in range(8):
             m = bi == (cid * 8 + r).astype(jnp.float32)
-            cols = (5, 6, 7, 8, 9, 10, 11, 0, 1, 2, 3)
             vals = [
-                jnp.where(m, blk[r, col], v) for col, v in zip(cols, vals)
+                jnp.where(m, blk[r, col], v)
+                for col, v in zip(_sel_cols, vals)
             ]
         return vals
 
     vals0 = [jnp.zeros(shp, jnp.float32)] * 10 + [jnp.ones(shp, jnp.float32)]
+    if config.mode == Mode.INST_ID:
+        vals0 = vals0 + [jnp.full(shp, -1.0, jnp.float32)]
     vals = jax.lax.fori_loop(
         0, n_glob_chunks, lambda c, v: pick_chunk(c, v), vals0
     )
     vals = jax.lax.fori_loop(
         0, n_eff, lambda j, v: pick_chunk(local_cid(j), v), vals
     )
-    (em_x, em_y, em_z, al_x, al_y, al_z, refl, bcx, bcy, bcz, br) = vals
+    (em_x, em_y, em_z, al_x, al_y, al_z, refl, bcx, bcy, bcz, br) = vals[:11]
 
     hit = bt < _BIG
     live_hit = jnp.logical_and(final, hit)
 
-    if config.has_env:
+    if config.has_env and config.mode == Mode.FULL:
         # environment pickup for lanes FINALIZING as misses this launch
-        # (smallpt.cpp:168 hook). Pending lanes must not collect: they may
-        # still find a hit on a later chunk sweep — `final` already
-        # excludes them (escape-finalized lanes have swept everything
-        # reachable, so bt == _BIG there is a true miss).
+        # (smallpt.cpp:168 hook; AOV modes skip misses). Pending lanes must
+        # not collect: they may still find a hit on a later chunk sweep —
+        # `final` already excludes them (escape-finalized lanes have swept
+        # everything reachable, so bt == _BIG there is a true miss).
         miss_final = jnp.logical_and(final, jnp.logical_not(hit))
         env_x, env_y, env_z = (jnp.float32(c) for c in config.env_emission)
         rx = rx + jnp.where(miss_final, wx * env_x, 0.0)
@@ -1476,24 +1489,55 @@ def _binned_kernel(
     else:
         nlx, nly, nlz = nx, ny, nz
 
-    # emission whose light was explicitly sampled at the previous vertex is
-    # suppressed here (classic kernel semantics; sup bit per light slot).
-    # bi is the winner's TABLE row, and nee_rows are table rows too (the
-    # engine maps original scene indices through accel.order).
-    if nee_rows:
-        hit_sup = jnp.zeros(shp, jnp.bool_)
-        for slot, row in enumerate(nee_rows):
-            is_li = bi == jnp.float32(row)
-            hit_sup = jnp.logical_or(
-                hit_sup,
-                jnp.logical_and(is_li, ((sup >> slot) & 1) == 1),
-            )
-        em_keep = jnp.logical_and(live_hit, jnp.logical_not(hit_sup))
+    if config.mode == Mode.FULL:
+        # emission whose light was explicitly sampled at the previous vertex
+        # is suppressed here (classic kernel semantics; sup bit per light
+        # slot). bi is the winner's TABLE row, and nee_rows are table rows
+        # too (the engine maps original scene indices through accel.order).
+        if nee_rows:
+            hit_sup = jnp.zeros(shp, jnp.bool_)
+            for slot, row in enumerate(nee_rows):
+                is_li = bi == jnp.float32(row)
+                hit_sup = jnp.logical_or(
+                    hit_sup,
+                    jnp.logical_and(is_li, ((sup >> slot) & 1) == 1),
+                )
+            em_keep = jnp.logical_and(live_hit, jnp.logical_not(hit_sup))
+        else:
+            em_keep = live_hit
+        rx = rx + jnp.where(em_keep, wx * em_x, 0.0)
+        ry = ry + jnp.where(em_keep, wy * em_y, 0.0)
+        rz = rz + jnp.where(em_keep, wz * em_z, 0.0)
     else:
-        em_keep = live_hit
-    rx = rx + jnp.where(em_keep, wx * em_x, 0.0)
-    ry = ry + jnp.where(em_keep, wy * em_y, 0.0)
-    rz = rz + jnp.where(em_keep, wz * em_z, 0.0)
+        # AOV debug modes (smallpt.cpp:179-183): record at the lane's FIRST
+        # final vertex and terminate (the lane never continues — parent is
+        # forced off below); misses record nothing, matching the classic
+        # schedulers' first-hit semantics (ops/wavefront.py::_aov_value).
+        # In-kernel math restricted to Mosaic-proven ops (no inverse trig:
+        # UV is rejected by the engine and falls back to the classic path).
+        if config.mode == Mode.NORMAL:
+            avx, avy, avz = nlx, nly, nlz
+        elif config.mode == Mode.EMISSION:
+            avx, avy, avz = wx * em_x, wy * em_y, wz * em_z
+        elif config.mode == Mode.INST_ID:
+            # _int2color (smallpt.cpp:24-29): fract(sin((id+1)*v)*43758.5453)
+            # with trunc-toward-zero fract via the proven f32->i32 cast
+            oid1 = vals[11] + 1.0
+
+            def _fract_sin(mult):
+                x = jnp.sin(oid1 * jnp.float32(mult)) * jnp.float32(
+                    43758.5453
+                )
+                return x - x.astype(jnp.int32).astype(jnp.float32)
+
+            avx = _fract_sin(12.9898)
+            avy = _fract_sin(78.233)
+            avz = _fract_sin(56.128)
+        else:  # pragma: no cover — engine validation rejects UV
+            raise ValueError(config.mode)
+        rx = rx + jnp.where(live_hit, avx, 0.0)
+        ry = ry + jnp.where(live_hit, avy, 0.0)
+        rz = rz + jnp.where(live_hit, avz, 0.0)
 
     sa, sb, sc, sd_ = _pcg4d(
         wa, wb,
@@ -1616,6 +1660,10 @@ def _binned_kernel(
             new_sup = new_sup | jnp.where(sampled, jnp.int32(1 << slot), 0)
 
     parent = jnp.logical_and(live_hit, survive)
+    if config.mode != Mode.FULL:
+        # AOV lanes record once and die; pending lanes (pend_out) keep
+        # marching the frontier toward the true closest hit untouched
+        parent = jnp.zeros(shp, jnp.bool_)
     ox = jnp.where(parent, nox, ox)
     oy = jnp.where(parent, noy, oy)
     oz = jnp.where(parent, noz, oz)
