@@ -25,7 +25,7 @@ from smallpt_tpu.core import rng as prng
 from smallpt_tpu.core.camera import smallpt_camera
 from smallpt_tpu.core.scene import procedural_mesh_scene
 from smallpt_tpu.engine.renderer import render_image
-from smallpt_tpu.utils.image import to_int, write_png
+from smallpt_tpu.utils.image import write_png
 
 
 def main() -> None:
@@ -42,7 +42,7 @@ def main() -> None:
     img = render_image(
         scene, smallpt_camera(), config, seed=0, n_passes=4
     )
-    write_png(out, to_int(np.asarray(img))[::-1])
+    write_png(out, np.asarray(img))  # linear in; write_png gamma-maps + flips
     print(f"wrote {out}")
 
 

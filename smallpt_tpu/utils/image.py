@@ -26,20 +26,36 @@ def flip_y(img: np.ndarray) -> np.ndarray:
     return img[::-1]
 
 
+def _to_bytes(img: np.ndarray, flip: bool):
+    """Writers take LINEAR (H,W,3) float and gamma-map via to_int; an
+    integer array is treated as ALREADY tone-mapped 8-bit (passing
+    to_int output twice used to clamp everything to white)."""
+    arr = np.asarray(img)
+    if np.issubdtype(arr.dtype, np.integer):
+        data = arr.astype(np.uint8)
+        return flip_y(data) if flip else data
+    data = arr.astype(np.float32)
+    if flip:
+        data = flip_y(data)
+    return to_int(data)
+
+
 def write_ppm(path: str, img: np.ndarray, flip: bool = True) -> None:
     """ASCII P3 PPM matching writeImage (smallpt.cpp:136-142). img: (H,W,3)
     linear float; flipped + gamma-mapped like the reference's save path
     (smallpt.cpp:995-1004)."""
     from smallpt_tpu.utils import native
 
-    data = np.asarray(img, dtype=np.float32)
-    if flip:
-        data = flip_y(data)
-    if native.available():
+    arr = np.asarray(img)
+    if native.available() and not np.issubdtype(arr.dtype, np.integer):
+        data = arr.astype(np.float32)
+        if flip:
+            data = flip_y(data)
         native.write_ppm(path, data)
         return
-    h, w = data.shape[:2]
-    b = to_int(data).reshape(-1, 3)
+    b = _to_bytes(img, flip)
+    h, w = b.shape[:2]
+    b = b.reshape(-1, 3)
     with open(path, "w") as f:
         f.write(f"P3\n{w} {h}\n255\n")
         f.write(" ".join(f"{r} {g} {bl}" for r, g, bl in b))
@@ -48,13 +64,11 @@ def write_ppm(path: str, img: np.ndarray, flip: bool = True) -> None:
 
 def write_ppm_binary(path: str, img: np.ndarray, flip: bool = True) -> None:
     """Binary P6 PPM (fast path for large frames)."""
-    data = np.asarray(img, dtype=np.float32)
-    if flip:
-        data = flip_y(data)
-    h, w = data.shape[:2]
+    b = _to_bytes(img, flip)
+    h, w = b.shape[:2]
     with open(path, "wb") as f:
         f.write(f"P6\n{w} {h}\n255\n".encode())
-        f.write(to_int(data).tobytes())
+        f.write(b.tobytes())
 
 
 def read_ppm(path: str) -> np.ndarray:
@@ -77,11 +91,8 @@ def write_png(path: str, img: np.ndarray, flip: bool = True) -> None:
     import struct
     import zlib
 
-    data = np.asarray(img, dtype=np.float32)
-    if flip:
-        data = flip_y(data)
-    h, w = data.shape[:2]
-    rgb = to_int(data)
+    rgb = _to_bytes(img, flip)
+    h, w = rgb.shape[:2]
     raw = b"".join(b"\x00" + rgb[i].tobytes() for i in range(h))
 
     def chunk(tag: bytes, payload: bytes) -> bytes:

@@ -143,6 +143,22 @@ def test_png_writer(tmp_path):
         assert f.read(8) == b"\x89PNG\r\n\x1a\n"
 
 
+def test_writers_accept_tonemapped_uint8(tmp_path):
+    """An integer array is treated as ALREADY tone-mapped: passing to_int
+    output must not gamma-map twice (the double-map clamps everything to
+    white — regression for an example bug)."""
+    img = np.random.default_rng(1).uniform(0, 1, (6, 5, 3)).astype(np.float32)
+    mapped = img_io.to_int(img)
+    pa, pb = str(tmp_path / "lin.ppm"), str(tmp_path / "mapped.ppm")
+    img_io.write_ppm(pa, img, flip=False)
+    img_io.write_ppm(pb, mapped, flip=False)
+    np.testing.assert_array_equal(img_io.read_ppm(pa), img_io.read_ppm(pb))
+    img_io.write_ppm_binary(pb, mapped, flip=True)
+    np.testing.assert_array_equal(
+        img_io.read_ppm(pb), img_io.to_int(img_io.flip_y(img))
+    )
+
+
 def test_cli_end_to_end(tmp_path):
     from smallpt_tpu.cli import main
 
