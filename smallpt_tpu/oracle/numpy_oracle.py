@@ -426,6 +426,18 @@ class Oracle:
             phi = float(np.arctan2(n[0], n[2])) % (2.0 * np.pi)
             v = float(np.arcsin(np.clip(n[1], -1.0, 1.0))) / np.pi + 0.5
             return np.array([phi / (2.0 * np.pi), v, 0.0])
+        if cfg.mode == Mode.EMISSION:
+            # first-hit emission AOV (the commented smallpt.cpp:179 line)
+            return weight * self.emission[i]
+        if cfg.mode == Mode.INST_ID:
+            # _int2color false-coloring (smallpt.cpp:24-29). fract(sin(x)*
+            # 43758.5453) amplifies a 1-ulp sin difference ~4e4-fold, so
+            # cross-compiler/precision parity is meaningless — mirror the
+            # formula but don't gate engine colors against it bitwise.
+            tri_or_inst = tri if self.is_mesh else i
+            x = np.sin((float(tri_or_inst) + 1.0)
+                       * np.array([12.9898, 78.233, 56.128])) * 43758.5453
+            return x - np.trunc(x)
 
         emission = self.emission[i]
         if cfg.nee_lights and i in cfg.nee_lights:

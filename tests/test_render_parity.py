@@ -89,6 +89,45 @@ def test_normal_aov_parity():
     assert np.abs(img).max() <= cfg.spp + 1e-3
 
 
+def test_emission_aov_parity():
+    """Mode.EMISSION (the commented smallpt.cpp:179 line): first-hit
+    weight*emission — previously the oracle silently fell through to full
+    transport for this mode."""
+    cfg = RenderConfig(
+        width=12, height=12, spp_per_cell=1, mode=Mode.EMISSION,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT, max_depth=4,
+    )
+    scene, cam = cornell_box_scene(), smallpt_camera()
+    key = prng.base_key(6)
+    img = np.asarray(render(scene, cam, cfg, key))
+    oracle = Oracle(scene, cam, cfg,
+                    PrecomputedUniformProvider(key, cfg.n_pixels * cfg.spp))
+    oimg = oracle.render()
+    # first-hit geometry only: f32-vs-f64 differences are razor flips on
+    # the light rim — exact agreement elsewhere
+    exact = np.isclose(img, oimg, rtol=1e-5, atol=1e-5)
+    assert exact.mean() > 0.98, exact.mean()
+    assert img.max() > 1.0  # the light is visible
+
+
+def test_inst_id_oracle_mode_runs():
+    """INST_ID oracle colors: fract(sin) amplifies 1-ulp differences 4e4x,
+    so no cross-precision gate — pin the oracle's own value range and that
+    the engine mode renders non-black."""
+    cfg = RenderConfig(
+        width=8, height=8, spp_per_cell=1, mode=Mode.INST_ID,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT, max_depth=2,
+    )
+    scene, cam = cornell_box_scene(), smallpt_camera()
+    key = prng.base_key(6)
+    img = np.asarray(render(scene, cam, cfg, key))
+    oracle = Oracle(scene, cam, cfg,
+                    PrecomputedUniformProvider(key, cfg.n_pixels * cfg.spp))
+    oimg = oracle.render()
+    assert np.abs(oimg).max() <= cfg.spp and np.abs(oimg).max() > 0
+    assert np.abs(img).max() <= cfg.spp and np.abs(img).max() > 0
+
+
 def test_reproducibility_same_key():
     cfg = RenderConfig(width=8, height=8, spp_per_cell=1, max_depth=8,
                        camera_model=CameraModel.LEGACY, filter=Filter.TENT)
