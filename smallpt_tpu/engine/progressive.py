@@ -97,6 +97,39 @@ class ProgressiveRenderer:
                         mat = mat._replace(**{k: jnp.asarray(req[k], self.accum.dtype)})
                 self.scene = self.scene._replace(material=mat)
                 invalidate = True
+            elif action == "load_scene":
+                # swap the whole scene from a JSON file ("path") or inline
+                # spec ("scene") — core/scene_io.py format. New shapes mean
+                # a recompile on the next pass; a bad file/spec is logged
+                # and dropped so the render thread keeps its scene (the
+                # reference's request drain has no error path at all,
+                # smallpt.cpp:906-920).
+                from smallpt_tpu.core.scene_io import (
+                    load_scene, scene_from_dict,
+                )
+                from smallpt_tpu.utils.metrics import log_json
+
+                try:
+                    if "path" in req:
+                        new_scene = load_scene(req["path"])
+                    elif "scene" in req:
+                        new_scene = scene_from_dict(req["scene"])
+                    else:
+                        raise ValueError("load_scene needs path or scene")
+                    n = getattr(new_scene, "n_spheres", None)
+                    if self.config.nee_lights and (
+                        n is None
+                        or max(self.config.nee_lights) >= n
+                    ):
+                        raise ValueError(
+                            "config.nee_lights out of range for the loaded "
+                            "scene"
+                        )
+                    self.scene = new_scene
+                    invalidate = True
+                except (OSError, ValueError, KeyError, TypeError) as e:
+                    log_json("bad_request",
+                             {"action": "load_scene", "error": str(e)})
             elif action == "reset":
                 invalidate = True
             else:
@@ -302,7 +335,18 @@ class BinnedProgressiveRenderer(ProgressiveRenderer):
             if self.scene is not prev_scene:
                 self._r.camera = self.camera
                 self._r.cam_vec = _binned_cam_vec(self.camera, self.config)
-                self._r.update_scene(self.scene)
+                try:
+                    self._r.update_scene(self.scene)
+                except (TypeError, ValueError) as e:
+                    # e.g. load_scene swapped in a mesh scene, or a sphere
+                    # set the grid accel can't bin: keep rendering the old
+                    # scene rather than killing the render thread
+                    from smallpt_tpu.utils.metrics import log_json
+
+                    log_json("bad_request",
+                             {"action": "update_scene", "error": str(e)})
+                    self.scene = prev_scene
+                    self._r.update_camera(self.camera)
             elif self.camera is not prev_camera:
                 self._r.update_camera(self.camera)
             else:

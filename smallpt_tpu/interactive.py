@@ -17,6 +17,7 @@ accumulation (main(), smallpt.cpp:840-1005; request protocol
 Protocol (one JSON object per line):
     {"action": "update_camera", "org": [50, 53, 295.6]}   # + accum reset
     {"action": "update_scene", "center": [...], "radius": [...]}
+    {"action": "load_scene", "path": "scene.json"}        # or "scene": {...}
     {"action": "reset"}
     {"action": "snapshot", "path": "now.png"}             # async-safe save
     {"action": "quit"}
@@ -91,7 +92,8 @@ class InteractiveSession:
             # validate before enqueueing: a malformed protocol message must
             # not kill the render thread (it is logged and dropped, like a
             # malformed JSON line)
-            if action not in ("update_camera", "update_scene", "reset"):
+            if action not in ("update_camera", "update_scene", "load_scene",
+                              "reset"):
                 log_json("bad_request", {"error": f"unknown action {action!r}"})
                 continue
             if action == "update_camera":

@@ -230,3 +230,92 @@ def test_cli_interactive_end_to_end(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-1500:]
     assert os.path.exists(out)
+
+
+def test_load_scene_action(tmp_path):
+    """load_scene swaps the whole scene from a JSON file (or inline spec)
+    and resets accumulation; a bad file is logged and dropped without
+    killing the render thread."""
+    from smallpt_tpu.core.scene import two_sphere_scene
+    from smallpt_tpu.core.scene_io import save_scene, scene_to_dict
+
+    path = str(tmp_path / "two.json")
+    save_scene(two_sphere_scene(), path)
+
+    r = ProgressiveRenderer(cornell_box_scene(), smallpt_camera(), CFG, seed=3)
+    r.step()
+    img_cornell = r.image.copy()
+
+    # file load
+    r.enqueue({"action": "load_scene", "path": path})
+    r.step()
+    assert r.scene.n_spheres == 2
+    assert r.sample_count == 1  # accumulation restarted
+    assert not np.allclose(r.image, img_cornell)
+
+    # inline spec load
+    r.enqueue({"action": "load_scene",
+               "scene": scene_to_dict(cornell_box_scene())})
+    r.step()
+    assert r.scene.n_spheres == 9
+
+    # bad path: logged, dropped, scene unchanged
+    r.enqueue({"action": "load_scene", "path": str(tmp_path / "nope.json")})
+    r.step()
+    assert r.scene.n_spheres == 9
+    # missing payload: ditto
+    r.enqueue({"action": "load_scene"})
+    r.step()
+    assert r.scene.n_spheres == 9
+
+
+def test_load_scene_nee_range_guard(tmp_path):
+    """A loaded scene too small for config.nee_lights is rejected (the
+    light index would silently alias through clipped gathers)."""
+    from smallpt_tpu.core.scene import two_sphere_scene
+    from smallpt_tpu.core.scene_io import save_scene
+
+    path = str(tmp_path / "two.json")
+    save_scene(two_sphere_scene(), path)
+    cfg = CFG.replace(nee_lights=(8,))
+    r = ProgressiveRenderer(cornell_box_scene(), smallpt_camera(), cfg, seed=4)
+    r.enqueue({"action": "load_scene", "path": path})
+    r.step()
+    assert r.scene.n_spheres == 9  # rejected, still Cornell
+
+
+def test_session_load_scene_through_protocol(tmp_path):
+    from smallpt_tpu.core.scene import two_sphere_scene
+    from smallpt_tpu.core.scene_io import save_scene
+
+    path = str(tmp_path / "two.json")
+    save_scene(two_sphere_scene(), path)
+    r = ProgressiveRenderer(cornell_box_scene(), smallpt_camera(), CFG, seed=5)
+    stream = SlowStream([
+        json.dumps({"action": "load_scene", "path": path}),
+        json.dumps({"action": "quit"}),
+    ])
+    InteractiveSession(r, stream=stream).run(max_passes=200)
+    assert r.scene.n_spheres == 2
+
+
+def test_binned_load_scene_unsupported_keeps_old():
+    """A load into the binned progressive renderer that the grid accel
+    can't bin (no global spheres) keeps the previous scene."""
+    import jax.numpy as jnp
+
+    from smallpt_tpu.core.scene import SphereScene, Material
+    from smallpt_tpu.core.scene_io import scene_to_dict
+
+    r = _binned_progressive(seed=6)
+    prev = r.scene
+    small = SphereScene(
+        center=jnp.asarray([[50.0, 40.0, 80.0]], jnp.float32),
+        radius=jnp.asarray([2.0], jnp.float32),
+        material=Material(jnp.zeros((1, 3), jnp.float32),
+                          jnp.full((1, 3), 0.5, jnp.float32),
+                          jnp.zeros((1,), jnp.int32)),
+    )
+    r.enqueue({"action": "load_scene", "scene": scene_to_dict(small)})
+    r.step()
+    assert r.scene is prev
