@@ -113,3 +113,141 @@ def test_two_process_render_matches_single(tmp_path):
     # same mesh shape (2 tile x 2 sample) -> identical keying -> identical
     # image up to cross-process reduction order (psum order is fixed)
     np.testing.assert_allclose(a, ref, rtol=2e-5, atol=2e-5)
+
+
+_BINNED_WORKER = r"""
+import os, sys
+import numpy as np
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+from smallpt_tpu.parallel import distributed
+distributed.initialize(f"localhost:{port}", nproc, pid)
+
+import jax.numpy as jnp
+from smallpt_tpu.config import RenderConfig, Filter, CameraModel
+from smallpt_tpu.core.scene import SphereScene, Material
+from smallpt_tpu.core.camera import smallpt_camera
+from smallpt_tpu.parallel.binned_shard import ShardedBinnedRenderer
+from smallpt_tpu.parallel.distributed import global_mesh, host_tile_rows
+
+def open_scene():
+    rng = np.random.default_rng(0)
+    n = 40
+    centers = np.concatenate(
+        [[[50.0, 500.0, 81.6]],
+         rng.uniform([30, 20, 40], [70, 60, 120], (n, 3))])
+    radii = np.concatenate([[60.0], rng.uniform(0.5, 1.5, n)])
+    emission = np.zeros((n + 1, 3)); emission[0] = (8, 8, 8)
+    albedo = np.full((n + 1, 3), 0.6); albedo[0] = 0
+    refl = np.zeros(n + 1, np.int32)
+    return SphereScene(
+        center=jnp.asarray(centers, jnp.float32),
+        radius=jnp.asarray(radii, jnp.float32),
+        material=Material(jnp.asarray(emission, jnp.float32),
+                          jnp.asarray(albedo, jnp.float32),
+                          jnp.asarray(refl)))
+
+cfg = RenderConfig(width=16, height=8, spp_per_cell=1, max_depth=6,
+                   camera_model=CameraModel.LEGACY, filter=Filter.TENT)
+mesh = global_mesh(n_sample=2)   # tile=2 (one per process) x sample=2
+r = ShardedBinnedRenderer(open_scene(), smallpt_camera(), cfg, mesh, seed=0)
+r.step(add_samples=2, n_bounces=4)
+r.flush()
+rad, w = r.accumulators()
+
+# rad is tile(row-band)-sharded: save THIS host's addressable band
+r0, nr = host_tile_rows(cfg.height, mesh)
+uniq = {}
+for s in rad.addressable_shards:
+    uniq[s.index[0].start or 0] = np.asarray(s.data)
+band = np.concatenate([uniq[k] for k in sorted(uniq)], axis=0)
+uniq_w = {}
+for s in w.addressable_shards:
+    uniq_w[s.index[0].start or 0] = np.asarray(s.data)
+band_w = np.concatenate([uniq_w[k] for k in sorted(uniq_w)], axis=0)
+assert band.shape[0] == nr, (band.shape, nr)
+np.save(sys.argv[4] + f".p{pid}.npy", band)
+np.save(sys.argv[4] + f".w{pid}.npy", band_w)
+np.save(sys.argv[4] + f".r{pid}.npy", np.asarray([r0, nr]))
+print("WORKER_OK", pid, r0, nr, flush=True)
+"""
+
+
+def test_two_process_binned_matches_single(tmp_path):
+    """Config 5's shape for real: the grid-culled BINNED scheduler over two
+    OS processes under jax.distributed, bit-consistent with the
+    single-process sharded renderer on the same (2 tile x 2 sample) mesh
+    shape (accel tables replicate; tile bands exchange no bounce traffic)."""
+    import socket
+
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        port = str(sock.getsockname()[1])
+    out = str(tmp_path / "bimg")
+    script = str(tmp_path / "bworker.py")
+    with open(script, "w") as f:
+        f.write(_BINNED_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, str(pid), "2", port, out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    codes = [p.returncode for p in procs]
+    if any(c != 0 for c in codes):
+        msg = "\n".join(o[1][-2000:] for o in outs)
+        if "initialize" in msg or "DEADLINE" in msg or "UNAVAILABLE" in msg:
+            pytest.skip(f"jax.distributed rendezvous unavailable: {msg[-300:]}")
+        pytest.fail(f"workers failed: {msg}")
+    assert all("WORKER_OK" in o[0] for o in outs)
+
+    bands, bands_w = {}, {}
+    for pid in range(2):
+        r0, nr = np.load(out + f".r{pid}.npy")
+        bands[int(r0)] = np.load(out + f".p{pid}.npy")
+        bands_w[int(r0)] = np.load(out + f".w{pid}.npy")
+    a = np.concatenate([bands[k] for k in sorted(bands)], axis=0)
+    aw = np.concatenate([bands_w[k] for k in sorted(bands_w)], axis=0)
+
+    import jax
+    import jax.numpy as jnp
+
+    from smallpt_tpu.config import RenderConfig, Filter, CameraModel
+    from smallpt_tpu.core.scene import SphereScene, Material
+    from smallpt_tpu.core.camera import smallpt_camera
+    from smallpt_tpu.parallel.binned_shard import ShardedBinnedRenderer
+    from smallpt_tpu.parallel.shard import make_mesh
+
+    rng = np.random.default_rng(0)
+    n = 40
+    centers = np.concatenate(
+        [[[50.0, 500.0, 81.6]],
+         rng.uniform([30, 20, 40], [70, 60, 120], (n, 3))])
+    radii = np.concatenate([[60.0], rng.uniform(0.5, 1.5, n)])
+    emission = np.zeros((n + 1, 3)); emission[0] = (8, 8, 8)
+    albedo = np.full((n + 1, 3), 0.6); albedo[0] = 0
+    refl = np.zeros(n + 1, np.int32)
+    scene = SphereScene(
+        center=jnp.asarray(centers, jnp.float32),
+        radius=jnp.asarray(radii, jnp.float32),
+        material=Material(jnp.asarray(emission, jnp.float32),
+                          jnp.asarray(albedo, jnp.float32),
+                          jnp.asarray(refl)))
+
+    cfg = RenderConfig(width=16, height=8, spp_per_cell=1, max_depth=6,
+                       camera_model=CameraModel.LEGACY, filter=Filter.TENT)
+    mesh1 = make_mesh(n_sample=2, devices=jax.devices("cpu")[:4])
+    ref = ShardedBinnedRenderer(scene, smallpt_camera(), cfg, mesh1, seed=0)
+    ref.step(add_samples=2, n_bounces=4)
+    ref.flush()
+    rrad, rw = ref.accumulators()
+    np.testing.assert_array_equal(aw, np.asarray(rw))
+    np.testing.assert_allclose(a, np.asarray(rrad), rtol=2e-5, atol=2e-5)
