@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stats", action="store_true",
                    help="emit one structured JSON log line per pass "
                         "(rays, wall time, rays/s)")
+    p.add_argument("--quality", type=float, default=None, metavar="REL_ERR",
+                   help="with --streaming: equal-quality stopping — render "
+                        "until the 95%%-quantile per-pixel relative stderr "
+                        "is below REL_ERR (spp becomes the max budget)")
     p.add_argument("--streaming", action="store_true",
                    help="continuous-wavefront streaming renderer (fastest; "
                         "sphere scenes, full transport only): renders spp x "
@@ -244,16 +248,30 @@ def main(argv=None) -> int:
             sr.load_checkpoint(args.resume)
         frame_writer, frame_sync = make_frame_sink()
         t0 = time.time()
-        total = config.spp * n_passes
-        chunks = n_passes if (frame_writer or frame_sync) else 1
-        per = max(1, total // chunks)
-        for c in range(chunks):
-            sr.step(n_iters=1_000_000, add_samples=per)
-            if frame_writer is not None:
-                frame_writer.push(sr.image[::-1] * args.exposure, c + 1)
-            elif frame_sync is not None:
-                frame_sync(sr.image * args.exposure, c + 1)
-        sr.flush()
+        if args.quality is not None:
+            # equal-QUALITY stopping: spp becomes the max budget, samples
+            # are allocated adaptively until the target relative stderr
+            q = sr.step_to_quality(
+                rel_err=args.quality,
+                max_spp=config.spp * n_passes,
+            )
+            if not args.quiet:
+                print(
+                    f"quality stop: rel_err@95% {q['rel_err_q']:.4f} "
+                    f"spp {q['spp_min']}..{q['spp_max']} "
+                    f"({q['rounds']} rounds)", file=sys.stderr,
+                )
+        else:
+            total = config.spp * n_passes
+            chunks = n_passes if (frame_writer or frame_sync) else 1
+            per = max(1, total // chunks)
+            for c in range(chunks):
+                sr.step(n_iters=1_000_000, add_samples=per)
+                if frame_writer is not None:
+                    frame_writer.push(sr.image[::-1] * args.exposure, c + 1)
+                elif frame_sync is not None:
+                    frame_sync(sr.image * args.exposure, c + 1)
+            sr.flush()
         if frame_writer is not None:
             frame_writer.close()
         if not args.quiet:

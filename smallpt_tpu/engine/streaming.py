@@ -164,6 +164,71 @@ class StreamingRenderer:
         self.stats.passes += 1
         return n_rays
 
+    def step_to_quality(self, rel_err: float = 0.02, quantile: float = 0.95,
+                        max_spp: int = 4096, min_spp: int = 16,
+                        n_iters: int = 256, adaptive: bool = True) -> dict:
+        """Equal-QUALITY driver: add samples until the per-pixel relative
+        standard error of the luminance mean is <= rel_err at the given
+        pixel quantile (or max_spp is reached), then drain.
+
+        The reference's only stopping rules are a fixed spp count (legacy,
+        smallpt.cpp:276) and "run forever" (interactive); this is the
+        production-render third mode the RenderOutputs accumulator design
+        points toward. Budget grows geometrically (one host fetch of the
+        moment planes per doubling), allocated adaptively by default
+        (step_adaptive's sigma-proportional split). rel stderr uses
+        sqrt(var/n) / (|mean| + 1e-2): the epsilon keeps near-black pixels
+        from demanding unbounded samples for invisible error.
+
+        max_spp is a soft cap: the last adaptive round's allocation may
+        overshoot it on a few pixels (allocation granularity), never by
+        more than one doubling. Returns {"spp_min", "spp_max",
+        "rel_err_q", "rounds"} measured AFTER the final drain."""
+        eps = 1e-2
+        rounds = 0
+
+        def _moments():
+            mean, var, n = stream_variance(self.f, self.i, self.config)
+            mean = np.asarray(mean).reshape(-1)
+            var = np.asarray(var).reshape(-1)
+            n = np.asarray(n).reshape(-1)
+            ok = n >= 2
+            stderr = np.sqrt(
+                np.maximum(var[ok], 0.0) / np.maximum(n[ok], 1)
+            ) / (np.abs(mean[ok]) + eps)
+            q = float(np.quantile(stderr, quantile)) if ok.any() else np.inf
+            return mean, var, n, ok, q
+
+        if self.budget < min_spp:
+            # uniform bootstrap: the variance signal (and the stderr stop
+            # test) is meaningless below a per-pixel sample floor
+            self.step(n_iters=n_iters,
+                      add_samples=min(min_spp, max_spp) - self.budget)
+            rounds += 1
+        while True:
+            mean, var, n, ok, q = _moments()
+            done_quality = ok.all() and n.min() >= min_spp and q <= rel_err
+            out_of_budget = self._budget_max >= max_spp
+            if done_quality or out_of_budget:
+                self.flush()
+                _, _, n, _, q = _moments()
+                return {
+                    "spp_min": int(n.min()), "spp_max": int(n.max()),
+                    "rel_err_q": q, "rounds": rounds,
+                }
+            # geometric budget ramp: double total work per round, floored
+            # at one fresh sample/pixel
+            G = self.config.n_pixels
+            total_now = max(int(n.sum()), G)
+            add_total = max(min(total_now, max_spp * G - total_now), G)
+            if adaptive:
+                self.step_adaptive(n_iters=n_iters,
+                                   add_samples_total=add_total)
+            else:
+                self.step(n_iters=n_iters,
+                          add_samples=max(1, add_total // G))
+            rounds += 1
+
     def flush(self) -> None:
         """Drain all in-flight paths (no new budget): after this, image() is
         the exact MC estimate over each pixel's budgeted sample count."""

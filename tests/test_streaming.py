@@ -204,3 +204,41 @@ def test_step_timed_equal_time_mode():
     r.flush()
     _, w = r.accumulators()
     assert (np.asarray(w) == 6).all()
+
+
+def test_step_to_quality_reaches_target_or_budget():
+    """Equal-quality stopping: the driver must (a) terminate, (b) drain
+    exactly, (c) either hit the stderr target or exhaust max_spp, and
+    (d) spend more samples on higher-variance pixels (adaptive path)."""
+    from smallpt_tpu.ops.megakernel import stream_variance
+
+    r = StreamingRenderer(cornell_box_scene(), smallpt_camera(), CFG, seed=5)
+    q = r.step_to_quality(rel_err=0.25, quantile=0.9, max_spp=64,
+                          min_spp=8, n_iters=2048)
+    assert q["spp_min"] >= 8
+    _, w = r.accumulators()
+    w = np.asarray(w)
+    # drained: weights equal the final budgets (min >= spp_min)
+    assert w.min() >= q["spp_min"]
+    mean, var, n = stream_variance(r.f, r.i, r.config)
+    n = np.asarray(n).reshape(-1)
+    assert (n >= 2).all()
+    stderr = np.sqrt(np.maximum(np.asarray(var).reshape(-1), 0) / n) / (
+        np.abs(np.asarray(mean).reshape(-1)) + 1e-2
+    )
+    hit_target = float(np.quantile(stderr, 0.9)) <= 0.25
+    out_of_budget = q["spp_max"] >= 64
+    assert hit_target or out_of_budget, q
+    if q["spp_max"] > q["spp_min"]:
+        # adaptive allocation engaged: budgets differ across pixels
+        assert w.max() > w.min()
+
+
+def test_step_to_quality_respects_max_spp():
+    r = StreamingRenderer(cornell_box_scene(), smallpt_camera(), CFG, seed=6)
+    q = r.step_to_quality(rel_err=1e-5, quantile=0.95, max_spp=12,
+                          min_spp=4, n_iters=2048)
+    # an unreachable target must stop at the budget cap, drained
+    assert q["spp_max"] >= 12
+    _, w = r.accumulators()
+    assert np.asarray(w).min() >= 4
