@@ -100,9 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit one structured JSON log line per pass "
                         "(rays, wall time, rays/s)")
     p.add_argument("--quality", type=float, default=None, metavar="REL_ERR",
-                   help="with --streaming: equal-quality stopping — render "
-                        "until the 95%%-quantile per-pixel relative stderr "
-                        "is below REL_ERR (spp becomes the max budget)")
+                   help="with --streaming or --binned: equal-quality "
+                        "stopping — render until the 95%%-quantile "
+                        "per-pixel relative stderr is below REL_ERR "
+                        "(spp becomes the max budget)")
     p.add_argument("--streaming", action="store_true",
                    help="continuous-wavefront streaming renderer (fastest; "
                         "sphere scenes, full transport only): renders spp x "
@@ -221,9 +222,20 @@ def main(argv=None) -> int:
         if args.resume:
             br.load_checkpoint(args.resume)
         t0 = time.time()
-        br.step(add_samples=config.spp * n_passes,
-                n_bounces=2 * config.max_depth)
-        br.flush()
+        if args.quality is not None:
+            q = br.step_to_quality(rel_err=args.quality,
+                                   max_spp=config.spp * n_passes,
+                                   n_bounces=2 * config.max_depth)
+            if not args.quiet:
+                print(
+                    f"quality stop: rel_err@95% {q['rel_err_q']:.4f} "
+                    f"spp {q['spp_min']}..{q['spp_max']} "
+                    f"({q['rounds']} rounds)", file=sys.stderr,
+                )
+        else:
+            br.step(add_samples=config.spp * n_passes,
+                    n_bounces=2 * config.max_depth)
+            br.flush()
         if not args.quiet:
             print(f"Elapsed time: {(time.time() - t0) * 1000:.0f} ms",
                   file=sys.stderr)

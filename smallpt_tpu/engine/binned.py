@@ -422,20 +422,12 @@ class BinnedStreamingRenderer:
         )
         return rays
 
-    def step_adaptive(self, n_bounces: int = 8,
-                      add_samples_total: int | None = None) -> int:
-        """Variance-adaptive step (engine/streaming.py::step_adaptive
-        semantics on the binned path): distribute a pool of new samples
-        across pixels proportional to their luminance standard deviation
-        (capped at 8x the mean share, uniform floor of 1 when affordable),
-        then advance n_bounces culled bounces. Per-pixel allocations are
-        split round-robin across streams (exact totals)."""
+    def _combined_moments(self):
+        """Per-pixel (mean, var, n) of completed-sample luminances combined
+        over streams (m1/m2/n all add) — the adaptive/quality signal."""
         from smallpt_tpu.ops.megakernel import binned_variance
 
         G = self.config.n_pixels
-        if add_samples_total is None:
-            add_samples_total = G
-        # combined per-pixel moments over streams (m1/m2/n all add)
         m1 = np.zeros((G,), np.float64)
         m2 = np.zeros((G,), np.float64)
         nn = np.zeros((G,), np.float64)
@@ -452,6 +444,78 @@ class BinnedStreamingRenderer:
         n_safe = np.maximum(nn, 1.0)
         mean = m1 / n_safe
         var = np.maximum(m2 / n_safe - mean * mean, 0.0)
+        return mean, var, nn
+
+    def step_to_quality(self, rel_err: float = 0.02, quantile: float = 0.95,
+                        max_spp: int = 4096, min_spp: int = 16,
+                        n_bounces: int = 8, adaptive: bool = True) -> dict:
+        """engine/streaming.py::step_to_quality on the binned path: add
+        samples (adaptively by default) until the per-pixel relative
+        stderr of the luminance mean is <= rel_err at the given pixel
+        quantile, then drain. max_spp (total spp/pixel across streams) is
+        a soft cap — the last adaptive round may overshoot it on hot
+        pixels by at most one doubling. Returns {"spp_min", "spp_max",
+        "rel_err_q", "rounds"} measured AFTER the drain."""
+        eps = 1e-2
+        rounds = 0
+
+        def _q():
+            mean, var, nn = self._combined_moments()
+            ok = nn >= 2
+            stderr = np.sqrt(
+                np.maximum(var[ok], 0.0) / np.maximum(nn[ok], 1)
+            ) / (np.abs(mean[ok]) + eps)
+            q = float(np.quantile(stderr, quantile)) if ok.any() else np.inf
+            return nn, ok, q
+
+        def _budget_total_max() -> int:
+            G = self.config.n_pixels
+            total = np.zeros((G,), np.int64)
+            for s in self.streams:
+                total += (
+                    s.budgets if s.budgets is not None
+                    else np.full((G,), s.budget, np.int64)
+                )
+            return int(total.max())
+
+        have = sum(s.budget for s in self.streams)
+        if have < min_spp:
+            self.step(add_samples=min(min_spp, max_spp) - have,
+                      n_bounces=n_bounces)
+            rounds += 1
+        while True:
+            nn, ok, q = _q()
+            done = ok.all() and nn.min() >= min_spp and q <= rel_err
+            if done or _budget_total_max() >= max_spp:
+                self.flush()
+                nn, _, q = _q()
+                return {
+                    "spp_min": int(nn.min()), "spp_max": int(nn.max()),
+                    "rel_err_q": q, "rounds": rounds,
+                }
+            G = self.config.n_pixels
+            total_now = max(int(nn.sum()), G)
+            add_total = max(min(total_now, max_spp * G - total_now), G)
+            if adaptive:
+                self.step_adaptive(n_bounces=n_bounces,
+                                   add_samples_total=add_total)
+            else:
+                self.step(add_samples=max(1, add_total // G),
+                          n_bounces=n_bounces)
+            rounds += 1
+
+    def step_adaptive(self, n_bounces: int = 8,
+                      add_samples_total: int | None = None) -> int:
+        """Variance-adaptive step (engine/streaming.py::step_adaptive
+        semantics on the binned path): distribute a pool of new samples
+        across pixels proportional to their luminance standard deviation
+        (capped at 8x the mean share, uniform floor of 1 when affordable),
+        then advance n_bounces culled bounces. Per-pixel allocations are
+        split round-robin across streams (exact totals)."""
+        G = self.config.n_pixels
+        if add_samples_total is None:
+            add_samples_total = G
+        mean, var, nn = self._combined_moments()
         sigma = np.sqrt(var) + 1e-3
         base = 1 if add_samples_total >= 2 * G else 0
         pool = add_samples_total - base * G

@@ -665,3 +665,22 @@ def test_render_routes_nee_and_dof_through_binned():
         rad, w = r.accumulators()
         assert (np.asarray(w) == cfg.spp).all()
         assert (np.asarray(rad) == img).all()
+
+
+def test_binned_step_to_quality():
+    """Equal-quality stopping on the binned path: terminates, drains
+    exactly, and either hits the stderr target or the soft spp cap."""
+    cfg = CFG.replace(width=16, height=12, max_depth=6)
+    r = BinnedStreamingRenderer(SCENE, smallpt_camera(), cfg, seed=9)
+    q = r.step_to_quality(rel_err=0.3, quantile=0.9, max_spp=48,
+                          min_spp=6, n_bounces=4)
+    assert q["spp_min"] >= 6
+    _, w = r.accumulators()
+    w = np.asarray(w)
+    assert w.min() >= q["spp_min"]
+    mean, var, nn = r._combined_moments()
+    stderr = np.sqrt(np.maximum(var, 0) / np.maximum(nn, 1)) / (
+        np.abs(mean) + 1e-2
+    )
+    hit = float(np.quantile(stderr[nn >= 2], 0.9)) <= 0.3
+    assert hit or q["spp_max"] >= 48, q
