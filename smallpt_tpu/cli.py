@@ -139,8 +139,11 @@ def main(argv=None) -> int:
         CameraModel.MATRIX if args.scene == "triangle" and not args.scene_file
         else CameraModel.LEGACY
     )
+    # intersector default derives from the RESOLVED scene (not the builtin
+    # name, which --scene-file overrides): real meshes get the Pallas
+    # culled/chunked kernel; the 1-triangle debug scene stays pure-JAX
     intersector = Intersector(args.intersector) if args.intersector else (
-        Intersector.PALLAS if mesh_scene and args.scene != "triangle"
+        Intersector.PALLAS if mesh_scene and int(scene.n_triangles) >= 64
         else Intersector.JAX
     )
     filt = Filter(args.filter) if args.filter else (
@@ -214,6 +217,13 @@ def main(argv=None) -> int:
         build_parser().error("--streaming and --interactive are exclusive "
                              "(the interactive protocol drives the "
                              "progressive accumulator)")
+    if args.quality is not None and not (
+        args.streaming or (args.binned and not args.interactive)
+    ):
+        build_parser().error(
+            "--quality requires --streaming or --binned (equal-quality "
+            "stopping drives those renderers' moment planes)"
+        )
     if args.binned and not args.interactive:
         from smallpt_tpu.engine.binned import BinnedStreamingRenderer
         from smallpt_tpu.utils.metrics import log_json

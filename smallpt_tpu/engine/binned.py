@@ -452,57 +452,26 @@ class BinnedStreamingRenderer:
         """engine/streaming.py::step_to_quality on the binned path: add
         samples (adaptively by default) until the per-pixel relative
         stderr of the luminance mean is <= rel_err at the given pixel
-        quantile, then drain. max_spp (total spp/pixel across streams) is
-        a soft cap — the last adaptive round may overshoot it on hot
-        pixels by at most one doubling. Returns {"spp_min", "spp_max",
-        "rel_err_q", "rounds"} measured AFTER the drain."""
-        eps = 1e-2
-        rounds = 0
+        quantile, then drain. max_spp bounds the TOTAL pool (see
+        engine/quality.py::drive_to_quality, which both renderers share).
+        Returns {"spp_min", "spp_max", "rel_err_q", "rounds"} measured
+        AFTER the drain."""
+        from smallpt_tpu.engine.quality import drive_to_quality
 
-        def _q():
-            mean, var, nn = self._combined_moments()
-            ok = nn >= 2
-            stderr = np.sqrt(
-                np.maximum(var[ok], 0.0) / np.maximum(nn[ok], 1)
-            ) / (np.abs(mean[ok]) + eps)
-            q = float(np.quantile(stderr, quantile)) if ok.any() else np.inf
-            return nn, ok, q
-
-        def _budget_total_max() -> int:
-            G = self.config.n_pixels
-            total = np.zeros((G,), np.int64)
-            for s in self.streams:
-                total += (
-                    s.budgets if s.budgets is not None
-                    else np.full((G,), s.budget, np.int64)
-                )
-            return int(total.max())
-
-        have = sum(s.budget for s in self.streams)
-        if have < min_spp:
-            self.step(add_samples=min(min_spp, max_spp) - have,
-                      n_bounces=n_bounces)
-            rounds += 1
-        while True:
-            nn, ok, q = _q()
-            done = ok.all() and nn.min() >= min_spp and q <= rel_err
-            if done or _budget_total_max() >= max_spp:
-                self.flush()
-                nn, _, q = _q()
-                return {
-                    "spp_min": int(nn.min()), "spp_max": int(nn.max()),
-                    "rel_err_q": q, "rounds": rounds,
-                }
-            G = self.config.n_pixels
-            total_now = max(int(nn.sum()), G)
-            add_total = max(min(total_now, max_spp * G - total_now), G)
-            if adaptive:
-                self.step_adaptive(n_bounces=n_bounces,
-                                   add_samples_total=add_total)
-            else:
-                self.step(add_samples=max(1, add_total // G),
-                          n_bounces=n_bounces)
-            rounds += 1
+        return drive_to_quality(
+            n_pixels=self.config.n_pixels,
+            have_spp=sum(s.budget for s in self.streams),
+            moments=self._combined_moments,
+            step_uniform=lambda add: self.step(
+                add_samples=add, n_bounces=n_bounces
+            ),
+            step_adaptive=lambda total: self.step_adaptive(
+                n_bounces=n_bounces, add_samples_total=total
+            ),
+            flush=self.flush,
+            rel_err=rel_err, quantile=quantile,
+            max_spp=max_spp, min_spp=min_spp, adaptive=adaptive,
+        )
 
     def step_adaptive(self, n_bounces: int = 8,
                       add_samples_total: int | None = None) -> int:
@@ -620,11 +589,16 @@ class BinnedStreamingRenderer:
         """Swap scene geometry/materials: rebuild the grid accel (chunk
         AABBs, reach tables and the chunk-sorted scene table all depend on
         geometry) and restart the wavefront — the reference's
-        accumulation-reset-on-change semantics (smallpt.cpp:931-939)."""
-        self.scene = scene
-        self.accel = build_accel_for_camera(scene, self.camera, self.config)
+        accumulation-reset-on-change semantics (smallpt.cpp:931-939).
+
+        Exception-safe: everything is built into locals first, so a scene
+        the accel can't bin leaves self fully consistent on the OLD scene
+        (callers catch and keep rendering — engine/progressive.py)."""
+        accel = build_accel_for_camera(scene, self.camera, self.config)
         base_table = build_scene_table(scene, self.config)
-        self.table = jnp.take(base_table, self.accel.order, axis=0)
+        self.scene = scene
+        self.accel = accel
+        self.table = jnp.take(base_table, accel.order, axis=0)
         self.nee_rows = self._light_rows()
         self._bounce = self._make_bounce()
         self.reset()

@@ -85,18 +85,30 @@ class ProgressiveRenderer:
                     )
                 invalidate = True
             elif action == "update_scene":
-                # replace any subset of sphere-scene leaves
-                for k in ("center", "radius"):
-                    if k in req:
-                        self.scene = self.scene._replace(
-                            **{k: jnp.asarray(req[k], self.accum.dtype)}
-                        )
-                mat = self.scene.material
-                for k in ("emission", "albedo"):
-                    if k in req:
-                        mat = mat._replace(**{k: jnp.asarray(req[k], self.accum.dtype)})
-                self.scene = self.scene._replace(material=mat)
-                invalidate = True
+                # replace any subset of sphere-scene leaves; load_scene can
+                # have swapped in a mesh scene since, so a field mismatch is
+                # logged and dropped (never kills the render thread)
+                prev = self.scene
+                try:
+                    for k in ("center", "radius"):
+                        if k in req:
+                            self.scene = self.scene._replace(
+                                **{k: jnp.asarray(req[k], self.accum.dtype)}
+                            )
+                    mat = self.scene.material
+                    for k in ("emission", "albedo"):
+                        if k in req:
+                            mat = mat._replace(
+                                **{k: jnp.asarray(req[k], self.accum.dtype)}
+                            )
+                    self.scene = self.scene._replace(material=mat)
+                    invalidate = True
+                except (TypeError, ValueError, AttributeError) as e:
+                    from smallpt_tpu.utils.metrics import log_json
+
+                    log_json("bad_request",
+                             {"action": "update_scene", "error": str(e)})
+                    self.scene = prev
             elif action == "load_scene":
                 # swap the whole scene from a JSON file ("path") or inline
                 # spec ("scene") — core/scene_io.py format. New shapes mean
@@ -337,8 +349,9 @@ class BinnedProgressiveRenderer(ProgressiveRenderer):
                 self._r.cam_vec = _binned_cam_vec(self.camera, self.config)
                 try:
                     self._r.update_scene(self.scene)
-                except (TypeError, ValueError) as e:
-                    # e.g. load_scene swapped in a mesh scene, or a sphere
+                except (TypeError, ValueError, AttributeError) as e:
+                    # e.g. load_scene swapped in a mesh scene (no .center →
+                    # AttributeError inside the accel build), or a sphere
                     # set the grid accel can't bin: keep rendering the old
                     # scene rather than killing the render thread
                     from smallpt_tpu.utils.metrics import log_json

@@ -180,54 +180,35 @@ class StreamingRenderer:
         sqrt(var/n) / (|mean| + 1e-2): the epsilon keeps near-black pixels
         from demanding unbounded samples for invisible error.
 
-        max_spp is a soft cap: the last adaptive round's allocation may
-        overshoot it on a few pixels (allocation granularity), never by
-        more than one doubling. Returns {"spp_min", "spp_max",
-        "rel_err_q", "rounds"} measured AFTER the final drain."""
-        eps = 1e-2
-        rounds = 0
+        max_spp bounds the TOTAL sample pool at max_spp * n_pixels (the
+        cost of a uniform max_spp render): adaptive allocation may push
+        hot pixels above it and leave converged ones below. Returns
+        {"spp_min", "spp_max", "rel_err_q", "rounds"} measured AFTER the
+        final drain (engine/quality.py::drive_to_quality)."""
+        from smallpt_tpu.engine.quality import drive_to_quality
 
-        def _moments():
+        def moments():
             mean, var, n = stream_variance(self.f, self.i, self.config)
-            mean = np.asarray(mean).reshape(-1)
-            var = np.asarray(var).reshape(-1)
-            n = np.asarray(n).reshape(-1)
-            ok = n >= 2
-            stderr = np.sqrt(
-                np.maximum(var[ok], 0.0) / np.maximum(n[ok], 1)
-            ) / (np.abs(mean[ok]) + eps)
-            q = float(np.quantile(stderr, quantile)) if ok.any() else np.inf
-            return mean, var, n, ok, q
+            return (
+                np.asarray(mean, np.float64).reshape(-1),
+                np.asarray(var, np.float64).reshape(-1),
+                np.asarray(n, np.float64).reshape(-1),
+            )
 
-        if self.budget < min_spp:
-            # uniform bootstrap: the variance signal (and the stderr stop
-            # test) is meaningless below a per-pixel sample floor
-            self.step(n_iters=n_iters,
-                      add_samples=min(min_spp, max_spp) - self.budget)
-            rounds += 1
-        while True:
-            mean, var, n, ok, q = _moments()
-            done_quality = ok.all() and n.min() >= min_spp and q <= rel_err
-            out_of_budget = self._budget_max >= max_spp
-            if done_quality or out_of_budget:
-                self.flush()
-                _, _, n, _, q = _moments()
-                return {
-                    "spp_min": int(n.min()), "spp_max": int(n.max()),
-                    "rel_err_q": q, "rounds": rounds,
-                }
-            # geometric budget ramp: double total work per round, floored
-            # at one fresh sample/pixel
-            G = self.config.n_pixels
-            total_now = max(int(n.sum()), G)
-            add_total = max(min(total_now, max_spp * G - total_now), G)
-            if adaptive:
-                self.step_adaptive(n_iters=n_iters,
-                                   add_samples_total=add_total)
-            else:
-                self.step(n_iters=n_iters,
-                          add_samples=max(1, add_total // G))
-            rounds += 1
+        return drive_to_quality(
+            n_pixels=self.config.n_pixels,
+            have_spp=self.budget,
+            moments=moments,
+            step_uniform=lambda add: self.step(
+                n_iters=n_iters, add_samples=add
+            ),
+            step_adaptive=lambda total: self.step_adaptive(
+                n_iters=n_iters, add_samples_total=total
+            ),
+            flush=self.flush,
+            rel_err=rel_err, quantile=quantile,
+            max_spp=max_spp, min_spp=min_spp, adaptive=adaptive,
+        )
 
     def flush(self) -> None:
         """Drain all in-flight paths (no new budget): after this, image() is

@@ -32,7 +32,8 @@ def _to_bytes(img: np.ndarray, flip: bool):
     to_int output twice used to clamp everything to white)."""
     arr = np.asarray(img)
     if np.issubdtype(arr.dtype, np.integer):
-        data = arr.astype(np.uint8)
+        # clip, don't wrap: out-of-range ints would alias modulo 256
+        data = np.clip(arr, 0, 255).astype(np.uint8)
         return flip_y(data) if flip else data
     data = arr.astype(np.float32)
     if flip:

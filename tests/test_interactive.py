@@ -319,3 +319,39 @@ def test_binned_load_scene_unsupported_keeps_old():
     r.enqueue({"action": "load_scene", "scene": scene_to_dict(small)})
     r.step()
     assert r.scene is prev
+
+
+def test_update_scene_after_mesh_load_is_dropped(tmp_path):
+    """load_scene makes sphere->mesh transitions a normal runtime event:
+    a subsequent sphere-field update_scene must be logged and dropped,
+    not kill the render thread (review regression)."""
+    from smallpt_tpu.core.scene import single_triangle_scene
+    from smallpt_tpu.core.scene_io import save_scene
+
+    path = str(tmp_path / "tri.json")
+    save_scene(single_triangle_scene(), path)
+    r = ProgressiveRenderer(cornell_box_scene(), smallpt_camera(), CFG,
+                            seed=7)
+    r.enqueue({"action": "load_scene", "path": path})
+    r.step()
+    assert hasattr(r.scene, "n_triangles")
+    # sphere-field edit against a mesh scene: dropped, render continues
+    r.enqueue({"action": "update_scene", "center": [[0.0, 0.0, 0.0]]})
+    r.step()
+    assert hasattr(r.scene, "n_triangles")
+
+
+def test_binned_load_mesh_scene_keeps_old():
+    """A mesh scene loaded into the BINNED progressive renderer (no
+    .center -> AttributeError in the accel build) is dropped (review
+    regression: the old catch missed AttributeError and killed the
+    session)."""
+    from smallpt_tpu.core.scene import single_triangle_scene
+    from smallpt_tpu.core.scene_io import scene_to_dict
+
+    r = _binned_progressive(seed=8)
+    prev = r.scene
+    r.enqueue({"action": "load_scene",
+               "scene": scene_to_dict(single_triangle_scene())})
+    r.step()
+    assert r.scene is prev
