@@ -180,19 +180,31 @@ def main(argv=None) -> int:
     )
 
     if args.nee:
-        if mesh_scene:
-            build_parser().error("--nee requires a sphere scene")
         import numpy as _np
 
-        n_sph = int(scene.center.shape[0])
+        # sphere scenes: indices are sphere ids (cone sampling); mesh
+        # scenes: indices are INSTANCE ids (triangle area sampling)
+        n_ent = (
+            int(scene.material.refl.shape[0]) if mesh_scene
+            else int(scene.center.shape[0])
+        )
+        kind = "instances" if mesh_scene else "spheres"
         for li in args.nee:
-            if not (0 <= li < n_sph):
+            if not (0 <= li < n_ent):
                 build_parser().error(
-                    f"--nee index {li} out of range (scene has {n_sph} spheres)"
+                    f"--nee index {li} out of range (scene has {n_ent} "
+                    f"{kind})"
                 )
             if float(_np.asarray(scene.material.emission[li]).max()) <= 0:
-                print(f"warning: --nee sphere {li} has zero emission",
+                print(f"warning: --nee light {li} has zero emission",
                       file=sys.stderr)
+        if mesh_scene:
+            tri_inst = _np.asarray(scene.tri_inst)
+            for li in args.nee:
+                if not (tri_inst == li).any():
+                    build_parser().error(
+                        f"--nee instance {li} has no triangles"
+                    )
 
     def make_frame_sink():
         """Native async frame writer, or a synchronous fallback (never a

@@ -144,6 +144,7 @@ def render_samples(
     differentiable: bool = False,
     return_stats: bool = False,
     mesh_accel=None,
+    mesh_nee=None,
 ):
     """Render an arbitrary flat batch of camera samples.
 
@@ -169,7 +170,7 @@ def render_samples(
     )
     intersect_fn = make_intersect_fn(scene, config, differentiable,
                                      mesh_accel=mesh_accel)
-    nee_scene = _nee_scene_for(scene, config)
+    nee_scene = _nee_scene_for(scene, config, mesh_nee)
     final, rays = wavefront.run_wavefront(
         state,
         intersect_fn,
@@ -199,26 +200,86 @@ def render_pixels(
     ip_offset,
     k_samples: int,
     mesh_accel=None,
+    mesh_nee=None,
 ):
     """Regenerative-scheduler core: one lane per pixel consuming k_samples
     sequentially. Returns (per-pixel radiance (G,3), rays_traced)."""
     intersect_fn = make_intersect_fn(scene, config, mesh_accel=mesh_accel)
-    nee_scene = _nee_scene_for(scene, config)
+    nee_scene = _nee_scene_for(scene, config, mesh_nee)
     return wavefront.run_wavefront_regen(
         camera, intersect_fn, scene.material, config, key,
         pixel, col, row, ip_offset, k_samples, nee_scene=nee_scene,
     )
 
 
-def _nee_scene_for(scene, config: RenderConfig):
+def _nee_scene_for(scene, config: RenderConfig, mesh_nee=None):
+    """Light-sampling data for bounce_step's NEE block: the scene itself
+    for sphere emitters (cone sampling reads centers/radii in-trace), or
+    the eagerly-built TriLightData tuple for mesh area lights."""
     if not config.nee_lights:
         return None
-    if not isinstance(scene, SphereScene):
+    if isinstance(scene, SphereScene):
+        return scene
+    if mesh_nee is None:
         raise ValueError(
-            "config.nee_lights requires a SphereScene (explicit light "
-            "sampling is defined for sphere emitters)"
+            "config.nee_lights on a mesh scene requires CONCRETE geometry "
+            "(the per-light triangle tables are compacted outside jit — "
+            "_mesh_nee_for); call render()/render_sharded with a concrete "
+            "scene, or pass mesh_nee through"
         )
-    return scene
+    return mesh_nee
+
+
+def _mesh_nee_for(scene, config: RenderConfig):
+    """Eagerly build per-light TriLightData for mesh area lights
+    (config.nee_lights holds INSTANCE ids for mesh scenes). Compacting an
+    instance's triangles is a dynamic-shape op, so this runs outside jit
+    on concrete arrays — the _mesh_accel_for pattern. Returns None when
+    not applicable (sphere scenes, no NEE, traced geometry)."""
+    import numpy as np
+
+    from smallpt_tpu.ops.wavefront import TriLightData
+
+    if not config.nee_lights or not isinstance(scene, MeshScene):
+        return None
+    if any(
+        isinstance(leaf, jax.core.Tracer)
+        for leaf in (scene.positions, scene.indices, scene.tri_inst)
+    ):
+        return None
+    pos = np.asarray(scene.positions, np.float64)
+    idx = np.asarray(scene.indices)
+    tri_inst = np.asarray(scene.tri_inst)
+    emission = np.asarray(scene.material.emission, np.float64)
+    out = []
+    for li in config.nee_lights:
+        if li >= emission.shape[0]:
+            raise ValueError(f"nee light instance {li} out of range")
+        tris = np.nonzero(tri_inst == li)[0]
+        if tris.size == 0:
+            raise ValueError(f"nee light instance {li} has no triangles")
+        a = pos[idx[tris, 0]]
+        b = pos[idx[tris, 1]]
+        c = pos[idx[tris, 2]]
+        cross = np.cross(b - a, c - a)
+        area2 = np.linalg.norm(cross, axis=1)
+        if not (area2 > 0).all():
+            raise ValueError(f"nee light instance {li} has degenerate tris")
+        n = cross / area2[:, None]
+        areas = 0.5 * area2
+        total = float(areas.sum())
+        cdf = np.cumsum(areas) / total
+        cdf[-1] = 1.0
+        dt = jnp.dtype(config.dtype)
+        out.append(TriLightData(
+            a=jnp.asarray(a, dt), b=jnp.asarray(b, dt),
+            c=jnp.asarray(c, dt), n=jnp.asarray(n, dt),
+            cdf=jnp.asarray(cdf, dt),
+            area_total=jnp.asarray(total, dt),
+            le=jnp.asarray(emission[li], dt),
+            inst=int(li),
+        ))
+    return tuple(out)
 
 
 def _use_mega(scene, config: RenderConfig, differentiable: bool) -> bool:
@@ -349,7 +410,8 @@ def render(
         except AccelUnsupported:
             pass  # e.g. all-small-sphere open scene: brute fallback below
     mesh_accel = _render_mesh_accel(scene, config)
-    return _render_jit(scene, camera, config, key, differentiable, mesh_accel)
+    return _render_jit(scene, camera, config, key, differentiable, mesh_accel,
+                       _mesh_nee_for(scene, config))
 
 
 def _render_mesh_accel(scene, config: RenderConfig):
@@ -363,7 +425,7 @@ def _render_mesh_accel(scene, config: RenderConfig):
 @functools.partial(jax.jit, static_argnames=("config", "differentiable"))
 def _render_jit(
     scene, camera, config: RenderConfig, key: jax.Array,
-    differentiable: bool = False, mesh_accel=None,
+    differentiable: bool = False, mesh_accel=None, mesh_nee=None,
 ) -> jnp.ndarray:
     if _use_mega(scene, config, differentiable):
         from smallpt_tpu.ops.megakernel import render_pass_megakernel
@@ -376,13 +438,13 @@ def _render_jit(
         row = pixel // config.width
         rad, _ = render_pixels(
             scene, camera, config, key, pixel, col, row, 0, config.spp,
-            mesh_accel=mesh_accel,
+            mesh_accel=mesh_accel, mesh_nee=mesh_nee,
         )
         return rad.reshape(config.height, config.width, 3)
     sample_ids, pixel, col, row, cx, cy = cam.sample_indices(config, config.n_pixels)
     rad = render_samples(
         scene, camera, config, key, sample_ids, col, row, cx, cy, differentiable,
-        mesh_accel=mesh_accel,
+        mesh_accel=mesh_accel, mesh_nee=mesh_nee,
     )
     img = rad.reshape(config.n_pixels, config.spp, 3).sum(axis=1)
     return img.reshape(config.height, config.width, 3)
@@ -399,13 +461,14 @@ def render_with_stats(scene, camera, config: RenderConfig, key: jax.Array):
         except AccelUnsupported:
             pass
     return _render_with_stats_jit(
-        scene, camera, config, key, _render_mesh_accel(scene, config)
+        scene, camera, config, key, _render_mesh_accel(scene, config),
+        _mesh_nee_for(scene, config),
     )
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _render_with_stats_jit(scene, camera, config: RenderConfig, key: jax.Array,
-                           mesh_accel=None):
+                           mesh_accel=None, mesh_nee=None):
     if _use_mega(scene, config, False):
         from smallpt_tpu.ops.megakernel import render_pass_megakernel
 
@@ -416,13 +479,13 @@ def _render_with_stats_jit(scene, camera, config: RenderConfig, key: jax.Array,
         row = pixel // config.width
         rad, rays = render_pixels(
             scene, camera, config, key, pixel, col, row, 0, config.spp,
-            mesh_accel=mesh_accel,
+            mesh_accel=mesh_accel, mesh_nee=mesh_nee,
         )
         return rad.reshape(config.height, config.width, 3), rays
     sample_ids, pixel, col, row, cx, cy = cam.sample_indices(config, config.n_pixels)
     rad, rays = render_samples(
         scene, camera, config, key, sample_ids, col, row, cx, cy,
-        return_stats=True, mesh_accel=mesh_accel,
+        return_stats=True, mesh_accel=mesh_accel, mesh_nee=mesh_nee,
     )
     img = rad.reshape(config.n_pixels, config.spp, 3).sum(axis=1)
     return img.reshape(config.height, config.width, 3), rays

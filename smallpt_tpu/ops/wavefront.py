@@ -36,6 +36,23 @@ from smallpt_tpu.ops import bsdf
 from smallpt_tpu.ops.intersect import Hit
 
 
+class TriLightData(NamedTuple):
+    """One triangle-mesh area light for next-event estimation: the light
+    instance's triangles flattened to vertex tables with an area CDF
+    (built eagerly — engine/renderer.py::_mesh_nee_for — because
+    compacting an instance's triangles is a dynamic-shape op under jit).
+    The mesh analog of the sphere NEE block's cone sampling."""
+
+    a: jnp.ndarray  # (T,3) first vertices
+    b: jnp.ndarray  # (T,3)
+    c: jnp.ndarray  # (T,3)
+    n: jnp.ndarray  # (T,3) unit geometric normals
+    cdf: jnp.ndarray  # (T,) inclusive area CDF, cdf[-1] == 1
+    area_total: jnp.ndarray  # () total area
+    le: jnp.ndarray  # (3,) instance emission
+    inst: int  # static instance id (hit/suppression tests)
+
+
 class PathState(NamedTuple):
     """SoA wavefront path state — PathContrib (smallpt.cpp:106-118) plus the
     alive mask, split-tree history, and per-lane radiance accumulator.
@@ -146,9 +163,10 @@ def bounce_step(
 ) -> PathState:
     """One trace+shade wavefront iteration over all lanes (masked).
 
-    nee_scene: the SphereScene when config.nee_lights is non-empty — next-
-    event estimation needs the light spheres' geometry and a shadow query
-    through the same intersect_fn."""
+    nee_scene: light-sampling data when config.nee_lights is non-empty —
+    the SphereScene itself (cone sampling reads light centers/radii), or a
+    tuple of TriLightData for mesh area lights; shadow queries go through
+    the same intersect_fn either way."""
     dtype = state.org.dtype
     L = state.org.shape[0]
     B = config.split_budget
@@ -296,11 +314,79 @@ def bounce_step(
         # light, whose shell passes millimetres above the Cornell ceiling.
         if nee_scene is None:
             raise ValueError(
-                "config.nee_lights requires a SphereScene (explicit light "
-                "sampling is defined for sphere emitters)"
+                "config.nee_lights requires light-sampling data: a "
+                "SphereScene (cone sampling), or per-light TriLightData "
+                "for mesh area lights (built from a CONCRETE MeshScene by "
+                "engine/renderer.py::_mesh_nee_for)"
             )
         two_pi = jnp.asarray(2.0 * jnp.pi, dtype)
+        sphere_lights = hasattr(nee_scene, "center")
         for slot, li in enumerate(config.nee_lights):
+            if not sphere_lights:
+                # ---- triangle AREA light (mesh scenes) -------------------
+                # uniform-by-area point on the light instance: pick a
+                # triangle through the area CDF, reusing the pick uniform's
+                # conditional remainder for the first barycentric (exactly
+                # mirrored by the f64 oracle), then the sqrt warp.
+                data: TriLightData = nee_scene[slot]
+                un = prng.nee_uniforms(
+                    key, sample_ids, state.hist, state.depth, slot, dtype
+                )
+                u0, u1 = un[:, 0], un[:, 1]
+                cdf = data.cdf.astype(dtype)
+                j = jnp.clip(
+                    jnp.searchsorted(cdf, u0, side="right"),
+                    0, cdf.shape[0] - 1,
+                )
+                lo = jnp.where(j > 0, cdf[jnp.maximum(j - 1, 0)], 0.0)
+                u0r = jnp.clip(
+                    (u0 - lo) / jnp.maximum(cdf[j] - lo, 1e-12), 0.0, 1.0
+                )
+                va = data.a.astype(dtype)[j]
+                vb = data.b.astype(dtype)[j]
+                vc = data.c.astype(dtype)[j]
+                su = jnp.sqrt(u0r)[:, None]
+                y = (1.0 - su) * va + su * (
+                    (1.0 - u1)[:, None] * vb + u1[:, None] * vc
+                )
+                ny = data.n.astype(dtype)[j]
+                sw = y - x
+                d2 = jnp.sum(sw * sw, axis=-1)
+                dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+                ldir = sw / dist[:, None]
+                if config.detach_sampling:
+                    # same policy as the cone sample: the stochastic
+                    # direction is a constant of the backward pass
+                    ldir = jax.lax.stop_gradient(ldir)
+                shadow = intersect_fn(x, ldir)
+                # visible iff the closest hit IS the light instance at ~the
+                # sampled distance (a nearer hit — even on the same
+                # instance — occludes the sampled point)
+                lit = (
+                    shadow.valid
+                    & (shadow.inst == data.inst)
+                    & (shadow.t >= dist * (1.0 - 1e-3))
+                )
+                cos_x = jnp.maximum(jnp.sum(ldir * nl, axis=-1), 0.0)
+                # two-sided emitter: emission pickup at hits has no side
+                # test, so NEE must not either
+                cos_y = jnp.abs(jnp.sum(ldir * ny, axis=-1))
+                geom = cos_x * cos_y * data.area_total.astype(dtype) / (
+                    jnp.maximum(d2, 1e-12)
+                )
+                sampled = live_hit & survive & is_diff
+                active = sampled & lit
+                contrib = (
+                    state.weight * f * data.le.astype(dtype)[None, :]
+                    * (geom / jnp.pi)[:, None]
+                )
+                radiance = radiance + jnp.where(
+                    active[:, None], contrib, 0.0
+                )
+                new_suppress = new_suppress | jnp.where(
+                    sampled, jnp.int32(1 << slot), 0
+                )
+                continue
             lc = nee_scene.center[li].astype(dtype)
             lr = nee_scene.radius[li].astype(dtype)
             le = nee_scene.material.emission[li].astype(dtype)

@@ -237,7 +237,28 @@ class Oracle:
             self.te2 = pos[idx[:, 2]] - self.tv0
             self.tn = np.cross(self.te1, self.te2)
             if config.nee_lights:
-                raise ValueError("oracle NEE is sphere-only (as the engine)")
+                # triangle AREA lights: per-light instance triangle tables
+                # with area CDFs — the f64 mirror of
+                # engine/renderer.py::_mesh_nee_for
+                emission = np.asarray(scene.material.emission, np.float64)
+                self.tri_lights = []
+                for li in config.nee_lights:
+                    tris = np.nonzero(self.tri_inst == li)[0]
+                    if tris.size == 0:
+                        raise ValueError(f"nee light {li} has no triangles")
+                    a = pos[idx[tris, 0]]
+                    b = pos[idx[tris, 1]]
+                    c = pos[idx[tris, 2]]
+                    cross = np.cross(b - a, c - a)
+                    area2 = np.linalg.norm(cross, axis=1)
+                    n = cross / area2[:, None]
+                    areas = 0.5 * area2
+                    total = float(areas.sum())
+                    cdf = np.cumsum(areas) / total
+                    cdf[-1] = 1.0
+                    self.tri_lights.append(
+                        (a, b, c, n, cdf, total, emission[li], int(li))
+                    )
         else:
             self.center = np.asarray(scene.center, np.float64)
             self.radius = np.asarray(scene.radius, np.float64)
@@ -351,6 +372,38 @@ class Oracle:
         e = np.zeros(3)
         sup = 0
         for slot, li in enumerate(cfg.nee_lights):
+            if self.is_mesh:
+                # triangle AREA light — exact f64 mirror of the engine's
+                # uniform-by-area sampler (ops/wavefront.py mesh branch):
+                # CDF pick reusing the pick uniform's conditional
+                # remainder, sqrt warp, two-sided cos_y, |t - d| visibility
+                a, b, c, n_t, cdf, total, le, inst = self.tri_lights[slot]
+                u = self.u.nee(sample_id, hist, depth, slot)
+                j = min(int(np.searchsorted(cdf, u[0], side="right")),
+                        cdf.shape[0] - 1)
+                lo = cdf[j - 1] if j > 0 else 0.0
+                u0r = min(max((u[0] - lo) / max(cdf[j] - lo, 1e-12), 0.0),
+                          1.0)
+                su = np.sqrt(u0r)
+                y = (1.0 - su) * a[j] + su * (
+                    (1.0 - u[1]) * b[j] + u[1] * c[j]
+                )
+                sw = y - x
+                d2 = max(float(np.dot(sw, sw)), 1e-12)
+                dist = np.sqrt(d2)
+                l = sw / dist
+                sup |= 1 << slot  # sampled: suppress its emission next hit
+                ts, tri, _, _ = self.intersect_mesh(x, l)
+                if not (
+                    np.isfinite(ts)
+                    and int(self.tri_inst[tri]) == inst
+                    and ts >= dist * (1.0 - 1e-3)
+                ):
+                    continue  # shadowed
+                cos_x = max(float(np.dot(l, nl)), 0.0)
+                cos_y = abs(float(np.dot(l, n_t[j])))
+                e = e + f * le * (cos_x * cos_y * total / d2 / np.pi)
+                continue
             lc, lr = self.center[li], float(self.radius[li])
             sw = lc - x
             d2 = float(np.dot(sw, sw))

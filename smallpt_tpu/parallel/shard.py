@@ -36,6 +36,7 @@ from smallpt_tpu.engine.renderer import (
     render_samples,
     render_pixels,
     _render_mesh_accel,
+    _mesh_nee_for,
     _use_mega,
     _use_regen,
 )
@@ -75,9 +76,6 @@ def _sample_grids(config: RenderConfig):
     return sid, col, row, cx, cy
 
 
-@functools.partial(
-    jax.jit, static_argnames=("config", "mesh", "differentiable")
-)
 def render_sharded(
     scene,
     camera,
@@ -88,7 +86,32 @@ def render_sharded(
 ) -> jnp.ndarray:
     """One full-frame pass sharded over the mesh. Returns the (H, W, 3)
     summed-radiance image (fully replicated on exit, like the reference's
-    single accumBuffer)."""
+    single accumBuffer).
+
+    Eager wrapper: the mesh accel and NEE triangle-light tables MUST be
+    built outside the jit (their construction is dynamic-shape); the old
+    single jitted function saw tracers here, so the sharded mesh path
+    silently brute-swept and mesh NEE could not run at all."""
+    maccel = _render_mesh_accel(scene, config)
+    mnee = _mesh_nee_for(scene, config)
+    return _render_sharded_jit(
+        scene, camera, config, key, mesh, differentiable, maccel, mnee
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "mesh", "differentiable")
+)
+def _render_sharded_jit(
+    scene,
+    camera,
+    config: RenderConfig,
+    key: jax.Array,
+    mesh: Mesh,
+    differentiable: bool,
+    maccel,
+    mnee,
+) -> jnp.ndarray:
     n_tile = mesh.shape["tile"]
     n_sample = mesh.shape["sample"]
     if config.height % n_tile:
@@ -97,23 +120,20 @@ def render_sharded(
         raise ValueError(f"spp {config.spp} not divisible by sample axis {n_sample}")
 
     sid, col, row, cx, cy = _sample_grids(config)
-    # mesh-scene accel tables: built eagerly here (inside shard_map the
-    # scene arrays are tracers) and REPLICATED — per-shard ray batches
-    # build their own tile lists against the shared tables
-    maccel = _render_mesh_accel(scene, config)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P("tile", "sample"), P("tile", "sample"),
                   P("tile", "sample"), P("tile", "sample"),
-                  P("tile", "sample"), P()),
+                  P("tile", "sample"), P(), P()),
         out_specs=P("tile", None, None),
         # the wavefront while_loop carry mixes device-varying lanes with
         # replicated-constant init values; skip the static vma check
         check_vma=False,
     )
-    def shard_render(scene, camera, key, sid, col, row, cx, cy, maccel):
+    def shard_render(scene, camera, key, sid, col, row, cx, cy, maccel,
+                     mnee):
         h_loc, cols_loc = sid.shape
         W = config.width
         spp_loc = cols_loc // W
@@ -137,7 +157,7 @@ def render_sharded(
             ip_offset = jax.lax.axis_index("sample").astype(jnp.int32) * spp_loc
             rad, _ = render_pixels(
                 scene, camera, config, key, pixel, pix_col, pix_row,
-                ip_offset, spp_loc, mesh_accel=maccel,
+                ip_offset, spp_loc, mesh_accel=maccel, mesh_nee=mnee,
             )
             part = rad.reshape(h_loc, W, 3)
         else:
@@ -146,13 +166,15 @@ def render_sharded(
                 scene, camera, config, key,
                 flat(sid), flat(col), flat(row), flat(cx), flat(cy),
                 differentiable=differentiable, mesh_accel=maccel,
+                mesh_nee=mnee,
             )
             # local layout (h_loc, spp_loc, W, 3) -> partial image
             part = rad.reshape(h_loc, spp_loc, W, 3).sum(axis=1)
         # reduce partial sample sums across the sample axis (ICI psum)
         return jax.lax.psum(part, axis_name="sample")
 
-    img = shard_render(scene, camera, key, sid, col, row, cx, cy, maccel)
+    img = shard_render(scene, camera, key, sid, col, row, cx, cy, maccel,
+                       mnee)
     return img
 
 
