@@ -12,7 +12,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from smallpt_tpu.config import RenderConfig, Filter, CameraModel
+from smallpt_tpu.config import RenderConfig, Filter, CameraModel, Scheduler
 from smallpt_tpu.core.scene import (
     make_sphere_scene,
     cornell_box_scene,
@@ -194,3 +194,43 @@ def test_hybrid_pallas_albedo_gradient_matches_fd(setup):
     fd = _fd_loss(scene, cam, cfg_h, key, target, "albedo", idx, 1e-3)
     an = float(grads.albedo[idx])
     assert abs(an - fd) < 5e-3 * max(1.0, abs(fd)) + 1e-4, (an, fd)
+
+
+def test_mesh_material_gradients_match_fd():
+    """Mesh-scene MATERIAL gradients come free through the pure-JAX FLAT
+    path (the reference has no differentiability anywhere): reverse-mode
+    d(loss)/d(albedo, emission) vs central finite differences. Geometry
+    (vertex) gradients carry the same visibility-discontinuity caveat as
+    sphere positions and are not pinned here."""
+    import jax
+
+    from smallpt_tpu.core.scene import procedural_mesh_scene
+    from smallpt_tpu.engine.renderer import render
+
+    cfg = RenderConfig(width=10, height=8, spp_per_cell=1, max_depth=5,
+                       camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+                       scheduler=Scheduler.FLAT)
+    scene = procedural_mesh_scene(n_balls=2, subdiv_longitude=3, seed=1)
+    key = prng.base_key(0)
+
+    def loss(albedo, emission):
+        s = scene._replace(material=scene.material._replace(
+            albedo=albedo, emission=emission))
+        img = render(s, smallpt_camera(), cfg, key, differentiable=True)
+        return jnp.mean(img ** 2)
+
+    a0, e0 = scene.material.albedo, scene.material.emission
+    ga, ge = jax.grad(loss, argnums=(0, 1))(a0, e0)
+    d = 1e-3
+    for arr, g, idx in (
+        (a0, ga, (4, 0)),   # floor albedo red
+        (e0, ge, (6, 1)),   # light emission green
+    ):
+        bump = jnp.zeros_like(arr).at[idx].set(d)
+        if arr is a0:
+            fd = (loss(a0 + bump, e0) - loss(a0 - bump, e0)) / (2 * d)
+        else:
+            fd = (loss(a0, e0 + bump) - loss(a0, e0 - bump)) / (2 * d)
+        an = float(g[idx])
+        assert abs(an - float(fd)) < 5e-3 * max(abs(float(fd)), 1e-4), (
+            idx, an, float(fd))
