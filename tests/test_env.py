@@ -247,3 +247,59 @@ def test_env_config_validation():
     cfg = RenderConfig(env_emission=(1, 2, 3))  # ints coerce to floats
     assert cfg.env_emission == (1.0, 2.0, 3.0)
     assert cfg.has_env
+
+
+def test_env_sharded_matches_single():
+    """env pickup under the (tile, sample) mesh equals the single-device
+    render bit-for-bit (placement-invariant keying; env is a per-lane
+    constant add)."""
+    import jax
+
+    from smallpt_tpu.parallel.shard import make_mesh, render_sharded
+
+    cfg = RenderConfig(width=16, height=8, spp_per_cell=1, max_depth=6,
+                       camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+                       env_emission=ENV)
+    scene = two_sphere_scene()
+    cam = smallpt_camera()
+    key = prng.base_key(5)
+    single = np.asarray(render(scene, cam, cfg, key))
+    mesh = make_mesh(n_sample=2, devices=jax.devices("cpu")[:4])
+    sharded = np.asarray(render_sharded(scene, cam, cfg, key, mesh))
+    np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-5)
+
+
+def test_env_composes_with_nee_and_dof():
+    """env + NEE + thin-lens DoF on the open scene: the estimator stays
+    unbiased (NEE suppresses only the sampled light's emission, never the
+    env term) — NEE-on equals plain BSDF sampling in expectation."""
+    from smallpt_tpu.engine.renderer import render_image
+
+    scene = _open_scene()
+    cfg = BASE.replace(
+        width=10, height=8, max_depth=8, nee_lights=(0,),
+        aperture=2.0, focal_distance=230.0,
+    )
+    nee = np.asarray(render_image(scene, smallpt_camera(), cfg,
+                                  seed=0, n_passes=8))
+    plain = np.asarray(render_image(
+        scene, smallpt_camera(), cfg.replace(nee_lights=()),
+        seed=1, n_passes=32,
+    ))
+    assert abs(nee.mean() - plain.mean()) < 0.08 * (plain.mean() + 0.05), (
+        nee.mean(), plain.mean())
+
+
+def test_env_quality_stopping_on_env_scene():
+    """Equal-quality stopping converges fast on an env-dominated scene
+    (low variance): the stderr target is reached well under the cap."""
+    from smallpt_tpu.engine.streaming import StreamingRenderer
+
+    cfg = BASE.replace(width=10, height=8, max_depth=6)
+    r = StreamingRenderer(_all_miss_scene(), smallpt_camera(), cfg, seed=2)
+    q = r.step_to_quality(rel_err=0.05, quantile=0.95, max_spp=256,
+                          min_spp=4, n_iters=1024)
+    # every sample is exactly env: zero variance, stops right after the
+    # bootstrap floor
+    assert q["rel_err_q"] == 0.0
+    assert q["spp_max"] <= 8, q
