@@ -277,6 +277,40 @@ def main(argv=None) -> int:
         from smallpt_tpu.engine.streaming import StreamingRenderer
         from smallpt_tpu.utils.metrics import log_json
 
+        if mesh_scene:
+            # triangle scenes stream through the XLA-composed continuous
+            # wavefront (engine/mesh_stream.py); spheres keep the faster
+            # persistent Pallas megakernel below
+            from smallpt_tpu.engine.mesh_stream import (
+                WavefrontStreamingRenderer,
+            )
+
+            if args.quality is not None or args.resume or args.checkpoint:
+                build_parser().error(
+                    "--quality/--checkpoint/--resume with --streaming are "
+                    "sphere-scene features for now (the mesh streaming "
+                    "engine has no moment planes/checkpoint format yet)"
+                )
+            ms = WavefrontStreamingRenderer(scene, camera, config,
+                                            seed=args.seed)
+            t0 = time.time()
+            ms.step(n_bounces=2 * config.max_depth,
+                    add_samples=config.spp * n_passes)
+            ms.flush()
+            if not args.quiet:
+                print(f"Elapsed time: {(time.time() - t0) * 1000:.0f} ms",
+                      file=sys.stderr)
+            if args.stats:
+                log_json("stream_done", ms.stats.as_dict())
+            img = ms.image * args.exposure
+            if args.out.endswith(".png"):
+                img_io.write_png(args.out, img)
+            else:
+                img_io.write_ppm(args.out, img)
+            if not args.quiet:
+                print(f"Wrote {args.out}", file=sys.stderr)
+            return 0
+
         sr = StreamingRenderer(scene, camera, config, seed=args.seed)
         if args.resume:
             sr.load_checkpoint(args.resume)

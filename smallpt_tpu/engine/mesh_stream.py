@@ -1,0 +1,238 @@
+"""Continuous-wavefront streaming for MESH scenes (and any scene the
+pure-JAX/XLA shading path serves).
+
+The sphere schedulers got the streaming treatment in round 1 (persistent
+Pallas megakernel, engine/streaming.py); mesh scenes were left on the
+per-pass REGEN scheduler, whose occupancy decays within a pass and whose
+state is rebuilt every pass. This engine closes that asymmetry WITHOUT a
+new Mosaic kernel: the bounce is ONE jitted XLA program — stream-keyed
+lane regeneration + the existing intersect backend (incl. the grid-culled
+mesh kernel, ops/mesh_pallas.py) + the existing shading implementation
+(ops/wavefront.py::bounce_step with injected stream-keyed uniforms) —
+relaunched per bounce. Same-program dependent relaunches cost pure
+compute on the axon tunnel (BASELINE.md tunnel-economics table), so the
+XLA composition keeps the streaming schedule's ~100% occupancy without
+hand-fused shading.
+
+Keying is the streaming v2 scheme (core/rng.py::stream_*_uniforms): a
+lane's uniforms depend only on (key, pixel, ip=sample index, depth) —
+placement-invariant, unbounded ip, and replayable by the f64 oracle's
+StreamUniformProvider (pinned by tests/test_mesh_stream.py).
+
+Reference slots: the render-forever progressive loop (smallpt.cpp:
+901-941) over the accelerated TRIANGLE backend (smallpt.cpp:489-530) —
+the reference's primary workload shape.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smallpt_tpu.config import Mode, RenderConfig
+from smallpt_tpu.core import camera as cam
+from smallpt_tpu.core import rng as prng
+from smallpt_tpu.engine.renderer import (
+    _mesh_nee_for,
+    _nee_scene_for,
+    _render_mesh_accel,
+    make_intersect_fn,
+)
+from smallpt_tpu.ops import wavefront
+from smallpt_tpu.utils.metrics import RenderStats
+
+
+class StreamState(NamedTuple):
+    ps: wavefront.PathState  # one lane per pixel
+    s_idx: jnp.ndarray  # (G,) int32 current sample index, -1 = not started
+    budget: jnp.ndarray  # (G,) int32 per-pixel sample allowance
+    acc_rad: jnp.ndarray  # (G,3) completed-sample radiance sums
+    acc_w: jnp.ndarray  # (G,) int32 completed-sample counts
+
+
+def _init_state(config: RenderConfig) -> StreamState:
+    G = config.n_pixels
+    dtype = jnp.dtype(config.dtype)
+    # distinct buffers (no aliasing): the bounce donates the whole state
+    z3 = lambda: jnp.zeros((G, 3), dtype)
+    ps = wavefront.PathState(
+        org=z3(), dir=z3(), weight=jnp.ones((G, 3), dtype),
+        depth=jnp.zeros((G,), jnp.int32), hist=jnp.zeros((G,), jnp.int32),
+        alive=jnp.zeros((G,), bool), radiance=z3(),
+        suppress=jnp.zeros((G,), jnp.int32),
+    )
+    return StreamState(
+        ps=ps, s_idx=jnp.full((G,), -1, jnp.int32),
+        budget=jnp.zeros((G,), jnp.int32), acc_rad=z3(),
+        acc_w=jnp.zeros((G,), jnp.int32),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config",), donate_argnums=(3,)
+)
+def _bounce(scene, camera, key, st: StreamState, config: RenderConfig,
+            mesh_accel=None, mesh_nee=None):
+    """One streaming bounce: regen dead lanes onto their next sample
+    (stream-keyed camera rays), advance everyone one trace+shade step.
+    Returns (state, rays_traced_this_bounce)."""
+    G = config.n_pixels
+    dtype = jnp.dtype(config.dtype)
+    pixel = jnp.arange(G, dtype=jnp.int32)
+    cols = pixel % config.width
+    rows = pixel // config.width
+
+    ps = st.ps
+    dead = ~ps.alive
+    need = dead & (st.s_idx < st.budget - 1)
+    # fold the finished sample of lanes about to regenerate (idle lanes'
+    # final samples are folded view-side in accumulators())
+    started = st.s_idx >= 0
+    acc_rad = st.acc_rad + jnp.where(
+        (need & started)[:, None], ps.radiance, 0.0
+    )
+    acc_w = st.acc_w + (need & started).astype(jnp.int32)
+    s_idx = jnp.where(need, st.s_idx + 1, st.s_idx)
+    ip = s_idx
+
+    # stream-keyed camera rays for the regenerating lanes
+    u_cam = prng.stream_camera_uniforms(key, pixel, ip, dtype)
+    js = config.jitter_size
+    group = (ip // config.spp_per_cell) % (js * js)
+    cell_x = group % js
+    cell_y = group // js
+    u_lens = (
+        prng.stream_lens_uniforms(key, pixel, ip, dtype)
+        if config.aperture > 0.0 else None
+    )
+    org, dirs = cam.generate_rays(
+        camera, u_cam, config, cols, rows, cell_x, cell_y, u_lens=u_lens,
+    )
+    n3 = need[:, None]
+    ps = wavefront.PathState(
+        org=jnp.where(n3, org, ps.org),
+        dir=jnp.where(n3, dirs, ps.dir),
+        weight=jnp.where(n3, 1.0, ps.weight).astype(dtype),
+        depth=jnp.where(need, 0, ps.depth),
+        hist=ps.hist,
+        alive=ps.alive | need,
+        radiance=jnp.where(n3, 0.0, ps.radiance).astype(dtype),
+        suppress=jnp.where(need, 0, ps.suppress),
+    )
+    rays = jnp.sum(ps.alive.astype(jnp.int32))
+
+    intersect_fn = make_intersect_fn(scene, config, mesh_accel=mesh_accel)
+    nee_scene = _nee_scene_for(scene, config, mesh_nee)
+    shade_u = lambda depth: prng.stream_shade_uniforms(
+        key, pixel, ip, depth, dtype
+    )
+    nee_u = lambda depth, slot: prng.stream_nee_uniforms(
+        key, pixel, ip, depth, slot, dtype
+    )
+    ps = wavefront.bounce_step(
+        ps, intersect_fn, scene.material, config, key, pixel,
+        nee_scene=nee_scene, uniform_fns=(shade_u, nee_u),
+    )
+    ps = ps._replace(alive=ps.alive & (ps.depth < config.max_depth))
+    return StreamState(ps, s_idx, st.budget, acc_rad, acc_w), rays
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pending(ps_alive, s_idx, budget):
+    alive = jnp.sum(ps_alive.astype(jnp.int32))
+    can = jnp.sum((~ps_alive & (s_idx < budget - 1)).astype(jnp.int32))
+    return jnp.stack([alive, can])
+
+
+class WavefrontStreamingRenderer:
+    """Streaming continuous-wavefront renderer over the XLA shading path —
+    the mesh-scene analog of engine/streaming.py's StreamingRenderer
+    (which remains the faster choice for sphere scenes via the persistent
+    Pallas megakernel)."""
+
+    def __init__(self, scene, camera, config: RenderConfig, seed: int = 0):
+        if config.split_budget != 1:
+            raise ValueError("streaming wavefront: split_budget=1 (FLAT is "
+                             "the splitting fidelity mode)")
+        if config.mode != Mode.FULL:
+            raise ValueError("streaming wavefront renders Mode.FULL")
+        self.scene = scene
+        self.camera = camera
+        self.config = config
+        self.key = prng.base_key(seed)
+        self.mesh_accel = _render_mesh_accel(scene, config)
+        self.mesh_nee = _mesh_nee_for(scene, config)
+        self.st = _init_state(config)
+        self.budget = 0
+        self.stats = RenderStats()
+
+    def reset(self) -> None:
+        self.st = _init_state(self.config)
+        self.budget = 0
+
+    def step(self, n_bounces: int = 64, add_samples: int = 1) -> int:
+        """Extend every pixel's budget by add_samples and advance the
+        wavefront n_bounces. Returns rays traced (ONE host fetch)."""
+        self.budget += add_samples
+        self.st = self.st._replace(
+            budget=jnp.full_like(self.st.budget, self.budget)
+        )
+        return self._advance(n_bounces)
+
+    def _advance(self, n_bounces: int) -> int:
+        t0 = time.perf_counter()
+        rays_dev = []
+        for _ in range(n_bounces):
+            self.st, rays = _bounce(
+                self.scene, self.camera, self.key, self.st, self.config,
+                self.mesh_accel, self.mesh_nee,
+            )
+            rays_dev.append(rays)
+        total = int(sum(rays_dev))  # one fetch closes the step
+        self.stats.rays += total
+        self.stats.wall_s += time.perf_counter() - t0
+        self.stats.passes += 1
+        return total
+
+    def pending(self) -> tuple:
+        both = np.asarray(
+            _pending(self.st.ps.alive, self.st.s_idx, self.st.budget)
+        )
+        return (int(both[0]), int(both[1]))
+
+    def flush(self) -> None:
+        """Drain to the exact per-pixel budget (no new samples)."""
+        last = None
+        while True:
+            p = self.pending()
+            if p == (0, 0):
+                return
+            rays = self._advance(self.config.max_depth + 2)
+            # progress = rays were traced; raw pending counts can coincide
+            # across healthy rounds (steady-state occupancy), so they stall
+            # only together with a zero-ray advance (binned flush semantics)
+            if rays == 0 and p == last:
+                raise RuntimeError("flush made no progress (paths stuck?)")
+            last = p
+
+    def accumulators(self):
+        """(radiance sums, completed-sample counts), (H, W, ...) — idle
+        lanes' final samples folded view-side (binned_image semantics)."""
+        st = self.st
+        idle = ~st.ps.alive & (st.s_idx >= 0)
+        rad = st.acc_rad + jnp.where(idle[:, None], st.ps.radiance, 0.0)
+        w = st.acc_w + idle.astype(jnp.int32)
+        H, W = self.config.height, self.config.width
+        return rad.reshape(H, W, 3), w.reshape(H, W)
+
+    @property
+    def image(self) -> np.ndarray:
+        from smallpt_tpu.engine.accum import normalize_weighted
+
+        rad, w = self.accumulators()
+        return np.asarray(normalize_weighted(rad, w))

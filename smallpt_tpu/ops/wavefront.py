@@ -160,8 +160,14 @@ def bounce_step(
     key: jax.Array,
     sample_ids: jnp.ndarray,
     nee_scene=None,
+    uniform_fns=None,
 ) -> PathState:
     """One trace+shade wavefront iteration over all lanes (masked).
+
+    uniform_fns: optional (shade_fn(depth) -> (L, 4), nee_fn(depth, slot)
+    -> (L, 2)) overriding the per-pass (sample, hist, depth) keying —
+    the streaming engines inject (pixel, ip)-keyed draws here so this one
+    shading implementation serves both keying schemes.
 
     nee_scene: light-sampling data when config.nee_lights is non-empty —
     the SphereScene itself (cone sampling reads light centers/radii), or a
@@ -220,7 +226,16 @@ def bounce_step(
         live_hit[:, None], state.weight * emission_counted, 0.0
     )
 
-    u = prng.shade_uniforms(key, sample_ids, state.hist, state.depth, dtype)
+    if uniform_fns is not None:
+        _shade_u, _nee_u = uniform_fns
+        u = _shade_u(state.depth)
+    else:
+        _nee_u = lambda depth, slot: prng.nee_uniforms(
+            key, sample_ids, state.hist, depth, slot, dtype
+        )
+        u = prng.shade_uniforms(
+            key, sample_ids, state.hist, state.depth, dtype
+        )
 
     survive, boost = bsdf.russian_roulette(
         albedo, state.depth, u[:, prng.U_RR], config.rr_depth
@@ -329,9 +344,7 @@ def bounce_step(
                 # conditional remainder for the first barycentric (exactly
                 # mirrored by the f64 oracle), then the sqrt warp.
                 data: TriLightData = nee_scene[slot]
-                un = prng.nee_uniforms(
-                    key, sample_ids, state.hist, state.depth, slot, dtype
-                )
+                un = _nee_u(state.depth, slot)
                 u0, u1 = un[:, 0], un[:, 1]
                 cdf = data.cdf.astype(dtype)
                 j = jnp.clip(
@@ -396,9 +409,7 @@ def bounce_step(
             cos_a_max = jnp.sqrt(
                 jnp.maximum(1.0 - (lr * lr) / jnp.maximum(d2, 1e-12), 0.0)
             )
-            un = prng.nee_uniforms(
-                key, sample_ids, state.hist, state.depth, slot, dtype
-            )
+            un = _nee_u(state.depth, slot)
             cos_a = 1.0 - un[:, 0] + un[:, 0] * cos_a_max
             sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
             phi = two_pi * un[:, 1]
