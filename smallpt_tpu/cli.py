@@ -285,14 +285,15 @@ def main(argv=None) -> int:
                 WavefrontStreamingRenderer,
             )
 
-            if args.quality is not None or args.resume or args.checkpoint:
+            if args.quality is not None:
                 build_parser().error(
-                    "--quality/--checkpoint/--resume with --streaming are "
-                    "sphere-scene features for now (the mesh streaming "
-                    "engine has no moment planes/checkpoint format yet)"
+                    "--quality with mesh --streaming is not supported yet "
+                    "(the mesh streaming engine has no moment planes)"
                 )
             ms = WavefrontStreamingRenderer(scene, camera, config,
                                             seed=args.seed)
+            if args.resume:
+                ms.load_checkpoint(args.resume)
             t0 = time.time()
             ms.step(n_bounces=2 * config.max_depth,
                     add_samples=config.spp * n_passes)
@@ -307,6 +308,8 @@ def main(argv=None) -> int:
                 img_io.write_png(args.out, img)
             else:
                 img_io.write_ppm(args.out, img)
+            if args.checkpoint:
+                ms.save_checkpoint(args.checkpoint)
             if not args.quiet:
                 print(f"Wrote {args.out}", file=sys.stderr)
             return 0

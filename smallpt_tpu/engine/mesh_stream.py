@@ -236,3 +236,62 @@ class WavefrontStreamingRenderer:
 
         rad, w = self.accumulators()
         return np.asarray(normalize_weighted(rad, w))
+
+    # -- checkpoint / resume (SURVEY.md §5.4): the full resumable state is
+    # the stream state + uniform budget + key, version-gated like the
+    # classic streaming checkpoints -----------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        st = self.st
+        np.savez(
+            path,
+            org=np.asarray(st.ps.org), dir=np.asarray(st.ps.dir),
+            weight=np.asarray(st.ps.weight),
+            depth=np.asarray(st.ps.depth), hist=np.asarray(st.ps.hist),
+            alive=np.asarray(st.ps.alive),
+            radiance=np.asarray(st.ps.radiance),
+            suppress=np.asarray(st.ps.suppress),
+            s_idx=np.asarray(st.s_idx), budgets=np.asarray(st.budget),
+            acc_rad=np.asarray(st.acc_rad), acc_w=np.asarray(st.acc_w),
+            budget=self.budget,
+            key=np.asarray(jax.random.key_data(self.key)),
+            stats_rays=self.stats.rays,
+            stats_passes=self.stats.passes,
+            stats_wall=self.stats.wall_s,
+            stream_key_version=prng.STREAM_KEY_VERSION,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path)
+        ck_ver = (
+            int(data["stream_key_version"])
+            if "stream_key_version" in data else 1
+        )
+        if ck_ver != prng.STREAM_KEY_VERSION:
+            raise ValueError(
+                f"stream checkpoint uses sample-keying v{ck_ver}; this "
+                f"build uses v{prng.STREAM_KEY_VERSION} (resuming would "
+                "mix incompatible sample streams) — re-render from scratch"
+            )
+        dtype = jnp.dtype(self.config.dtype)
+        ps = wavefront.PathState(
+            org=jnp.asarray(data["org"], dtype),
+            dir=jnp.asarray(data["dir"], dtype),
+            weight=jnp.asarray(data["weight"], dtype),
+            depth=jnp.asarray(data["depth"], jnp.int32),
+            hist=jnp.asarray(data["hist"], jnp.int32),
+            alive=jnp.asarray(data["alive"], bool),
+            radiance=jnp.asarray(data["radiance"], dtype),
+            suppress=jnp.asarray(data["suppress"], jnp.int32),
+        )
+        self.st = StreamState(
+            ps=ps,
+            s_idx=jnp.asarray(data["s_idx"], jnp.int32),
+            budget=jnp.asarray(data["budgets"], jnp.int32),
+            acc_rad=jnp.asarray(data["acc_rad"], dtype),
+            acc_w=jnp.asarray(data["acc_w"], jnp.int32),
+        )
+        self.budget = int(data["budget"])
+        self.key = jax.random.wrap_key_data(jnp.asarray(data["key"]))
+        self.stats.rays = int(data["stats_rays"])
+        self.stats.passes = int(data["stats_passes"])
+        self.stats.wall_s = float(data["stats_wall"])

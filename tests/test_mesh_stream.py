@@ -134,3 +134,37 @@ def test_rejects_unsupported_configs():
         WavefrontStreamingRenderer(SCENE, cam, CFG.replace(split_budget=2))
     with pytest.raises(ValueError, match="Mode.FULL"):
         WavefrontStreamingRenderer(SCENE, cam, CFG.replace(mode=Mode.NORMAL))
+
+
+def test_checkpoint_resume_bitexact(tmp_path):
+    """Save mid-stream, resume, finish: bit-equal to rendering straight
+    through (the classic streaming checkpoint contract)."""
+    ck = str(tmp_path / "ms_ck.npz")
+    a = WavefrontStreamingRenderer(SCENE, smallpt_camera(), CFG, seed=11)
+    a.step(n_bounces=5, add_samples=3)
+    a.save_checkpoint(ck)
+    a.step(n_bounces=5, add_samples=1)
+    a.flush()
+
+    b = WavefrontStreamingRenderer(SCENE, smallpt_camera(), CFG, seed=99)
+    b.load_checkpoint(ck)
+    b.step(n_bounces=5, add_samples=1)
+    b.flush()
+
+    rad_a, w_a = a.accumulators()
+    rad_b, w_b = b.accumulators()
+    assert (np.asarray(w_a) == np.asarray(w_b)).all()
+    assert (np.asarray(rad_a) == np.asarray(rad_b)).all()
+
+
+def test_v1_checkpoint_refused(tmp_path):
+    ck = str(tmp_path / "old.npz")
+    a = WavefrontStreamingRenderer(SCENE, smallpt_camera(), CFG, seed=0)
+    a.step(n_bounces=2, add_samples=1)
+    a.save_checkpoint(ck)
+    data = dict(np.load(ck))
+    data["stream_key_version"] = np.asarray(1)
+    np.savez(ck, **data)
+    b = WavefrontStreamingRenderer(SCENE, smallpt_camera(), CFG, seed=0)
+    with pytest.raises(ValueError, match="keying"):
+        b.load_checkpoint(ck)
