@@ -15,8 +15,14 @@ import json
 import sys
 import time
 
+import os
+
 import jax
 
+if os.environ.get("SMALLPT_TPU_BENCH_CPU"):
+    # CPU smoke runs (JAX_PLATFORMS=cpu is unreliable under the axon
+    # plugin — CLAUDE.md; the config update is the dependable switch)
+    jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: first compiles of the bench shapes are 30-90 s
 # (bigger kernels minutes) through the remote compile helper; cache them so
 # repeated bench invocations start hot
@@ -228,6 +234,55 @@ def bench_mesh(width=256, height=192, spp_per_cell=1, max_depth=12,
     return best, scene.n_triangles
 
 
+def bench_mesh_stream(width=256, height=192, max_depth=12, rounds=3,
+                      n_balls=500, spp=8):
+    """Mesh STREAMING (engine/mesh_stream.py — continuous wavefront, one
+    relaunched XLA program per bounce) vs the per-pass FLAT scheduler on
+    the same 32k-triangle scene, interleaved in ONE process. The win the
+    streaming schedule buys is occupancy: per-pass lanes decay as paths
+    die; streaming lanes regenerate every bounce."""
+    from smallpt_tpu.config import Scheduler
+    from smallpt_tpu.core.scene import procedural_mesh_scene
+    from smallpt_tpu.engine.mesh_stream import WavefrontStreamingRenderer
+
+    config = RenderConfig(
+        width=width, height=height, spp_per_cell=1,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+        max_depth=max_depth, intersector=Intersector.PALLAS,
+    )
+    scene = procedural_mesh_scene(n_balls)
+    camera = smallpt_camera()
+    base = prng.base_key(0)
+    cfg_pp = config.replace(scheduler=Scheduler.FLAT,
+                            spp_per_cell=max(1, spp // 4))
+
+    def stream_once(seed):
+        r = WavefrontStreamingRenderer(scene, camera, config, seed=seed)
+        t0 = time.perf_counter()
+        r.step(n_bounces=2 * max_depth, add_samples=spp)
+        r.flush()
+        return r.stats.rays, time.perf_counter() - t0
+
+    def perpass_once(seed):
+        t0 = time.perf_counter()
+        _, rays = render_with_stats(
+            scene, camera, cfg_pp, jax.random.fold_in(base, seed)
+        )
+        n = int(rays)
+        return n, time.perf_counter() - t0
+
+    stream_once(1000)  # compile + ramp
+    perpass_once(2000)
+    best = {}
+    for window in range(rounds):
+        for name, fn in (("stream", stream_once), ("perpass", perpass_once)):
+            rays, dt = fn(window)
+            rate = rays / dt
+            if name not in best or rate > best[name][0]:
+                best[name] = (rate, rays, dt)
+    return best, scene.n_triangles
+
+
 def bench_diff(width=512, height=512, max_depth=16, warmup_s=3.0, rounds=5,
                use_pallas=True):
     """BASELINE config 4: one inverse-rendering training step (render +
@@ -319,6 +374,29 @@ def main():
             f"# diff path={'pallas-hybrid' if use_pallas else 'pure-jax'}; "
             f"forward rays/step {rays_fwd}; fwd rays/s "
             f"{rays_fwd/step_s/1e6:.1f}M",
+            file=sys.stderr,
+        )
+        return
+    if "--mesh-stream" in sys.argv:
+        kw2 = dict(width=96, height=72, rounds=1, n_balls=60,
+                   spp=4) if quick else {}
+        best, n_tris = bench_mesh_stream(**kw2)
+        rate_s, rays_s, dt_s = best["stream"]
+        rate_p, rays_p, dt_p = best["perpass"]
+        print(
+            json.dumps(
+                {
+                    "metric": "rays_per_sec_per_chip_mesh_stream_256x192",
+                    "value": round(rate_s),
+                    "unit": "rays/s",
+                    "vs_baseline": round(rate_s / rate_p, 4),
+                }
+            )
+        )
+        print(
+            f"# {n_tris} tris; streaming {rate_s/1e6:.2f} Mrays/s vs "
+            f"per-pass {rate_p/1e6:.2f} (x{rate_s/rate_p:.2f}); "
+            f"{rays_s} rays in {dt_s:.2f}s",
             file=sys.stderr,
         )
         return

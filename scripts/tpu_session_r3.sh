@@ -77,4 +77,6 @@ run e2e_1080p 5400 python $B e2e --width 1920 --height 1080 --rounds 2
 run mesh_smoke 1800 python scripts/tpu_mesh_smoke.py
 run mesh 3600 python bench.py --mesh
 run mesh_dense 3600 python bench.py --mesh --mesh-dense
+# 12. mesh streaming (round-3 engine): continuous wavefront vs per-pass
+run mesh_stream 3600 python bench.py --mesh-stream
 echo "SESSION COMPLETE -> $LOG" | tee -a "$LOG"
