@@ -285,19 +285,27 @@ def main(argv=None) -> int:
                 WavefrontStreamingRenderer,
             )
 
-            if args.quality is not None:
-                build_parser().error(
-                    "--quality with mesh --streaming is not supported yet "
-                    "(the mesh streaming engine has no moment planes)"
-                )
             ms = WavefrontStreamingRenderer(scene, camera, config,
                                             seed=args.seed)
             if args.resume:
                 ms.load_checkpoint(args.resume)
             t0 = time.time()
-            ms.step(n_bounces=2 * config.max_depth,
-                    add_samples=config.spp * n_passes)
-            ms.flush()
+            if args.quality is not None:
+                q = ms.step_to_quality(
+                    rel_err=args.quality,
+                    max_spp=config.spp * n_passes,
+                    n_bounces=2 * config.max_depth,
+                )
+                if not args.quiet:
+                    print(
+                        f"quality stop: rel_err@95% {q['rel_err_q']:.4f} "
+                        f"spp {q['spp_min']}..{q['spp_max']} "
+                        f"({q['rounds']} rounds)", file=sys.stderr,
+                    )
+            else:
+                ms.step(n_bounces=2 * config.max_depth,
+                        add_samples=config.spp * n_passes)
+                ms.flush()
             if not args.quiet:
                 print(f"Elapsed time: {(time.time() - t0) * 1000:.0f} ms",
                       file=sys.stderr)

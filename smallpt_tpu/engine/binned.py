@@ -481,21 +481,14 @@ class BinnedStreamingRenderer:
         (capped at 8x the mean share, uniform floor of 1 when affordable),
         then advance n_bounces culled bounces. Per-pixel allocations are
         split round-robin across streams (exact totals)."""
+        from smallpt_tpu.engine.quality import adaptive_allocation
+
         G = self.config.n_pixels
         if add_samples_total is None:
             add_samples_total = G
         mean, var, nn = self._combined_moments()
         sigma = np.sqrt(var) + 1e-3
-        base = 1 if add_samples_total >= 2 * G else 0
-        pool = add_samples_total - base * G
-        w_alloc = np.minimum(sigma, 8.0 * sigma.mean())
-        alloc = w_alloc / w_alloc.sum() * pool
-        extra = np.floor(alloc).astype(np.int64)
-        short = int(pool - extra.sum())
-        if short > 0:
-            order = np.argsort(alloc - extra)[::-1][:short]
-            extra[order] += 1
-        extra = (extra + base).astype(np.int64)
+        extra = adaptive_allocation(sigma, add_samples_total, G)
         for j, s in enumerate(self.streams):
             # pixel p's extra split round-robin, offset by j so remainders
             # rotate across streams

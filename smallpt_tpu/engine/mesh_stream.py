@@ -53,6 +53,8 @@ class StreamState(NamedTuple):
     budget: jnp.ndarray  # (G,) int32 per-pixel sample allowance
     acc_rad: jnp.ndarray  # (G,3) completed-sample radiance sums
     acc_w: jnp.ndarray  # (G,) int32 completed-sample counts
+    m1: jnp.ndarray  # (G,) completed-sample luminance sums (adaptive signal)
+    m2: jnp.ndarray  # (G,) completed-sample luminance square sums
 
 
 def _init_state(config: RenderConfig) -> StreamState:
@@ -70,6 +72,7 @@ def _init_state(config: RenderConfig) -> StreamState:
         ps=ps, s_idx=jnp.full((G,), -1, jnp.int32),
         budget=jnp.zeros((G,), jnp.int32), acc_rad=z3(),
         acc_w=jnp.zeros((G,), jnp.int32),
+        m1=jnp.zeros((G,), dtype), m2=jnp.zeros((G,), dtype),
     )
 
 
@@ -93,10 +96,12 @@ def _bounce(scene, camera, key, st: StreamState, config: RenderConfig,
     # fold the finished sample of lanes about to regenerate (idle lanes'
     # final samples are folded view-side in accumulators())
     started = st.s_idx >= 0
-    acc_rad = st.acc_rad + jnp.where(
-        (need & started)[:, None], ps.radiance, 0.0
-    )
-    acc_w = st.acc_w + (need & started).astype(jnp.int32)
+    fold = need & started
+    acc_rad = st.acc_rad + jnp.where(fold[:, None], ps.radiance, 0.0)
+    acc_w = st.acc_w + fold.astype(jnp.int32)
+    lum = jnp.sum(ps.radiance, axis=-1) * jnp.asarray(1.0 / 3.0, dtype)
+    m1 = st.m1 + jnp.where(fold, lum, 0.0)
+    m2 = st.m2 + jnp.where(fold, lum * lum, 0.0)
     s_idx = jnp.where(need, st.s_idx + 1, st.s_idx)
     ip = s_idx
 
@@ -139,7 +144,7 @@ def _bounce(scene, camera, key, st: StreamState, config: RenderConfig,
         nee_scene=nee_scene, uniform_fns=(shade_u, nee_u),
     )
     ps = ps._replace(alive=ps.alive & (ps.depth < config.max_depth))
-    return StreamState(ps, s_idx, st.budget, acc_rad, acc_w), rays
+    return StreamState(ps, s_idx, st.budget, acc_rad, acc_w, m1, m2), rays
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -179,9 +184,10 @@ class WavefrontStreamingRenderer:
         """Extend every pixel's budget by add_samples and advance the
         wavefront n_bounces. Returns rays traced (ONE host fetch)."""
         self.budget += add_samples
-        self.st = self.st._replace(
-            budget=jnp.full_like(self.st.budget, self.budget)
-        )
+        # ADD to per-pixel budgets (step_adaptive may have made them
+        # non-uniform; overwriting with a uniform value could revoke
+        # already-granted samples)
+        self.st = self.st._replace(budget=self.st.budget + add_samples)
         return self._advance(n_bounces)
 
     def _advance(self, n_bounces: int) -> int:
@@ -198,6 +204,62 @@ class WavefrontStreamingRenderer:
         self.stats.wall_s += time.perf_counter() - t0
         self.stats.passes += 1
         return total
+
+    def moments(self):
+        """Per-pixel (mean, var, n) of completed-sample luminances — idle
+        lanes' final samples folded view-side (stream_variance
+        semantics)."""
+        st = self.st
+        idle = ~st.ps.alive & (st.s_idx >= 0)
+        lum = jnp.sum(st.ps.radiance, axis=-1) / 3.0
+        m1 = np.asarray(st.m1 + jnp.where(idle, lum, 0.0), np.float64)
+        m2 = np.asarray(st.m2 + jnp.where(idle, lum * lum, 0.0), np.float64)
+        n = np.asarray(st.acc_w + idle.astype(jnp.int32), np.float64)
+        n_safe = np.maximum(n, 1.0)
+        mean = m1 / n_safe
+        var = np.maximum(m2 / n_safe - mean * mean, 0.0)
+        return mean, var, n
+
+    def step_adaptive(self, n_bounces: int = 64,
+                      add_samples_total: int | None = None) -> int:
+        """Variance-adaptive step (engine/streaming.py semantics): the
+        shared sigma-proportional allocation over per-pixel budgets."""
+        from smallpt_tpu.engine.quality import adaptive_allocation
+
+        G = self.config.n_pixels
+        if add_samples_total is None:
+            add_samples_total = G
+        _, var, _ = self.moments()
+        sigma = np.sqrt(var) + 1e-3
+        extra = adaptive_allocation(sigma, add_samples_total, G)
+        budgets = np.asarray(self.st.budget, np.int64) + extra
+        self.st = self.st._replace(
+            budget=jnp.asarray(budgets, jnp.int32)
+        )
+        self.budget = int(budgets.min())
+        return self._advance(n_bounces)
+
+    def step_to_quality(self, rel_err: float = 0.02, quantile: float = 0.95,
+                        max_spp: int = 4096, min_spp: int = 16,
+                        n_bounces: int = 64, adaptive: bool = True) -> dict:
+        """Equal-quality stopping (engine/quality.py::drive_to_quality —
+        the same driver the sphere streaming and binned renderers use)."""
+        from smallpt_tpu.engine.quality import drive_to_quality
+
+        return drive_to_quality(
+            n_pixels=self.config.n_pixels,
+            have_spp=self.budget,
+            moments=self.moments,
+            step_uniform=lambda add: self.step(
+                n_bounces=n_bounces, add_samples=add
+            ),
+            step_adaptive=lambda total: self.step_adaptive(
+                n_bounces=n_bounces, add_samples_total=total
+            ),
+            flush=self.flush,
+            rel_err=rel_err, quantile=quantile,
+            max_spp=max_spp, min_spp=min_spp, adaptive=adaptive,
+        )
 
     def pending(self) -> tuple:
         both = np.asarray(
@@ -252,6 +314,7 @@ class WavefrontStreamingRenderer:
             suppress=np.asarray(st.ps.suppress),
             s_idx=np.asarray(st.s_idx), budgets=np.asarray(st.budget),
             acc_rad=np.asarray(st.acc_rad), acc_w=np.asarray(st.acc_w),
+            m1=np.asarray(st.m1), m2=np.asarray(st.m2),
             budget=self.budget,
             key=np.asarray(jax.random.key_data(self.key)),
             stats_rays=self.stats.rays,
@@ -289,6 +352,8 @@ class WavefrontStreamingRenderer:
             budget=jnp.asarray(data["budgets"], jnp.int32),
             acc_rad=jnp.asarray(data["acc_rad"], dtype),
             acc_w=jnp.asarray(data["acc_w"], jnp.int32),
+            m1=jnp.asarray(data["m1"], dtype),
+            m2=jnp.asarray(data["m2"], dtype),
         )
         self.budget = int(data["budget"])
         self.key = jax.random.wrap_key_data(jnp.asarray(data["key"]))

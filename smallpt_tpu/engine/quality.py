@@ -22,6 +22,31 @@ _EPS = 1e-2  # stderr denominators: near-black pixels must not demand
 #              unbounded samples for invisible error
 
 
+def adaptive_allocation(sigma: np.ndarray, add_samples_total: int,
+                        n_pixels: int) -> np.ndarray:
+    """Distribute a pool of new samples across pixels proportional to
+    their luminance standard deviation — the near-optimal per-pixel MC
+    allocation, shared by every step_adaptive. Returns int64 (G,) extras
+    summing exactly to add_samples_total.
+
+    Uniform floor of 1 when the pool allows it (a pixel whose bootstrap
+    samples agreed must keep sampling or its variance signal never
+    improves); per-pixel share capped at 8x the mean (raw proportional
+    allocation dumps the pool on firefly pixels and starves the rest);
+    largest-remainder rounding spends the pool exactly."""
+    G = n_pixels
+    base = 1 if add_samples_total >= 2 * G else 0
+    pool = add_samples_total - base * G
+    w_alloc = np.minimum(sigma, 8.0 * sigma.mean())
+    alloc = w_alloc / w_alloc.sum() * pool
+    extra = np.floor(alloc).astype(np.int64)
+    short = int(pool - extra.sum())
+    if short > 0:
+        order = np.argsort(alloc - extra)[::-1][:short]
+        extra[order] += 1
+    return extra + base
+
+
 def drive_to_quality(
     *,
     n_pixels: int,

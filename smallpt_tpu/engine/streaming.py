@@ -125,26 +125,13 @@ class StreamingRenderer:
         G = self.config.n_pixels
         if add_samples_total is None:
             add_samples_total = G  # ~1 sample/pixel worth of new work
+        from smallpt_tpu.engine.quality import adaptive_allocation
+
         _, var, n = stream_variance(self.f, self.i, self.config)
         sigma = np.sqrt(np.asarray(var).reshape(-1)) + 1e-3
-        # uniform floor of 1 when the pool allows it: a pixel whose bootstrap
-        # samples happened to agree (observed variance 0) must keep sampling,
-        # or its estimate (and its variance signal) never improves
-        base = 1 if add_samples_total >= 2 * G else 0
-        pool = add_samples_total - base * G
-        # cap each pixel's share at 8x the mean: raw sigma-proportional
-        # allocation dumps the whole pool onto a handful of firefly pixels
-        # (caustic spikes have enormous sample variance) and starves the rest
-        w_alloc = np.minimum(sigma, 8.0 * sigma.mean())
-        alloc = w_alloc / w_alloc.sum() * pool
-        extra = np.floor(alloc).astype(np.int64)
-        # largest-remainder rounding: hand the dropped fractions to the
-        # pixels with the biggest remainders so the pool is spent exactly
-        short = int(pool - extra.sum())
-        if short > 0:
-            order = np.argsort(alloc - extra)[::-1][:short]
-            extra[order] += 1
-        extra = (extra + base).astype(np.int32)
+        extra = adaptive_allocation(sigma, add_samples_total, G).astype(
+            np.int32
+        )
         budgets = np.asarray(
             jnp.asarray(self._budgets) if self._budgets is not None
             else np.full((G,), self.budget, np.int32)

@@ -168,3 +168,25 @@ def test_v1_checkpoint_refused(tmp_path):
     b = WavefrontStreamingRenderer(SCENE, smallpt_camera(), CFG, seed=0)
     with pytest.raises(ValueError, match="keying"):
         b.load_checkpoint(ck)
+
+
+def test_step_to_quality_mesh():
+    """The shared equal-quality driver on the mesh streaming engine:
+    terminates, drains, hits the target or the pool cap, and the adaptive
+    allocation concentrates samples on high-variance pixels."""
+    cfg = CFG.replace(max_depth=6)
+    r = WavefrontStreamingRenderer(SCENE, smallpt_camera(), cfg, seed=4)
+    q = r.step_to_quality(rel_err=0.3, quantile=0.9, max_spp=48,
+                          min_spp=6, n_bounces=14)
+    assert q["spp_min"] >= 6
+    rad, w = r.accumulators()
+    w = np.asarray(w)
+    assert w.min() >= q["spp_min"]
+    mean, var, n = r.moments()
+    stderr = np.sqrt(np.maximum(var, 0) / np.maximum(n, 1)) / (
+        np.abs(mean) + 1e-2
+    )
+    hit = float(np.quantile(stderr[n >= 2], 0.9)) <= 0.3
+    assert hit or int(n.sum()) >= 48 * cfg.n_pixels * 0.95, q
+    if q["spp_max"] > q["spp_min"]:
+        assert w.max() > w.min()  # adaptive budgets engaged
