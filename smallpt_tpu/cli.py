@@ -380,10 +380,25 @@ def main(argv=None) -> int:
         and config.mode == Mode.FULL
         and config.split_budget == 1
     )
+    use_mesh_stream = (
+        mesh_scene
+        and config.mode == Mode.FULL
+        and config.split_budget == 1
+    )
     if use_binned:
         from smallpt_tpu.engine.progressive import BinnedProgressiveRenderer
 
         r = BinnedProgressiveRenderer(scene, camera, config, seed=args.seed)
+    elif use_mesh_stream:
+        # triangle scenes drive the persistent streaming wavefront (accel +
+        # NEE tables built once, state carried across passes) — per-pass
+        # falls back below only for AOV/splitting configs
+        from smallpt_tpu.engine.progressive import (
+            MeshStreamProgressiveRenderer,
+        )
+
+        r = MeshStreamProgressiveRenderer(scene, camera, config,
+                                          seed=args.seed)
     else:
         r = ProgressiveRenderer(scene, camera, config, seed=args.seed)
     r.log_stats = args.stats

@@ -180,6 +180,40 @@ class WavefrontStreamingRenderer:
         self.st = _init_state(self.config)
         self.budget = 0
 
+    def update_camera(self, camera) -> None:
+        """Re-aim and restart the wavefront (the reference's accumulation-
+        reset-on-change semantics, smallpt.cpp:931-939)."""
+        self.camera = camera
+        self.reset()
+
+    def update_scene(self, scene) -> None:
+        """Swap scene geometry/materials: rebuild the mesh accel and NEE
+        triangle-light tables, restart the wavefront. Exception-safe:
+        builds into locals first (progressive callers catch and keep the
+        old scene on failure)."""
+        accel = _render_mesh_accel(scene, self.config)
+        nee = _mesh_nee_for(scene, self.config)
+        self.scene = scene
+        self.mesh_accel = accel
+        self.mesh_nee = nee
+        self.reset()
+
+    def step_timed(self, target_ms: float = 33.0,
+                   add_samples: int = 1) -> int:
+        """Equal-time display step (engine/streaming.py::step_timed
+        semantics): EMA-tracked bounce rate converts the wall-clock target
+        into a bounce budget. Returns rays traced."""
+        rate = getattr(self, "_bounces_per_s", None)
+        n = 4 if rate is None else max(1, int(rate * target_ms / 1e3))
+        t0 = time.perf_counter()
+        rays = self.step(n_bounces=n, add_samples=add_samples)
+        dt = max(time.perf_counter() - t0, 1e-4)
+        inst = n / dt
+        self._bounces_per_s = (
+            inst if rate is None else 0.7 * rate + 0.3 * inst
+        )
+        return rays
+
     def step(self, n_bounces: int = 64, add_samples: int = 1) -> int:
         """Extend every pixel's budget by add_samples and advance the
         wavefront n_bounces. Returns rays traced (ONE host fetch)."""

@@ -396,3 +396,92 @@ def _binned_cam_vec(camera, config):
     from smallpt_tpu.ops.megakernel import build_camera_vec
 
     return build_camera_vec(camera, config)
+
+
+class MeshStreamProgressiveRenderer(ProgressiveRenderer):
+    """Progressive/interactive driver over the mesh streaming engine
+    (engine/mesh_stream.py) — the triangle-scene analog of
+    BinnedProgressiveRenderer: one PERSISTENT wavefront carried across
+    passes (accel + NEE tables built once), per-pass or equal-time
+    (target_ms) stepping, the full JSON protocol with accumulation reset
+    on change."""
+
+    def __init__(self, scene, camera, config: RenderConfig, seed: int = 0,
+                 n_bounces: int | None = None,
+                 target_ms: float | None = None):
+        super().__init__(scene, camera, config, seed)
+        from smallpt_tpu.engine.mesh_stream import (
+            WavefrontStreamingRenderer,
+        )
+
+        self._r = WavefrontStreamingRenderer(scene, camera, config,
+                                             seed=seed)
+        self.n_bounces = (
+            2 * config.max_depth if n_bounces is None else n_bounces
+        )
+        self.target_ms = target_ms
+
+    def step(self, n_passes: int = 1) -> None:
+        if self._apply_requests():
+            self.reset_accumulation()
+        for _ in range(n_passes):
+            if self._t_first_step is None:
+                self._t_first_step = time.perf_counter()
+            if self.target_ms is not None:
+                rays = self._r.step_timed(
+                    target_ms=self.target_ms, add_samples=self.config.spp
+                )
+            else:
+                rays = self._r.step(
+                    add_samples=self.config.spp, n_bounces=self.n_bounces
+                )
+            self._stats.passes += 1
+            self.sample_count += 1
+            if self.log_stats:
+                log_json("render_pass", {
+                    "pass": self.sample_count, "pass_rays": rays,
+                    **self.stats.as_dict(),
+                })
+
+    def _apply_requests(self) -> bool:
+        prev_scene, prev_camera = self.scene, self.camera
+        invalidate = super()._apply_requests()
+        if invalidate:
+            if self.scene is not prev_scene:
+                self._r.camera = self.camera
+                try:
+                    self._r.update_scene(self.scene)
+                except (TypeError, ValueError, AttributeError) as e:
+                    from smallpt_tpu.utils.metrics import log_json
+
+                    log_json("bad_request",
+                             {"action": "update_scene", "error": str(e)})
+                    self.scene = prev_scene
+                    self._r.update_camera(self.camera)
+            elif self.camera is not prev_camera:
+                self._r.update_camera(self.camera)
+            else:
+                self._r.reset()
+        return invalidate
+
+    @property
+    def stats(self):
+        return self._r.stats
+
+    def reset_accumulation(self) -> None:
+        self.sample_count = 0
+        self._r.reset()
+
+    def finalize(self) -> None:
+        self._r.flush()
+
+    @property
+    def image(self) -> np.ndarray:
+        return self._r.image
+
+    def save_checkpoint(self, path: str) -> None:
+        self._r.save_checkpoint(path)
+
+    def load_checkpoint(self, path: str) -> None:
+        self._r.load_checkpoint(path)
+        self.sample_count = self._r.stats.passes

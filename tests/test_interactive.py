@@ -355,3 +355,59 @@ def test_binned_load_mesh_scene_keeps_old():
                "scene": scene_to_dict(single_triangle_scene())})
     r.step()
     assert r.scene is prev
+
+
+def _mesh_stream_progressive(seed=0):
+    from smallpt_tpu.core.scene import procedural_mesh_scene
+    from smallpt_tpu.engine.progressive import MeshStreamProgressiveRenderer
+
+    scene = procedural_mesh_scene(n_balls=2, subdiv_longitude=3, seed=1)
+    cfg = RenderConfig(width=12, height=10, spp_per_cell=1, max_depth=6,
+                       camera_model=CameraModel.LEGACY, filter=Filter.TENT)
+    return MeshStreamProgressiveRenderer(scene, smallpt_camera(), cfg,
+                                         seed=seed)
+
+
+def test_mesh_stream_session_protocol(tmp_path):
+    """Full protocol on a TRIANGLE scene through the persistent streaming
+    wavefront: camera update, snapshot, quit."""
+    r = _mesh_stream_progressive()
+    snap = str(tmp_path / "snap_ms.ppm")
+    stream = SlowStream([
+        json.dumps({"action": "update_camera", "org": [50.0, 53.0, 295.6]}),
+        json.dumps({"action": "snapshot", "path": snap}),
+        json.dumps({"action": "quit"}),
+    ], delay=0.05)
+    passes = InteractiveSession(r, stream=stream).run(max_passes=60)
+    assert passes >= 1
+    assert os.path.exists(snap)
+    assert float(np.asarray(r.camera.origin)[1]) == 53.0
+    assert r._r.camera is r.camera  # wavefront re-aimed
+
+
+def test_mesh_stream_camera_update_resets_deterministic():
+    r = _mesh_stream_progressive()
+    r.step()
+    assert r.sample_count == 1
+    before = r.image.copy()
+    r.enqueue({"action": "update_camera", "org": [50.0, 53.0, 295.6]})
+    r.step()
+    assert r.sample_count == 1  # reset + one fresh pass
+    assert not np.array_equal(before, r.image)
+    assert r._r.budget == r.config.spp  # budgets restarted
+
+
+def test_mesh_stream_load_scene_swaps_to_spheres():
+    """The engine is geometry-agnostic: load_scene can swap a sphere scene
+    into a mesh streaming session (accel/NEE tables rebuilt to None)."""
+    from smallpt_tpu.core.scene import two_sphere_scene
+    from smallpt_tpu.core.scene_io import scene_to_dict
+
+    r = _mesh_stream_progressive(seed=3)
+    r.step()
+    r.enqueue({"action": "load_scene",
+               "scene": scene_to_dict(two_sphere_scene())})
+    r.step()
+    assert hasattr(r.scene, "center")
+    assert r.sample_count == 1
+    assert np.isfinite(r.image).all()
