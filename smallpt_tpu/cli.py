@@ -60,7 +60,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default: pallas for --scene mesh (the culled "
                         "accel path), jax otherwise")
     p.add_argument("--scheduler", choices=[s.value for s in Scheduler],
-                   default="mega",
+                   default=None,
                    help="wavefront scheduler: mega (fused Pallas bounce "
                         "kernel, fastest), regen (pure-JAX persistent "
                         "lanes), flat (masked lanes; required for "
@@ -163,7 +163,7 @@ def main(argv=None) -> int:
         intersector=intersector,
         scheduler=(
             Scheduler.FLAT if args.split_budget > 1
-            else Scheduler(args.scheduler)
+            else Scheduler(args.scheduler or "mega")
         ),
         max_depth=args.max_depth,
         rr_depth=args.rr_depth,
@@ -289,6 +289,7 @@ def main(argv=None) -> int:
                                             seed=args.seed)
             if args.resume:
                 ms.load_checkpoint(args.resume)
+            frame_writer, frame_sync = make_frame_sink()
             t0 = time.time()
             if args.quality is not None:
                 q = ms.step_to_quality(
@@ -303,9 +304,20 @@ def main(argv=None) -> int:
                         f"({q['rounds']} rounds)", file=sys.stderr,
                     )
             else:
-                ms.step(n_bounces=2 * config.max_depth,
-                        add_samples=config.spp * n_passes)
+                total = config.spp * n_passes
+                chunks = n_passes if (frame_writer or frame_sync) else 1
+                per = max(1, total // chunks)
+                for c in range(chunks):
+                    ms.step(n_bounces=2 * config.max_depth,
+                            add_samples=per)
+                    if frame_writer is not None:
+                        frame_writer.push(ms.image[::-1] * args.exposure,
+                                          c + 1)
+                    elif frame_sync is not None:
+                        frame_sync(ms.image * args.exposure, c + 1)
                 ms.flush()
+            if frame_writer is not None:
+                frame_writer.close()
             if not args.quiet:
                 print(f"Elapsed time: {(time.time() - t0) * 1000:.0f} ms",
                       file=sys.stderr)
@@ -384,6 +396,9 @@ def main(argv=None) -> int:
         mesh_scene
         and config.mode == Mode.FULL
         and config.split_budget == 1
+        # an EXPLICIT --scheduler choice pins the per-pass engine (its
+        # keying and checkpoint format differ from the streaming one)
+        and args.scheduler is None
     )
     if use_binned:
         from smallpt_tpu.engine.progressive import BinnedProgressiveRenderer

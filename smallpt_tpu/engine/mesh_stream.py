@@ -222,10 +222,13 @@ class WavefrontStreamingRenderer:
         # non-uniform; overwriting with a uniform value could revoke
         # already-granted samples)
         self.st = self.st._replace(budget=self.st.budget + add_samples)
+        self.stats.passes += 1
         return self._advance(n_bounces)
 
-    def _advance(self, n_bounces: int) -> int:
-        t0 = time.perf_counter()
+    def _advance_dev(self, n_bounces: int):
+        """Advance without any host fetch; returns the rays total as a
+        device scalar (binned-engine discipline: counters stay on device,
+        ~30 ms tunnel RTT per fetch)."""
         rays_dev = []
         for _ in range(n_bounces):
             self.st, rays = _bounce(
@@ -233,10 +236,13 @@ class WavefrontStreamingRenderer:
                 self.mesh_accel, self.mesh_nee,
             )
             rays_dev.append(rays)
-        total = int(sum(rays_dev))  # one fetch closes the step
+        return sum(rays_dev)
+
+    def _advance(self, n_bounces: int) -> int:
+        t0 = time.perf_counter()
+        total = int(self._advance_dev(n_bounces))  # one fetch closes it
         self.stats.rays += total
         self.stats.wall_s += time.perf_counter() - t0
-        self.stats.passes += 1
         return total
 
     def moments(self):
@@ -302,19 +308,35 @@ class WavefrontStreamingRenderer:
         return (int(both[0]), int(both[1]))
 
     def flush(self) -> None:
-        """Drain to the exact per-pixel budget (no new samples)."""
+        """Drain to the exact per-pixel budget (no new samples).
+
+        ONE host fetch per drain round (the rays total rides the same
+        fetch as the pending counts — binned flush economics: each fetch
+        is a ~30 ms tunnel round-trip), and the per-round bounce cap
+        scales with the drain rate (~4 samples/lane/round) so big budgets
+        don't degenerate into one-sample-per-round RTT grind."""
+        p = self.pending()
+        if p == (0, 0):
+            return
+        cap = 4 * self.config.max_depth + 8
         last = None
         while True:
-            p = self.pending()
-            if p == (0, 0):
+            t0 = time.perf_counter()
+            rays_dev = self._advance_dev(cap)
+            packed = np.asarray(jnp.concatenate([
+                jnp.asarray(rays_dev, jnp.int32)[None],
+                _pending(self.st.ps.alive, self.st.s_idx, self.st.budget),
+            ]))
+            rays, p_new = int(packed[0]), (int(packed[1]), int(packed[2]))
+            self.stats.rays += rays
+            self.stats.wall_s += time.perf_counter() - t0
+            if p_new == (0, 0):
                 return
-            rays = self._advance(self.config.max_depth + 2)
-            # progress = rays were traced; raw pending counts can coincide
-            # across healthy rounds (steady-state occupancy), so they stall
-            # only together with a zero-ray advance (binned flush semantics)
-            if rays == 0 and p == last:
+            # progress = rays traced; raw pending counts can coincide
+            # across healthy rounds (steady-state occupancy)
+            if rays == 0 and p_new == p:
                 raise RuntimeError("flush made no progress (paths stuck?)")
-            last = p
+            p = p_new
 
     def accumulators(self):
         """(radiance sums, completed-sample counts), (H, W, ...) — idle
@@ -359,6 +381,13 @@ class WavefrontStreamingRenderer:
 
     def load_checkpoint(self, path: str) -> None:
         data = np.load(path)
+        if "org" not in data:
+            raise ValueError(
+                "not a mesh-streaming checkpoint (no stream state): it was "
+                "probably saved by the per-pass progressive engine — resume "
+                "it with an explicit --scheduler (flat/regen/mega), which "
+                "keeps the per-pass path"
+            )
         ck_ver = (
             int(data["stream_key_version"])
             if "stream_key_version" in data else 1

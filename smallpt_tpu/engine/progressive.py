@@ -281,40 +281,17 @@ class ProgressiveRenderer:
                 writer.close()
 
 
-class BinnedProgressiveRenderer(ProgressiveRenderer):
-    """Progressive/interactive driver over the binned big-scene scheduler.
+class _StreamBackedProgressive(ProgressiveRenderer):
+    """Shared progressive/interactive surface over a PERSISTENT streaming
+    renderer (``self._r``: step/step_timed/update_camera/update_scene/
+    reset/flush/image/stats/checkpoints). Subclasses construct the engine
+    and may refresh engine-side camera caches via _sync_camera()."""
 
-    The reference's interactive app is scheduler-agnostic: the render thread
-    loops whatever Renderer::render is bound to — including the accelerated
-    OptiX backend (smallpt.cpp:605,895-941) — and the UI's JSON requests
-    reset accumulation on change. This subclass gives big sphere scenes the
-    same surface: one PERSISTENT BinnedStreamingRenderer (grid accel built
-    once, wavefront state carried across passes — no per-pass rebuild),
-    driven either per-pass (each step adds spp samples/pixel) or equal-time
-    (target_ms, the display cadence of smallpt.cpp:946-988).
+    n_bounces: int
+    target_ms: float | None
 
-    Protocol semantics match ProgressiveRenderer exactly: ``update_camera``
-    re-aims and resets the wavefront (binned update_camera), ``update_scene``
-    rebuilds the accel (geometry moved => chunk AABBs/reach tables stale),
-    ``reset`` restarts. ``image`` is weight-normalized by completed sample
-    counts, so a frame displayed mid-wavefront is a consistent estimate at
-    any interruption point; ``finalize()`` drains for the exact image.
-    """
-
-    def __init__(self, scene, camera, config: RenderConfig, seed: int = 0,
-                 n_bounces: int | None = None, target_ms: float | None = None,
-                 **binned_kwargs):
-        super().__init__(scene, camera, config, seed)
-        from smallpt_tpu.engine.binned import BinnedStreamingRenderer
-
-        self._binned_kwargs = binned_kwargs
-        self._r = BinnedStreamingRenderer(
-            scene, camera, config, seed=seed, **binned_kwargs
-        )
-        self.n_bounces = (
-            2 * config.max_depth if n_bounces is None else n_bounces
-        )
-        self.target_ms = target_ms
+    def _sync_camera(self) -> None:
+        self._r.camera = self.camera
 
     def step(self, n_passes: int = 1) -> None:
         if self._apply_requests():
@@ -342,18 +319,17 @@ class BinnedProgressiveRenderer(ProgressiveRenderer):
         prev_scene, prev_camera = self.scene, self.camera
         invalidate = super()._apply_requests()
         if invalidate:
-            # route the change to the persistent binned state: scene edits
-            # need the accel rebuilt; camera moves only re-aim + reset
+            # route the change to the persistent stream state: scene edits
+            # rebuild the accel/light tables; camera moves only re-aim
             if self.scene is not prev_scene:
-                self._r.camera = self.camera
-                self._r.cam_vec = _binned_cam_vec(self.camera, self.config)
+                self._sync_camera()
                 try:
                     self._r.update_scene(self.scene)
                 except (TypeError, ValueError, AttributeError) as e:
-                    # e.g. load_scene swapped in a mesh scene (no .center →
-                    # AttributeError inside the accel build), or a sphere
-                    # set the grid accel can't bin: keep rendering the old
-                    # scene rather than killing the render thread
+                    # e.g. load_scene swapped in a scene this engine cannot
+                    # serve (mesh into the binned grid accel, unbinnable
+                    # sphere sets): keep rendering the old scene rather
+                    # than killing the render thread
                     from smallpt_tpu.utils.metrics import log_json
 
                     log_json("bad_request",
@@ -361,6 +337,7 @@ class BinnedProgressiveRenderer(ProgressiveRenderer):
                     self.scene = prev_scene
                     self._r.update_camera(self.camera)
             elif self.camera is not prev_camera:
+                self._sync_camera()
                 self._r.update_camera(self.camera)
             else:
                 self._r.reset()
@@ -371,9 +348,8 @@ class BinnedProgressiveRenderer(ProgressiveRenderer):
         return self._r.stats
 
     def reset_accumulation(self) -> None:
-        # the accumulation (radiance sums + completed-sample weights) lives
-        # in the binned wavefront planes; reset() is idempotent, so the
-        # double reset after _apply_requests' update_* hooks is harmless
+        # the accumulation lives in the stream planes; reset() is
+        # idempotent, so the double reset after update_* hooks is harmless
         self.sample_count = 0
         self._r.reset()
 
@@ -392,13 +368,50 @@ class BinnedProgressiveRenderer(ProgressiveRenderer):
         self.sample_count = self._r.stats.passes
 
 
+class BinnedProgressiveRenderer(_StreamBackedProgressive):
+    """Progressive/interactive driver over the binned big-scene scheduler.
+
+    The reference's interactive app is scheduler-agnostic: the render thread
+    loops whatever Renderer::render is bound to — including the accelerated
+    OptiX backend (smallpt.cpp:605,895-941) — and the UI's JSON requests
+    reset accumulation on change. This subclass gives big sphere scenes the
+    same surface: one PERSISTENT BinnedStreamingRenderer (grid accel built
+    once, wavefront state carried across passes — no per-pass rebuild),
+    driven either per-pass (each step adds spp samples/pixel) or equal-time
+    (target_ms, the display cadence of smallpt.cpp:946-988).
+
+    ``image`` is weight-normalized by completed sample counts, so a frame
+    displayed mid-wavefront is a consistent estimate at any interruption
+    point; ``finalize()`` drains for the exact image.
+    """
+
+    def __init__(self, scene, camera, config: RenderConfig, seed: int = 0,
+                 n_bounces: int | None = None, target_ms: float | None = None,
+                 **binned_kwargs):
+        super().__init__(scene, camera, config, seed)
+        from smallpt_tpu.engine.binned import BinnedStreamingRenderer
+
+        self._binned_kwargs = binned_kwargs
+        self._r = BinnedStreamingRenderer(
+            scene, camera, config, seed=seed, **binned_kwargs
+        )
+        self.n_bounces = (
+            2 * config.max_depth if n_bounces is None else n_bounces
+        )
+        self.target_ms = target_ms
+
+    def _sync_camera(self) -> None:
+        self._r.camera = self.camera
+        self._r.cam_vec = _binned_cam_vec(self.camera, self.config)
+
+
 def _binned_cam_vec(camera, config):
     from smallpt_tpu.ops.megakernel import build_camera_vec
 
     return build_camera_vec(camera, config)
 
 
-class MeshStreamProgressiveRenderer(ProgressiveRenderer):
+class MeshStreamProgressiveRenderer(_StreamBackedProgressive):
     """Progressive/interactive driver over the mesh streaming engine
     (engine/mesh_stream.py) — the triangle-scene analog of
     BinnedProgressiveRenderer: one PERSISTENT wavefront carried across
@@ -420,68 +433,3 @@ class MeshStreamProgressiveRenderer(ProgressiveRenderer):
             2 * config.max_depth if n_bounces is None else n_bounces
         )
         self.target_ms = target_ms
-
-    def step(self, n_passes: int = 1) -> None:
-        if self._apply_requests():
-            self.reset_accumulation()
-        for _ in range(n_passes):
-            if self._t_first_step is None:
-                self._t_first_step = time.perf_counter()
-            if self.target_ms is not None:
-                rays = self._r.step_timed(
-                    target_ms=self.target_ms, add_samples=self.config.spp
-                )
-            else:
-                rays = self._r.step(
-                    add_samples=self.config.spp, n_bounces=self.n_bounces
-                )
-            self._stats.passes += 1
-            self.sample_count += 1
-            if self.log_stats:
-                log_json("render_pass", {
-                    "pass": self.sample_count, "pass_rays": rays,
-                    **self.stats.as_dict(),
-                })
-
-    def _apply_requests(self) -> bool:
-        prev_scene, prev_camera = self.scene, self.camera
-        invalidate = super()._apply_requests()
-        if invalidate:
-            if self.scene is not prev_scene:
-                self._r.camera = self.camera
-                try:
-                    self._r.update_scene(self.scene)
-                except (TypeError, ValueError, AttributeError) as e:
-                    from smallpt_tpu.utils.metrics import log_json
-
-                    log_json("bad_request",
-                             {"action": "update_scene", "error": str(e)})
-                    self.scene = prev_scene
-                    self._r.update_camera(self.camera)
-            elif self.camera is not prev_camera:
-                self._r.update_camera(self.camera)
-            else:
-                self._r.reset()
-        return invalidate
-
-    @property
-    def stats(self):
-        return self._r.stats
-
-    def reset_accumulation(self) -> None:
-        self.sample_count = 0
-        self._r.reset()
-
-    def finalize(self) -> None:
-        self._r.flush()
-
-    @property
-    def image(self) -> np.ndarray:
-        return self._r.image
-
-    def save_checkpoint(self, path: str) -> None:
-        self._r.save_checkpoint(path)
-
-    def load_checkpoint(self, path: str) -> None:
-        self._r.load_checkpoint(path)
-        self.sample_count = self._r.stats.passes

@@ -83,24 +83,20 @@ def test_intersect_backend_invariance():
     kernel level); the streaming image must be bit-identical under either
     — and under the pure-JAX chunked intersector too (statistically: a
     different compiled reduction order can flip razor hits)."""
-    import os
-
     from smallpt_tpu.config import Intersector
 
     cfg_p = CFG.replace(intersector=Intersector.PALLAS)
     a, wa = _run(SCENE, cfg_p, spp=2)
-    # force the accel route regardless of the size threshold
-    os.environ["SMALLPT_TPU_MESH_ACCEL_MIN"] = "1"
-    try:
-        import importlib
+    # force the accel route regardless of the size threshold (the module
+    # attribute is the live knob; the env var is only read at import time)
+    from smallpt_tpu.engine import renderer as R
 
-        from smallpt_tpu.engine import renderer as R
-        old = R.MESH_ACCEL_MIN_TRIS
-        R.MESH_ACCEL_MIN_TRIS = 1
+    old = R.MESH_ACCEL_MIN_TRIS
+    R.MESH_ACCEL_MIN_TRIS = 1
+    try:
         b, wb = _run(SCENE, cfg_p, spp=2)
-        R.MESH_ACCEL_MIN_TRIS = old
     finally:
-        del os.environ["SMALLPT_TPU_MESH_ACCEL_MIN"]
+        R.MESH_ACCEL_MIN_TRIS = old
     assert (wa == wb).all()
     assert (a == b).all()
 
