@@ -317,12 +317,27 @@ def _use_regen(config: RenderConfig, differentiable: bool) -> bool:
     )
 
 
+# Measured router policy (r3 TPU session, BASELINE.md "Round-3 TPU
+# session"): on the 10k-sphere uniform INTERIOR scene every tile reaches
+# every chunk (n_reach = 1250 = all), so per-tile culling removes nothing
+# and the binned drain tops out at 2.92 Mrays/s (best tuning,
+# sort_every=4/k_near=128) vs 3.59 M for the brute REGEN split-sweep it
+# would replace — and below the classic megakernel at every size that fits
+# VMEM. Batch render() therefore routes big scenes to the brute path by
+# default; the binned scheduler stays OPT-IN (this flag, CLI --binned, or
+# the streaming/interactive surfaces, where it is the only incremental
+# stepper above MEGA_MAX_SPHERES and step_timed granularity matters more
+# than the 1.2x batch-throughput gap).
+BINNED_AUTO = False
+
+
 def _use_binned(scene, config: RenderConfig, differentiable: bool,
                 key=None, camera=None) -> bool:
     """Big-scene routing: above the classic megakernel's sphere cap, the
-    grid-binned distance-ordered scheduler (engine/binned.py) replaces the
-    brute split-sweep — lifting the round-1 eligibility cliff at
-    MEGA_MAX_SPHERES instead of silently falling back to a slower path.
+    grid-binned distance-ordered scheduler (engine/binned.py) CAN replace
+    the brute split-sweep — but only when BINNED_AUTO opts in, because the
+    measured default (see flag comment) is that the brute path wins on
+    interior scenes where conservative per-tile reach culling is null.
 
     The binned drain is a host drive loop with concrete fetches, so any
     traced argument (scene under grad, key under an outer jit/vmap, traced
