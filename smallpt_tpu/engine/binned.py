@@ -34,7 +34,9 @@ BIT-EQUAL per stream (tests pin this). Against the CLASSIC megakernel the
 match is exact up to the documented razor-flip floor (~1e-4 FMA
 contraction differences flipping rare discrete events on deep paths).
 
-Restrictions (v4 of the binned path): Mode.FULL, split_budget == 1.
+Restrictions (v5 of the binned path): split_budget == 1 only. All AOV
+modes incl. UV run in-kernel (lat/long via the polynomial atan2 in
+ops/megakernel.py::_atan2_poly — Mosaic-proven ops only).
 Next-event estimation IS supported (fused mode): a diffuse vertex marks
 per-slot pending bits and the shadow resolves ONE LAUNCH LATER — the XLA
 prep stage draws the light-cone direction from the concrete vertex point,
@@ -158,11 +160,6 @@ class BinnedStreamingRenderer:
         if config.split_budget != 1:
             raise ValueError("binned streaming: split_budget=1 (the FLAT "
                              "scheduler is the splitting fidelity mode)")
-        if config.mode == Mode.UV:
-            # the lat/long UV parameterization needs inverse trig, which is
-            # unproven in this Mosaic toolchain — big-scene UV renders fall
-            # back to the classic split-sweep path (renderer.py routing)
-            raise ValueError("binned streaming: UV AOV unsupported")
         if config.nee_lights and config.mode != Mode.FULL:
             raise ValueError("binned streaming: nee_lights require Mode.FULL")
         if config.nee_lights and not fused:

@@ -355,10 +355,8 @@ def _use_binned(scene, config: RenderConfig, differentiable: bool,
         and not differentiable
         and jax.default_backend() in ("tpu", "cpu")
         and config.split_budget == 1
-        # every mode except UV (lat/long needs inverse trig — unproven in
-        # Mosaic; UV keeps the classic split-sweep fallback). NEE + AOV is
+        # all modes incl. UV (in-kernel polynomial atan2). NEE + AOV is
         # contradictory and rejected by BinnedStreamingRenderer.
-        and config.mode != Mode.UV
         and not (config.nee_lights and config.mode != Mode.FULL)
         and config.dtype == "float32"
         and isinstance(scene, SphereScene)

@@ -90,6 +90,38 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
+def _atan2_poly(y, x):
+    """atan2(y, x) from Mosaic-proven ops only (abs/min/max/div/select +
+    an odd minimax polynomial — no transcendental intrinsics). Octant
+    reduction to z = min/max in [0, 1], degree-9 minimax atan on [0, 1]
+    (max err ~1.1e-5 rad), then quadrant unfolding. Matches
+    jnp.arctan2's (-pi, pi] convention incl. atan2(0, 0) = 0 and
+    atan2(0, -x) = pi. Used for the UV AOV's lat/long (the in-kernel
+    analog of ops/intersect.py::sphere_uv)."""
+    f = jnp.float32
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    z = jnp.minimum(ax, ay) / jnp.maximum(hi, f(1e-30))
+    z2 = z * z
+    p = f(0.0208351)
+    p = p * z2 - f(0.0851330)
+    p = p * z2 + f(0.1801410)
+    p = p * z2 - f(0.3302995)
+    p = p * z2 + f(0.9998660)
+    a = p * z
+    a = jnp.where(ay > ax, f(jnp.pi / 2) - a, a)
+    a = jnp.where(x < 0.0, f(jnp.pi) - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _asin_poly(y):
+    """asin(y) for y in [-1, 1] via atan2(y, sqrt(1-y^2)) — exact at the
+    poles (atan2(+-1, 0) = +-pi/2), sqrt/mul/select only."""
+    c = jnp.clip(y, -1.0, 1.0)
+    return _atan2_poly(c, jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0)))
+
+
 def _shadow_tt(ox, oy, oz, dx, dy, dz, scx, scy, scz, sr, seps):
     """Candidate hit distance for the NEE shadow sweep — the same stable
     citardauq form as the main sweep (giant wall spheres occlude too)."""
@@ -1513,8 +1545,8 @@ def _binned_kernel(
         # final vertex and terminate (the lane never continues — parent is
         # forced off below); misses record nothing, matching the classic
         # schedulers' first-hit semantics (ops/wavefront.py::_aov_value).
-        # In-kernel math restricted to Mosaic-proven ops (no inverse trig:
-        # UV is rejected by the engine and falls back to the classic path).
+        # In-kernel math restricted to Mosaic-proven ops (inverse trig for
+        # UV is a polynomial atan2 — _atan2_poly above).
         if config.mode == Mode.NORMAL:
             avx, avy, avz = nlx, nly, nlz
         elif config.mode == Mode.EMISSION:
@@ -1533,7 +1565,17 @@ def _binned_kernel(
             avx = _fract_sin(12.9898)
             avy = _fract_sin(78.233)
             avz = _fract_sin(56.128)
-        else:  # pragma: no cover — engine validation rejects UV
+        elif config.mode == Mode.UV:
+            # lat/long of the OUTWARD unit normal — the in-kernel analog of
+            # ops/intersect.py::sphere_uv (reference smallpt.cpp:181 via
+            # scene.cpp:3-48's tessellation grid); uv channel 2 is 0 like
+            # the classic _aov_value's zero pad.
+            two_pi = jnp.float32(2.0 * jnp.pi)
+            phi = _atan2_poly(nx, nz)  # (-pi, pi]
+            avx = jnp.where(phi < 0.0, phi + two_pi, phi) / two_pi
+            avy = _asin_poly(ny) * jnp.float32(1.0 / jnp.pi) + jnp.float32(0.5)
+            avz = jnp.zeros(shp, jnp.float32)
+        else:  # pragma: no cover — engine validation rejects unknown modes
             raise ValueError(config.mode)
         rx = rx + jnp.where(live_hit, avx, 0.0)
         ry = ry + jnp.where(live_hit, avy, 0.0)

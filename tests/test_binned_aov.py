@@ -3,9 +3,10 @@
 VERDICT r2 flagged the binned path as Mode.FULL-only while the
 reference's accelerated backend serves every engine feature
 (smallpt.cpp:605). Round 3 lifted NEE/DoF/adaptive; this lifts the AOV
-modes (NORMAL / EMISSION / INST_ID — the smallpt.cpp:179-183 debug
-outputs). UV stays on the classic fallback (lat/long needs inverse trig,
-unproven in this Mosaic toolchain) and is pinned as rejected.
+modes (NORMAL / EMISSION / INST_ID / UV — the smallpt.cpp:179-183 debug
+outputs). UV's lat/long runs in-kernel through a polynomial atan2
+(megakernel.py::_atan2_poly, ~1e-5 rad) — its classic-path gate allows
+that approximation error plus the u-wrap seam at phi = +-pi.
 
 Load-bearing gate: culled == forced-full-sweep bit-exactness per mode
 (no reach mask may drop a first hit); classic-path agreement is
@@ -30,7 +31,7 @@ SCENE = procedural_sphere_scene(80, seed=3)
 CFG = RenderConfig(width=24, height=16, spp_per_cell=1, max_depth=10,
                    camera_model=CameraModel.LEGACY, filter=Filter.TENT)
 
-AOV_MODES = [Mode.NORMAL, Mode.EMISSION, Mode.INST_ID]
+AOV_MODES = [Mode.NORMAL, Mode.EMISSION, Mode.INST_ID, Mode.UV]
 
 
 def _binned_image(cfg, spp, accel=None, **kw):
@@ -88,6 +89,29 @@ def test_binned_aov_matches_classic_statistically(mode):
         )
 
 
+def test_atan2_poly_matches_arctan2():
+    """The in-kernel UV trig (Mosaic-proven ops only) vs numpy: minimax
+    error bound plus the exact axis/origin conventions jnp.arctan2 has."""
+    from smallpt_tpu.ops.megakernel import _asin_poly, _atan2_poly
+
+    rs = np.random.RandomState(0)
+    y = jnp.asarray(rs.uniform(-2, 2, 4096), jnp.float32)
+    x = jnp.asarray(rs.uniform(-2, 2, 4096), jnp.float32)
+    err = np.abs(np.asarray(_atan2_poly(y, x))
+                 - np.arctan2(np.asarray(y), np.asarray(x)))
+    assert err.max() < 2e-5, err.max()
+    for yy, xx, want in [(0.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                         (0.0, -1.0, np.pi), (1.0, 0.0, np.pi / 2),
+                         (-1.0, 0.0, -np.pi / 2)]:
+        got = float(_atan2_poly(jnp.float32(yy), jnp.float32(xx)))
+        assert abs(got - want) < 2e-5, (yy, xx, got)
+    s = jnp.asarray(rs.uniform(-1, 1, 4096), jnp.float32)
+    aerr = np.abs(np.asarray(_asin_poly(s)) - np.arcsin(np.asarray(s)))
+    assert aerr.max() < 2e-5, aerr.max()
+    assert abs(float(_asin_poly(jnp.float32(1.0))) - np.pi / 2) < 1e-6
+    assert abs(float(_asin_poly(jnp.float32(-1.0))) + np.pi / 2) < 1e-6
+
+
 def test_binned_inst_id_values_are_fract_colors():
     """INST_ID colors are fract(sin(...)) values in [0, 1); a single-spp
     render must only contain such values (or 0 for misses)."""
@@ -97,10 +121,8 @@ def test_binned_inst_id_values_are_fract_colors():
     assert (rad > -1.0).all() and (rad < 1.0).all()
 
 
-def test_binned_rejects_uv_and_nee_aov():
+def test_binned_rejects_nee_aov():
     cam = smallpt_camera()
-    with pytest.raises(ValueError, match="UV"):
-        BinnedStreamingRenderer(SCENE, cam, CFG.replace(mode=Mode.UV))
     with pytest.raises(ValueError, match="Mode.FULL"):
         BinnedStreamingRenderer(
             SCENE, cam, CFG.replace(mode=Mode.NORMAL, nee_lights=(8,))
@@ -108,14 +130,14 @@ def test_binned_rejects_uv_and_nee_aov():
 
 
 def test_router_gates_modes():
-    """render()'s big-scene router: AOV modes ride the binned path except
-    UV (classic fallback) and contradictory nee+AOV configs."""
+    """render()'s big-scene router: every AOV mode rides the binned path;
+    contradictory nee+AOV configs fall through to the classic paths."""
     big = procedural_sphere_scene(2100, seed=1)
     key = prng.base_key(0)
     cam = smallpt_camera()
     assert _use_binned(big, CFG, False, key, cam)
     assert _use_binned(big, CFG.replace(mode=Mode.NORMAL), False, key, cam)
-    assert not _use_binned(big, CFG.replace(mode=Mode.UV), False, key, cam)
+    assert _use_binned(big, CFG.replace(mode=Mode.UV), False, key, cam)
     assert not _use_binned(
         big, CFG.replace(mode=Mode.NORMAL, nee_lights=(8,)), False, key, cam
     )
