@@ -4,11 +4,13 @@ The reference's primary accelerated workload is a triangle-mesh BVH
 (rtpModelCreate over index/vertex buffers, /root/reference/smallpt.cpp:
 489-516, RTP_QUERY_TYPE_CLOSEST at :578-582). Here the same slot is the
 grid-culled, distance-ordered, early-exit sweep (ops/mesh_accel.py +
-ops/mesh_pallas.py::intersect_mesh_culled); render() engages it
-automatically for any concrete mesh above
-engine.renderer.MESH_ACCEL_MIN_TRIS when the PALLAS intersector is
-selected — no explicit accel handling needed, and results are
-bit-identical to the brute sweep.
+ops/mesh_pallas.py::intersect_mesh_culled); render() engages it for any
+concrete mesh above engine.renderer.MESH_ACCEL_MIN_TRIS when the PALLAS
+intersector is selected — results are bit-identical to the brute sweep.
+The route is OPT-IN (SMALLPT_TPU_MESH_ACCEL_MIN env var, default off):
+on TPU the brute chunked sweep measured ~1.5x faster at 32k tris in both
+sparse and dense occlusion regimes (BASELINE.md, r3b session), so this
+example forces the culled route to demonstrate it.
 
 Run:  python examples/mesh_scene.py [n_balls] [out.png]
 (equivalently: python -m smallpt_tpu 16 --scene mesh --out mesh.png)
@@ -29,6 +31,9 @@ from smallpt_tpu.utils.image import write_png
 
 
 def main() -> None:
+    from smallpt_tpu.engine import renderer as R
+
+    R.MESH_ACCEL_MIN_TRIS = 1  # demonstrate the culled route (see docstring)
     n_balls = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     out = sys.argv[2] if len(sys.argv) > 2 else "mesh_scene.png"
     config = RenderConfig(

@@ -83,10 +83,17 @@ def make_intersect_fn(scene, config: RenderConfig, differentiable: bool = False,
 
 
 # Triangle count above which mesh scenes route through the grid-culled
-# sweep (ops/mesh_accel.py) — below it the brute sweep's VMEM table walk
-# is already cheap and the list-build glue doesn't pay.
+# sweep (ops/mesh_accel.py). Measured on TPU (r3b session, 2026-08-19,
+# bench_logs/r3b_20260819_002046.log): at 32k tris the culled path runs
+# 0.72/0.74 Mrays/s vs the brute chunked sweep's 1.10/1.12 (sparse/dense
+# occlusion, 256x192 depth-12, interleaved one-process A/B) — the
+# tile-level early exit is worst-lane bound and the per-tile lists cull
+# too little at this granularity, exactly like the sphere-path finding
+# (BASELINE.md "Why the binned scheduler loses"). The culled route is
+# therefore OPT-IN (env override or the test/bench forcings); the brute
+# sweep is the measured default at every size tried on hardware.
 MESH_ACCEL_MIN_TRIS = int(
-    os.environ.get("SMALLPT_TPU_MESH_ACCEL_MIN", "4096")
+    os.environ.get("SMALLPT_TPU_MESH_ACCEL_MIN", str(1 << 31))
 )
 _MESH_ACCEL_CACHE: dict = {}
 
