@@ -95,9 +95,11 @@ def _atan2_poly(y, x):
     an odd minimax polynomial — no transcendental intrinsics). Octant
     reduction to z = min/max in [0, 1], degree-9 minimax atan on [0, 1]
     (max err ~1.1e-5 rad), then quadrant unfolding. Matches
-    jnp.arctan2's (-pi, pi] convention incl. atan2(0, 0) = 0 and
-    atan2(0, -x) = pi. Used for the UV AOV's lat/long (the in-kernel
-    analog of ops/intersect.py::sphere_uv)."""
+    jnp.arctan2's (-pi, pi] convention up to signed zero: atan2(0, 0) = 0
+    and atan2(+0, -x) = pi, but y = -0.0, x < 0 returns +pi where numpy
+    returns -pi (`y < 0.0` is false for negative zero — harmless for the
+    UV use, where both map to u = 0.5). Used for the UV AOV's lat/long
+    (the in-kernel analog of ops/intersect.py::sphere_uv)."""
     f = jnp.float32
     ax = jnp.abs(x)
     ay = jnp.abs(y)
