@@ -158,15 +158,19 @@ def bench_binned(width=512, height=384, spp=4, max_depth=24, rounds=3,
     )
     scene = procedural_sphere_scene(n)
     camera = smallpt_camera()
-    accel = None
+    # ONE renderer for all rounds: reset() keeps the per-instance jitted
+    # bounce closures + accel (a rebuild per round re-traces them — the
+    # 0.18-vs-1.46 Mrays/s product-surface gap of the r3 verdict)
+    r = BinnedStreamingRenderer(scene, camera, config, seed=1000,
+                                sort_every=sort_every)
 
     def one(seed):
-        nonlocal accel
-        r = BinnedStreamingRenderer(scene, camera, config, seed=seed,
-                                    sort_every=sort_every, accel=accel)
-        accel = r.accel
+        r.reset(seed)
         t0 = time.perf_counter()
-        r.step(add_samples=spp, n_bounces=3)
+        # front-load the whole budget, then drain: flush() pays ONE fetch
+        # per 8-bounce advance, so fewer, deeper advances beat the old
+        # 3-bounce step + long fetch-per-advance tail
+        r.step(add_samples=spp, n_bounces=8)
         r.flush()
         dt = time.perf_counter() - t0
         return r.stats.rays / dt, r

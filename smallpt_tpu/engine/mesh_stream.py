@@ -179,6 +179,7 @@ class WavefrontStreamingRenderer:
     def reset(self) -> None:
         self.st = _init_state(self.config)
         self.budget = 0
+        self.stats = RenderStats()
 
     def update_camera(self, camera) -> None:
         """Re-aim and restart the wavefront (the reference's accumulation-
@@ -312,13 +313,19 @@ class WavefrontStreamingRenderer:
 
         ONE host fetch per drain round (the rays total rides the same
         fetch as the pending counts — binned flush economics: each fetch
-        is a ~30 ms tunnel round-trip), and the per-round bounce cap
-        scales with the drain rate (~4 samples/lane/round) so big budgets
-        don't degenerate into one-sample-per-round RTT grind."""
+        is a ~30 ms tunnel round-trip). Round cap = max_depth + 8: every
+        launch sweeps ALL lanes whether alive or not, so overshooting the
+        drain by a multiple of max_depth burns full-width launches on
+        dead lanes — measured r4 on the 10k-sphere scene, the old
+        4*max_depth cap spent ~2/3 of flush wall on empty launches
+        (3.87 vs an 8 Mrays/s intersect-bound ceiling), the same
+        flush-economics inversion the r3 verdict flagged on mesh
+        streaming (0.48 vs 0.71 per-pass). One fetch per max_depth
+        launches is ~30 ms vs ~600 ms of launches — cheap insurance."""
         p = self.pending()
         if p == (0, 0):
             return
-        cap = 4 * self.config.max_depth + 8
+        cap = self.config.max_depth + 8
         last = None
         while True:
             t0 = time.perf_counter()

@@ -96,12 +96,13 @@ MESH_ACCEL_MIN_TRIS = int(
     os.environ.get("SMALLPT_TPU_MESH_ACCEL_MIN", str(1 << 31))
 )
 _MESH_ACCEL_CACHE: dict = {}
+_MESH_ACCEL_CACHE_MAX = 8
 
 
 def _mesh_accel_for(scene: MeshScene):
     """MeshGridAccel for big concrete mesh scenes, else None (brute).
 
-    Mirrors the sphere-path _ACCEL_CACHE discipline: keyed by the identity
+    Mirrors the sphere-path _RENDERER_CACHE discipline: keyed by the identity
     of BOTH geometry arrays via weakrefs (ADVICE r2: a same-id reuse with
     different geometry would make reach masks non-conservative), LRU
     capped, tracers and unsupported shapes fall through to the brute
@@ -131,7 +132,7 @@ def _mesh_accel_for(scene: MeshScene):
         _MESH_ACCEL_CACHE[cache_key] = (
             weakref.ref(scene.positions), weakref.ref(scene.indices), accel,
         )
-        while len(_MESH_ACCEL_CACHE) > _ACCEL_CACHE_MAX:
+        while len(_MESH_ACCEL_CACHE) > _MESH_ACCEL_CACHE_MAX:
             _MESH_ACCEL_CACHE.pop(next(iter(_MESH_ACCEL_CACHE)))
     except TypeError:
         pass
@@ -374,12 +375,17 @@ def _use_binned(scene, config: RenderConfig, differentiable: bool,
     )
 
 
-# per-scene accel cache for the render()-level binned drain: keyed by the
-# ids of BOTH geometry arrays with weakref identity checks (id() alone could
-# alias a recycled object; center alone could reuse a stale accel for a
-# scene sharing centers but different radii — ADVICE r2). Bounded LRU.
-_ACCEL_CACHE: dict = {}
-_ACCEL_CACHE_MAX = 8
+# per-(scene, camera, config) RENDERER cache for the render()-level binned
+# drain: keyed by the ids of BOTH geometry arrays with weakref identity
+# checks (id() alone could alias a recycled object; center alone could
+# reuse a stale accel for a scene sharing centers but different radii —
+# ADVICE r2) plus the config and camera vector. Caching the whole renderer
+# (not just the accel) keeps its per-instance jitted bounce closures across
+# render() calls — a rebuild per call re-traces them, the bulk of the
+# 0.18-vs-1.46 Mrays/s product-surface drain gap (r3 verdict #3). Bounded
+# LRU.
+_RENDERER_CACHE: dict = {}
+_RENDERER_CACHE_MAX = 4
 
 
 def _render_binned_drain(scene, camera, config: RenderConfig, key):
@@ -389,28 +395,35 @@ def _render_binned_drain(scene, camera, config: RenderConfig, key):
     deterministic per (scene, camera, config, key)."""
     import weakref
 
-    from smallpt_tpu.engine.binned import BinnedStreamingRenderer
+    import numpy as _np
 
-    accel = None
-    cache_key = (id(scene.center), id(scene.radius))
-    cached = _ACCEL_CACHE.get(cache_key)
+    from smallpt_tpu.engine.binned import BinnedStreamingRenderer, \
+        build_camera_vec
+
+    cam_bytes = _np.asarray(build_camera_vec(camera, config)).tobytes()
+    cache_key = (id(scene.center), id(scene.radius), config, cam_bytes)
+    r = None
+    cached = _RENDERER_CACHE.get(cache_key)
     if cached is not None:
-        ref_c, ref_r, acc_obj = cached
+        ref_c, ref_r, r_obj = cached
         if ref_c() is scene.center and ref_r() is scene.radius:
-            accel = acc_obj
-            _ACCEL_CACHE[cache_key] = _ACCEL_CACHE.pop(cache_key)  # LRU bump
-    r = BinnedStreamingRenderer(scene, camera, config, accel=accel)
-    if accel is None:
+            r = r_obj
+            r.reset(0)
+            _RENDERER_CACHE[cache_key] = _RENDERER_CACHE.pop(cache_key)
+    if r is None:
+        r = BinnedStreamingRenderer(scene, camera, config)
         try:
-            _ACCEL_CACHE[cache_key] = (
-                weakref.ref(scene.center), weakref.ref(scene.radius), r.accel,
+            _RENDERER_CACHE[cache_key] = (
+                weakref.ref(scene.center), weakref.ref(scene.radius), r,
             )
-            while len(_ACCEL_CACHE) > _ACCEL_CACHE_MAX:
-                _ACCEL_CACHE.pop(next(iter(_ACCEL_CACHE)))
+            while len(_RENDERER_CACHE) > _RENDERER_CACHE_MAX:
+                _RENDERER_CACHE.pop(next(iter(_RENDERER_CACHE)))
         except TypeError:
             pass  # un-weakref-able array type: skip caching
     r.key = key
-    r.step(add_samples=config.spp, n_bounces=3)
+    # front-loaded budget + deep first advance: flush() then pays ONE fetch
+    # per 8-bounce advance instead of a long fetch-per-advance tail
+    r.step(add_samples=config.spp, n_bounces=8)
     r.flush()
     rad, _w = r.accumulators()
     return rad, jnp.asarray(float(r.stats.rays), jnp.float32)

@@ -258,29 +258,32 @@ def test_render_traced_key_falls_through_to_jit():
 
 
 def test_accel_cache_not_reused_across_radius_change():
-    """The render()-level accel cache must key on BOTH geometry arrays: a
-    scene sharing the same center array but different radii would silently
-    reuse stale (non-conservative) chunk AABBs (ADVICE r2)."""
+    """The render()-level renderer cache must key on BOTH geometry arrays:
+    a scene sharing the same center array but different radii would
+    silently reuse a stale renderer whose accel has non-conservative chunk
+    AABBs (ADVICE r2)."""
     from smallpt_tpu.core import rng as prng
     from smallpt_tpu.engine import renderer as rmod
 
     scene1 = procedural_sphere_scene(2100, seed=5)
     scene2 = scene1._replace(radius=scene1.radius * 1.5)
     assert scene2.center is scene1.center
-    rmod._ACCEL_CACHE.clear()
+    rmod._RENDERER_CACHE.clear()
     cam = smallpt_camera()
     cfg = CFG.replace(width=8, height=6, max_depth=2)
     key = prng.base_key(0)
     rmod.render(scene1, cam, cfg, key)
-    assert len(rmod._ACCEL_CACHE) == 1
+    assert len(rmod._RENDERER_CACHE) == 1
     rmod.render(scene2, cam, cfg, key)
     # distinct entry, not a stale hit
-    assert len(rmod._ACCEL_CACHE) == 2
-    (k1, a1), (k2, a2) = [
-        (k, v[2]) for k, v in rmod._ACCEL_CACHE.items()
+    assert len(rmod._RENDERER_CACHE) == 2
+    (k1, r1), (k2, r2) = [
+        (k, v[2]) for k, v in rmod._RENDERER_CACHE.items()
     ]
     assert k1 != k2
-    assert not np.array_equal(np.asarray(a1.k_hi), np.asarray(a2.k_hi))
+    assert not np.array_equal(
+        np.asarray(r1.accel.k_hi), np.asarray(r2.accel.k_hi)
+    )
 
 
 def test_binned_dof_matches_classic_streaming():

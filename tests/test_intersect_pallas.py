@@ -102,3 +102,61 @@ def test_full_render_parity_pallas_vs_jax():
     # which can flip rare razor-edge paths — compare robustly
     close = np.isclose(img_jax, img_pal, rtol=1e-3, atol=1e-3)
     assert close.mean() > 0.98
+
+
+@pytest.mark.parametrize(
+    "scene_fn,n_rays",
+    [(cornell_box_scene, 4000), (lambda: procedural_sphere_scene(2000), 4000)],
+    ids=["cornell", "procedural2000"],
+)
+def test_mxu_matches_pure_jax(scene_fn, n_rays):
+    """MXU-assisted sweep vs the pure-JAX backend — same statistical gates
+    as the classic kernel, plus: same-winner lanes must carry the exact
+    replay t (noise floor == the classic kernel's own, measured on the same
+    rays, since _replay_winner shares the stable citardauq arithmetic)."""
+    from smallpt_tpu.ops.intersect_pallas import intersect_spheres_mxu
+
+    scene = scene_fn()
+    # wide origin range includes camera-distance rays (z to 290) — the
+    # recentering's worst case for the expanded-quadratic noise
+    rng = np.random.default_rng(3)
+    org = jnp.asarray(rng.uniform([5, 5, 20], [95, 75, 290], (n_rays, 3)),
+                      jnp.float32)
+    d = rng.normal(size=(n_rays, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = jnp.asarray(d, jnp.float32)
+
+    h_ref = intersect_spheres(org, dirs, scene)
+    h_mxu = intersect_spheres_mxu(org, dirs, scene)
+
+    tr, tm = np.asarray(h_ref.t), np.asarray(h_mxu.t)
+    hit_r, hit_m = np.isfinite(tr), np.isfinite(tm)
+    # hit/miss classification: grazing reclassification only
+    assert (hit_r == hit_m).mean() > 0.998
+    both = hit_r & hit_m
+    ir, im = np.asarray(h_ref.inst)[both], np.asarray(h_mxu.inst)[both]
+    # winner flips: razor-edge near-ties within the det noise
+    assert (ir != im).mean() < 3e-3
+    same = ir == im
+    rel = np.abs(tr[both] - tm[both])[same] / np.maximum(tr[both][same], 1.0)
+    # replay-refined t: same floor as classic-vs-jax (grazing wall hits)
+    assert np.quantile(rel, 0.999) < 2e-2
+    assert np.median(rel) < 1e-6
+    # normals unit + consistent where winners agree
+    nr = np.asarray(h_ref.n)[both][same]
+    nm = np.asarray(h_mxu.n)[both][same]
+    assert np.abs((nr * nm).sum(-1) - 1.0).max() < 1e-2
+
+
+def test_mxu_padding_and_misses():
+    from smallpt_tpu.ops.intersect_pallas import intersect_spheres_mxu
+
+    scene = cornell_box_scene()
+    org = jnp.tile(jnp.asarray([[50.0, 52.0, 295.6]], jnp.float32), (77, 1))
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (77, 1))
+    h = intersect_spheres_mxu(org, dirs, scene)
+    assert h.t.shape == (77,)
+    h_ref = intersect_spheres(org, dirs, scene)
+    np.testing.assert_array_equal(
+        np.isfinite(np.asarray(h.t)), np.isfinite(np.asarray(h_ref.t))
+    )
