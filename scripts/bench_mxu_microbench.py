@@ -38,6 +38,8 @@ ROWS = 128        # output rows per chunk (2 coefficient blocks x 64)
 N_CHUNKS = 157    # 10k spheres / 64
 GRID = 24         # ray tiles per launch (196k rays)
 VPU_OPS = 16      # representative per-chunk VPU chain length (elem-ops/pair)
+if os.environ.get("SMALLPT_TPU_BENCH_CPU"):
+    N_CHUNKS, GRID = 5, 2  # interpreter smoke: shapes only, not timings
 
 
 def _k(x):
@@ -105,7 +107,7 @@ def make_vpu_only_kernel(vpu_ops):
         base = feats_ref[0:64, :]
 
         def body(c, acc):
-            p = tbl_ref[pl.ds((c % N_CHUNKS) * ROWS, ROWS), :][:, 0:1] + base
+            p = tbl_ref[pl.ds((c % N_CHUNKS) * ROWS, 64), :][:, 0:1] + base
             x = p - base
             for _ in range(max(vpu_ops - 4, 0) // 2):
                 x = x * x + p

@@ -1,0 +1,152 @@
+"""BASELINE config-5 workload soak: 1920x1080 @ 5000 spp, single chip,
+streaming scheduler, with a mid-run checkpoint -> kill -> resume exercise.
+
+The r3 verdict: "the config-5 workload as specified has never been run";
+this script runs it for real and produces the evidence BASELINE.md's
+config-5 row cites:
+  - wall time + sustained rays/s + a thermal curve (per-window rates)
+  - a mid-run checkpoint, simulated crash (hard process exit), resume,
+    and bit-continuity check: resume(ckpt) + remaining work must equal
+    the uninterrupted render's accumulators EXACTLY (streaming keying is
+    placement- and restart-invariant).
+
+Phases (driven by --phase, so the kill is a REAL process death):
+  solo    : render to completion, no interruption; save accumulators.
+  part1   : render the first --kill-spp samples, checkpoint, hard-exit.
+  part2   : resume the checkpoint, finish, save accumulators, compare
+            with solo if its npz is present.
+
+The default scene is the 10k-sphere procedural (the config-5 scene). Note
+chip count: config 5 names >=2 hosts; this bench has ONE chip — the soak
+is the single-chip evidence + the pod projection lives in BASELINE.md.
+
+Usage:
+  python scripts/config5_soak.py --phase solo --spp 5000
+  python scripts/config5_soak.py --phase part1 --spp 5000 --kill-spp 2500
+  python scripts/config5_soak.py --phase part2 --spp 5000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+if os.environ.get("SMALLPT_TPU_BENCH_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_smallpt_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import numpy as np
+
+from smallpt_tpu.config import (CameraModel, Filter, Intersector,
+                                RenderConfig)
+from smallpt_tpu.core.camera import smallpt_camera
+from smallpt_tpu.core.scene import procedural_sphere_scene
+from smallpt_tpu.engine.mesh_stream import WavefrontStreamingRenderer
+
+OUT = "bench_logs/config5"
+
+
+def log(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def make_renderer(args):
+    # the 10k-sphere scene exceeds the Pallas streaming megakernel's VMEM
+    # table cap (MEGA_MAX_SPHERES): config 5 runs on the XLA continuous
+    # wavefront + split-sweep intersect kernel (the measured-fastest big-
+    # scene path, r4 session A)
+    config = RenderConfig(
+        width=args.width, height=args.height, spp_per_cell=1,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+        max_depth=args.depth, intersector=Intersector.PALLAS,
+    )
+    scene = procedural_sphere_scene(args.n)
+    return WavefrontStreamingRenderer(scene, smallpt_camera(), config,
+                                      seed=0)
+
+
+def drive(r, args, spp_target, label, t_start):
+    """Advance to spp_target total budget in windows, logging per-window
+    sustained rates (the thermal curve)."""
+    done = 0
+    while done < spp_target:
+        add = min(args.window_spp, spp_target - done)
+        t0 = time.perf_counter()
+        rays = r.step(n_bounces=args.iters_per_spp * add, add_samples=add)
+        dt = time.perf_counter() - t0
+        done += add
+        log({"event": "window", "label": label, "spp_done": done,
+             "rays": int(rays), "window_s": round(dt, 2),
+             "mrays_s": round(rays / dt / 1e6, 2),
+             "t_total_s": round(time.perf_counter() - t_start, 1)})
+    t0 = time.perf_counter()
+    r.flush()
+    log({"event": "flush", "label": label,
+         "flush_s": round(time.perf_counter() - t0, 2),
+         "rays_total": int(r.stats.rays)})
+
+
+def save_acc(r, path):
+    rad, w = r.accumulators()
+    np.savez(path, rad=np.asarray(rad), w=np.asarray(w))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["solo", "part1", "part2"],
+                    required=True)
+    ap.add_argument("--spp", type=int, default=5000)
+    ap.add_argument("--kill-spp", type=int, default=2500)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--depth", type=int, default=24)
+    ap.add_argument("--n", type=int, default=10_000)
+    ap.add_argument("--window-spp", type=int, default=50)
+    ap.add_argument("--iters-per-spp", type=int, default=8)
+    args = ap.parse_args()
+
+    os.makedirs(OUT, exist_ok=True)
+    t_start = time.perf_counter()
+    log({"event": "start", "phase": args.phase,
+        "backend": jax.default_backend(),
+        "shape": [args.width, args.height, args.spp, args.n]})
+
+    r = make_renderer(args)
+
+    if args.phase == "solo":
+        drive(r, args, args.spp, "solo", t_start)
+        save_acc(r, f"{OUT}/solo_acc.npz")
+        log({"event": "done", "phase": "solo",
+             "wall_s": round(time.perf_counter() - t_start, 1),
+             "rays": int(r.stats.rays)})
+    elif args.phase == "part1":
+        drive(r, args, args.kill_spp, "part1", t_start)
+        r.save_checkpoint(f"{OUT}/soak_ck.npz")
+        log({"event": "checkpointed", "spp": args.kill_spp,
+             "wall_s": round(time.perf_counter() - t_start, 1)})
+        # simulated crash: hard exit, no cleanup
+        os._exit(0)
+    else:  # part2
+        r.load_checkpoint(f"{OUT}/soak_ck.npz")
+        log({"event": "resumed", "budget": r.budget})
+        drive(r, args, args.spp - r.budget, "part2", t_start)
+        save_acc(r, f"{OUT}/resumed_acc.npz")
+        log({"event": "done", "phase": "part2",
+             "wall_s": round(time.perf_counter() - t_start, 1),
+             "rays": int(r.stats.rays)})
+        solo = f"{OUT}/solo_acc.npz"
+        if os.path.exists(solo):
+            a = np.load(solo)
+            b = np.load(f"{OUT}/resumed_acc.npz")
+            bit_equal = (np.array_equal(a["rad"], b["rad"])
+                         and np.array_equal(a["w"], b["w"]))
+            log({"event": "bit_continuity", "equal": bool(bit_equal)})
+
+
+if __name__ == "__main__":
+    main()

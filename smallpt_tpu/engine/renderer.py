@@ -51,10 +51,15 @@ def make_intersect_fn(scene, config: RenderConfig, differentiable: bool = False,
                     o, d, scene, eps=config.intersect_eps,
                     eps_rel=config.intersect_eps_rel,
                 )
+            from smallpt_tpu.config import Mode
             from smallpt_tpu.ops.intersect_pallas import intersect_spheres_pallas
 
+            # uv (sphere lat/long atan2+asin per lane) only when the
+            # transport reads it — Mode.UV's AOV; every other mode pays
+            # the transcendentals for nothing
+            want_uv = config.mode == Mode.UV
             return lambda o, d: intersect_spheres_pallas(
-                o, d, scene, eps=config.intersect_eps
+                o, d, scene, eps=config.intersect_eps, want_uv=want_uv
             )
         return lambda o, d: isect.intersect_spheres(
             o,

@@ -465,11 +465,16 @@ def intersect_spheres_pallas(
     eps: float = 1e-4,
     eps_rel: float = 5e-7,
     interpret: bool | None = None,
+    want_uv: bool = True,
 ) -> Hit:
     """Closest analytic sphere hit via the Pallas kernel. Drop-in for
     ops.intersect.intersect_spheres (the traceRays backend contract,
     smallpt.cpp:427-605). interpret=None auto-selects the Pallas interpreter
-    on non-TPU backends (the CPU test platform)."""
+    on non-TPU backends (the CPU test platform).
+
+    want_uv=False skips sphere_uv's lat/long atan2+asin per lane (the
+    transport consumes uv only in Mode.UV; the transcendentals cost real
+    per-bounce wall on the forward schedulers) — Hit.uv is zeros."""
     if interpret is None:
         # real Mosaic lowering on TPU (incl. the axon tunnel platform, which
         # reports backend "tpu"); interpreter on every other backend (CPU
@@ -510,7 +515,12 @@ def intersect_spheres_pallas(
     x = org + jnp.where(ok, t[:, None], 0.0) * dirs
     ctr = jnp.take(scene.center, best_i, axis=0)
     nrm = safe_normalize(jnp.where(ok, x - ctr, 1.0))
-    from smallpt_tpu.ops.intersect import sphere_uv
+    if want_uv:
+        from smallpt_tpu.ops.intersect import sphere_uv
+
+        uv = jnp.where(ok, sphere_uv(nrm), 0.0).astype(org.dtype)
+    else:
+        uv = jnp.zeros((org.shape[0], 2), org.dtype)
 
     return Hit(
         t=t,
@@ -518,25 +528,26 @@ def intersect_spheres_pallas(
         prim=best_i,
         x=jnp.where(ok, x, 0.0),
         n=nrm,
-        uv=jnp.where(ok, sphere_uv(nrm), 0.0).astype(org.dtype),
+        uv=uv,
     )
 
 
-def _replay_winner(org, dirs, scene, idx, kernel_hit, eps, eps_rel):
+def _replay_winner(org, dirs, c, r, kernel_hit, eps, eps_rel):
     """Exact per-lane re-evaluation of the kernel-chosen winner's hit.
 
-    Recomputes t for each lane's winner sphere with the cancellation-stable
-    citardauq form in ORIGINAL (unshifted) coordinates — op = c - org is an
-    exact f32 subtraction of nearby values, so the result carries none of
-    the expanded-quadratic noise the MXU sweep tolerates for winner
-    SELECTION. O(lanes) cost (~20 VPU ops/ray vs ~13/pair for the sweep).
-    Returns (t, x, n, ok) with lanes the kernel called a miss (or whose
-    exact det says miss — grazing reclassification) set to t=inf.
+    c (N,3) / r (N,) are the winners' PRE-GATHERED center/radius rows —
+    callers choose the gather op (jnp.take for forward-only use; one-hot
+    matmul for the differentiable path, whose take-backward would be a TPU
+    scatter-add). Recomputes t with the cancellation-stable citardauq form
+    in ORIGINAL (unshifted) coordinates — op = c - org is an exact f32
+    subtraction of nearby values, so the result carries none of the
+    expanded-quadratic noise the MXU sweep tolerates for winner SELECTION.
+    O(lanes) cost (~20 VPU ops/ray vs ~13/pair for the sweep). Returns
+    (t, x, n, ok) with lanes the kernel called a miss (or whose exact det
+    says miss — grazing reclassification) set to t=inf.
     """
     from smallpt_tpu.core.math import safe_sqrt
 
-    c = jnp.take(scene.center, idx, axis=0)
-    r = jnp.take(scene.radius, idx)
     eps_i = jnp.maximum(jnp.asarray(eps, org.dtype), eps_rel * r)
 
     op = c - org
@@ -608,7 +619,9 @@ def intersect_spheres_mxu(
     best_i = jnp.take(perm, jnp.minimum(i[:n], perm.shape[0] - 1))
 
     t, x, nrm, ok = _replay_winner(
-        org, dirs, scene, best_i, kernel_hit, eps, eps_rel
+        org, dirs,
+        jnp.take(scene.center, best_i, axis=0), jnp.take(scene.radius, best_i),
+        kernel_hit, eps, eps_rel,
     )
     from smallpt_tpu.ops.intersect import sphere_uv
 
@@ -649,20 +662,74 @@ def intersect_spheres_hybrid_diff(
     the forward image identical to the forward-only path), so primal values
     match the kernel's up to compilation-level FMA noise (razor-edge paths
     only — the same floor as mega-vs-JAX parity).
+
+    The winner search calls the KERNEL directly (not the
+    intersect_spheres_pallas wrapper): the wrapper's hit completion
+    (center gather, normalize, sphere_uv's atan2/asin) is recomputed
+    differentiably by the replay anyway, and per-lane takes of small
+    tables are pathologically slow on TPU (material_lookup docstring:
+    32 ms take vs 2 ms one-hot at 3.1M lanes x 9 rows).
     """
     sg = jax.lax.stop_gradient
     nd_scene = jax.tree.map(sg, scene)
-    hit_nd = intersect_spheres_pallas(
-        sg(org), sg(dirs), nd_scene, eps=eps, eps_rel=eps_rel,
-        interpret=interpret,
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = org.shape[0]
+    table, perm, n_big_chunks, n_small_chunks = build_sphere_table(
+        nd_scene, eps=eps, eps_rel=eps_rel
     )
-    idx = hit_nd.inst
-    kernel_hit = jnp.isfinite(hit_nd.t)
+    n_pad = -(-n // _RAY_TILE) * _RAY_TILE
+    org_nd, dirs_nd = sg(org), sg(dirs)
+    org_t = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(
+        org_nd.astype(jnp.float32).T)
+    dir_t = (
+        jnp.zeros((3, n_pad), jnp.float32)
+        .at[0, :].set(1.0)
+        .at[:, :n].set(dirs_nd.astype(jnp.float32).T)
+    )
+    t_k, i_k = _closest_hit(org_t, dir_t, table, n_big_chunks,
+                            n_small_chunks, interpret=interpret)
+    kernel_hit = t_k[:n] < _BIG
+    slot = jnp.minimum(i_k[:n], perm.shape[0] - 1)
 
-    # differentiable gathers + per-lane stable replay (sphere_hit_t math,
-    # S==1 specialization)
+    # winner gathers as one-hot matmuls, NOT jnp.take — besides the slow
+    # forward take, the take's reverse-mode transpose is a scatter-add
+    # over all lanes into the (S,) param rows, which TPUs execute (nearly)
+    # serially; the one-hot transpose is a (S, lanes) x (lanes, 3) matmul
+    # on the MXU. Gated on table size: the one-hot matrix is lanes x S_pad
+    # (a 512x512 render vs 2048 spheres = ~2.3 GB transient — above that,
+    # keep takes and accept the scatter).
+    s_pad = perm.shape[0]
+    if s_pad <= 2304:
+        oh_slot = jax.nn.one_hot(slot, s_pad, dtype=jnp.float32)  # (N,S_pad)
+        # precision='highest' on BOTH matmuls: the TPU default is a bf16
+        # pass, which mangles smallpt's 1e5-scale wall centers (~3
+        # significant digits) — the replay then reports det<0 misses and
+        # paths die wholesale (measured: 54k vs 152k rays/step, TPU only;
+        # interpret mode hides it). Same trap material_lookup documents.
+        # slot -> original id (perm), exact in f32 below 2^24
+        idx = jnp.round(
+            jnp.matmul(oh_slot, perm.astype(jnp.float32),
+                       precision="highest")
+        ).astype(jnp.int32)
+        # fold the slot->id->row double gather into ONE matmul: rows of
+        # (center | radius) pre-permuted into table-slot order
+        cr = jnp.concatenate(
+            [scene.center.astype(org.dtype),
+             scene.radius.astype(org.dtype)[:, None]], axis=1,
+        )
+        cr_slots = jnp.take(cr, perm, axis=0)  # (S_pad,4): S-sized, cheap
+        crw = jnp.matmul(oh_slot.astype(org.dtype), cr_slots,
+                         precision="highest")
+        c, r = crw[:, 0:3], crw[:, 3]
+    else:
+        idx = jnp.take(perm, slot)
+        c = jnp.take(scene.center, idx, axis=0)
+        r = jnp.take(scene.radius, idx)
+
+    # per-lane stable replay (sphere_hit_t math, S==1 specialization)
     t, x, nrm, ok = _replay_winner(
-        org, dirs, scene, idx, kernel_hit, eps, eps_rel
+        org, dirs, c, r, kernel_hit, eps, eps_rel
     )
     return Hit(
         t=t,
