@@ -148,6 +148,14 @@ class RenderConfig:
     # bias envelope (SURVEY.md §7 hard part #3).
     detach_sampling: bool = True
 
+    # Differentiable-scan rematerialization: True wraps each bounce body in
+    # jax.checkpoint (backward recomputes the bounce — ~3x forward cost,
+    # minimal HBM); False stores the bounce residuals instead (backward is
+    # pure VJP — faster, ~60 MB x max_depth of residuals at 512x512, well
+    # inside one chip's HBM for config-4 shapes). bench.py --diff reads the
+    # measured winner; deep/huge shapes keep True.
+    diff_remat: bool = True
+
     # Next-event estimation (explicit light sampling — the classic
     # smallpt-explicit variant of the reference's lineage): at every diffuse
     # hit, sample the solid-angle cone of each listed light sphere, cast a

@@ -606,8 +606,12 @@ def _stream_dda_kernel(
         wz = jnp.where(parent, wz * wfz, wz)
         depth = jnp.where(resolving, depth + 1, depth)
         bounce_alive = jnp.logical_and(parent, depth < config.max_depth)
-        # resolving lanes: stay alive with a fresh ray (walk=0) or die
-        alive = jnp.where(resolving, bounce_alive, alive)
+        # resolving lanes: stay alive with a fresh ray (walk=0) or die.
+        # logical ops, not jnp.where — Mosaic rejects i1-valued selects
+        # (CLAUDE.md gotcha)
+        alive = (resolving & bounce_alive) | (
+            jnp.logical_not(resolving) & alive
+        )
         walk = jnp.where(resolving, 0, walk)
 
         # ---- regen dead lanes (classic block, walk joins the reset)
@@ -887,6 +891,11 @@ def _stream_step_dda_jit(
             jax.ShapeDtypeStruct((_SUB * _NI_D, n_cols), jnp.int32),
         ],
         input_output_aliases={5: 0, 6: 1},
+        # the per-row (C, LANE) one-hot + (NGF*K, LANE) gather temporaries
+        # push the scoped-vmem stack past the 16 MB default at C ~ 400
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(key_words, ip, cam_vec, always_tbl, cells3, f, i)
     rays = jnp.sum(

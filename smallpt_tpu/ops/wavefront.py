@@ -508,10 +508,11 @@ def run_wavefront(
                            nee_scene=nee_scene)
 
     if differentiable:
-        # fixed-length scan (reverse-differentiable); each bounce is
-        # rematerialized on the backward sweep instead of stored
-        # (jax.checkpoint trades FLOPs for HBM)
-        ckpt_body = jax.checkpoint(body)
+        # fixed-length scan (reverse-differentiable); with diff_remat each
+        # bounce is rematerialized on the backward sweep instead of stored
+        # (jax.checkpoint trades FLOPs for HBM); without it the scan stores
+        # bounce residuals and the backward is pure VJP
+        ckpt_body = jax.checkpoint(body) if config.diff_remat else body
 
         def scan_body(st, _):
             rays = jnp.sum(st.alive.astype(jnp.int32))
