@@ -186,6 +186,45 @@ def bench_binned(width=512, height=384, spp=4, max_depth=24, rounds=3,
     return best
 
 
+def bench_dda_stream(width=512, height=384, spp=4, max_depth=24, rounds=3,
+                     n=10_000):
+    """BASELINE config 5 scene through the per-ray DDA streaming engine
+    (ops/stream_dda.py) — the r5 big-scene flagship: per-lane grid walk
+    fused into the continuous wavefront (15.5 Mrays/s sustained at this
+    shape in the r5c A/B vs 4.51 for the prior brute champion)."""
+    from smallpt_tpu.core.scene import procedural_sphere_scene
+    from smallpt_tpu.engine.streaming import StreamingRenderer
+
+    config = RenderConfig(
+        width=width, height=height, spp_per_cell=1,
+        camera_model=CameraModel.LEGACY, filter=Filter.TENT,
+        max_depth=max_depth,
+    )
+    scene = procedural_sphere_scene(n)
+    camera = smallpt_camera()
+    r = StreamingRenderer(scene, camera, config, seed=1000)  # auto-DDA
+    assert r._dda is not None, "procedural scene should route to DDA"
+
+    def one():
+        r.reset()
+        rays0 = r.stats.rays
+        t0 = time.perf_counter()
+        r.step(n_iters=spp * max_depth + 16, add_samples=spp)
+        r.flush()
+        dt = time.perf_counter() - t0
+        return (r.stats.rays - rays0) / dt, r.stats.rays - rays0, dt
+
+    one()  # compile + warm
+    best = None
+    for _ in range(rounds):
+        rate, rays, dt = one()
+        if best is None or rate > best[0]:
+            rad, w = r.accumulators()
+            img = np.asarray(rad) / np.maximum(np.asarray(w)[..., None], 1)
+            best = (rate, rays, dt, img)
+    return best
+
+
 def bench_mesh(width=256, height=192, spp_per_cell=1, max_depth=12,
                rounds=3, n_balls=500, dense=False):
     """Triangle-mesh path: grid-culled distance-ordered sweep
@@ -432,19 +471,23 @@ def main():
         )
         return
     if "--procedural" in sys.argv:
-        # BASELINE.json config 5 scene: 10k procedural spheres through the
-        # binned (grid-culled, distance-ordered) streaming scheduler;
-        # --procedural-brute keeps the round-1 split-sweep per-pass path
-        # for comparison
+        # BASELINE.json config 5 scene: 10k procedural spheres. Default =
+        # the per-ray DDA streaming engine (r5 flagship, 3.4x the prior
+        # brute champion); --procedural-binned keeps the r2-r4 binned
+        # drain; --procedural-brute the round-1 split-sweep per-pass path.
         if "--procedural-brute" in sys.argv:
             kw.update(scene_name="procedural", width=512, height=384,
                       max_depth=24, passes=3, intersector=Intersector.PALLAS)
             metric = "rays_per_sec_per_chip_procedural10k_512x384_brute"
             rays_per_s, total_rays, dt, img = bench(**kw)
-        else:
-            metric = "rays_per_sec_per_chip_procedural10k_512x384_fullbsdf"
+        elif "--procedural-binned" in sys.argv:
+            metric = "rays_per_sec_per_chip_procedural10k_512x384_binned"
             kw2 = dict(width=128, height=96, rounds=1) if quick else {}
             rays_per_s, total_rays, dt, img = bench_binned(**kw2)
+        else:
+            metric = "rays_per_sec_per_chip_procedural10k_512x384_fullbsdf"
+            kw2 = dict(width=128, height=96, rounds=1, spp=2) if quick else {}
+            rays_per_s, total_rays, dt, img = bench_dda_stream(**kw2)
     elif "--perpass" in sys.argv or quick:
         rays_per_s, total_rays, dt, img = bench(**kw)
     else:

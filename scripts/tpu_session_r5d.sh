@@ -8,6 +8,9 @@ export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 LOG=bench_logs/r5d_$(date +%Y%m%d_%H%M%S).log
 exec >> "$LOG" 2>&1
 echo "=== r5d session $(date) ==="
+echo "--- stage 0: bench.py --procedural (DDA streaming product surface) ---"
+timeout 3600 python -u bench.py --procedural
+echo "--- stage 0 done $(date) ---"
 echo "--- stage 1: diff train-step stage split + remat A/B ---"
 timeout 3600 python -u scripts/bench_diff_stages_tpu.py
 echo "--- stage 1 done $(date) ---"

@@ -55,26 +55,80 @@ class StreamingRenderer:
     add_samples and advance the wavefront n_iters bounce iterations.
     """
 
-    def __init__(self, scene, camera, config: RenderConfig, seed: int = 0):
+    def __init__(self, scene, camera, config: RenderConfig, seed: int = 0,
+                 dda=None):
+        """dda: None = auto (per-ray DDA traversal kernel for big local-
+        sphere scenes, ops/stream_dda.py — the measured big-scene winner);
+        False = always classic; True = force-build tables; or pass
+        prebuilt StreamDDATables. DDA iterations are finer-grained than
+        classic bounces (one cell step each) — step() scales n_iters by
+        _DDA_ITER_SCALE so callers keep bounce-denominated budgets."""
         self.scene = scene
         self.camera = camera
         self.config = config
         self.key = prng.base_key(seed)  # ONE key for the whole stream
-        self.f, self.i = init_stream_state(config)
+        self._dda = self._dda_tables_for(dda)
+        self.f, self.i = self._init()
         self.budget = 0  # scalar allowance (uniform mode); min of budgets
         self._budget_max = 0
         self._budgets = None  # per-pixel budgets once adaptive stepping used
         self.stats = RenderStats()
+
+    _DDA_ITER_SCALE = 5  # ~ mean walk steps + resolve per bounce
+
+    def _dda_tables_for(self, dda):
+        from smallpt_tpu.core.scene import SphereScene
+        from smallpt_tpu.ops.stream_dda import (StreamDDATables,
+                                                build_stream_dda_tables)
+
+        if dda is False or dda is None and not self._dda_auto():
+            return None
+        if isinstance(dda, StreamDDATables):
+            return dda
+        return build_stream_dda_tables(self.scene, self.config)
+
+    def _dda_auto(self) -> bool:
+        """Route big local-sphere scenes through the DDA kernel: measured
+        winner above the classic megakernel's scene-size sweet spot
+        (BASELINE.md r5 section); classic keeps NEE scenes (no shadow
+        walk yet) and small scenes (sweep beats gather setup)."""
+        from smallpt_tpu.core.scene import SphereScene
+        from smallpt_tpu.ops.megakernel import MEGA_MAX_SPHERES
+
+        return (
+            isinstance(self.scene, SphereScene)
+            and not self.config.nee_lights
+            and self.scene.n_spheres > MEGA_MAX_SPHERES
+        )
+
+    def _init(self):
+        if self._dda is not None:
+            from smallpt_tpu.ops.stream_dda import init_stream_dda_state
+
+            return init_stream_dda_state(self.config)
+        return init_stream_state(self.config)
+
+    def _advance(self, budget, n_iters):
+        """One kernel launch: classic bounces or scaled DDA iterations."""
+        if self._dda is not None:
+            from smallpt_tpu.ops.stream_dda import stream_step_dda
+
+            return stream_step_dda(
+                self.scene, self.camera, self.config, self.key,
+                self.f, self.i, budget, n_iters * self._DDA_ITER_SCALE,
+                self._dda,
+            )
+        return stream_step(
+            self.scene, self.camera, self.config, self.key,
+            self.f, self.i, budget, n_iters,
+        )
 
     def step(self, n_iters: int = 64, add_samples: int = 1) -> int:
         """Returns rays traced this step."""
         self.budget += add_samples
         self._budget_max = max(self._budget_max, self.budget)
         t0 = time.perf_counter()
-        self.f, self.i, rays = stream_step(
-            self.scene, self.camera, self.config, self.key,
-            self.f, self.i, self.budget, n_iters,
-        )
+        self.f, self.i, rays = self._advance(self.budget, n_iters)
         n = int(rays)
         self.stats.rays += n
         self.stats.wall_s += time.perf_counter() - t0
@@ -141,10 +195,7 @@ class StreamingRenderer:
         self.budget = int(budgets.min())
         self._budget_max = int(budgets.max())
         t0 = time.perf_counter()
-        self.f, self.i, rays = stream_step(
-            self.scene, self.camera, self.config, self.key,
-            self.f, self.i, None, n_iters,
-        )
+        self.f, self.i, rays = self._advance(None, n_iters)
         n_rays = int(rays)
         self.stats.rays += n_rays
         self.stats.wall_s += time.perf_counter() - t0
@@ -213,10 +264,7 @@ class StreamingRenderer:
             if pending == last_pending:
                 raise RuntimeError("flush made no progress (paths stuck?)")
             last_pending = pending
-            self.f, self.i, rays = stream_step(
-                self.scene, self.camera, self.config, self.key,
-                self.f, self.i, None, cap,
-            )
+            self.f, self.i, rays = self._advance(None, cap)
             self.stats.rays += int(rays)
 
     def accumulators(self):
@@ -226,7 +274,7 @@ class StreamingRenderer:
     # -- invalidation (the reference's camera-update accumulation reset,
     # smallpt.cpp:906-920) -----------------------------------------------------
     def reset(self) -> None:
-        self.f, self.i = init_stream_state(self.config)
+        self.f, self.i = self._init()
         self.budget = 0
         self._budget_max = 0
         self._budgets = None
@@ -237,6 +285,12 @@ class StreamingRenderer:
 
     def update_scene(self, scene) -> None:
         self.scene = scene
+        if self._dda is not None:
+            # grid tables are per-scene; rebuild (stays on the DDA path —
+            # interactive scene edits don't re-litigate the routing choice)
+            from smallpt_tpu.ops.stream_dda import build_stream_dda_tables
+
+            self._dda = build_stream_dda_tables(self.scene, self.config)
         self.reset()
 
     # -- checkpoint / resume (SURVEY.md §5.4): the full stream state ---------
@@ -251,6 +305,7 @@ class StreamingRenderer:
             stats_passes=self.stats.passes,
             stats_wall=self.stats.wall_s,
             stream_key_version=prng.STREAM_KEY_VERSION,
+            dda=self._dda is not None,
         )
 
     def load_checkpoint(self, path: str) -> None:
@@ -266,10 +321,23 @@ class StreamingRenderer:
             )
         f = jnp.asarray(data["f"])
         i = jnp.asarray(data["i"])
-        if f.shape[0] != 8 * mk._NF or i.shape[0] != 8 * mk._NI:
+        ck_dda = bool(data["dda"]) if "dda" in data else False
+        if ck_dda != (self._dda is not None):
+            raise ValueError(
+                f"stream checkpoint traversal mode (dda={ck_dda}) does not "
+                f"match this renderer (dda={self._dda is not None}) — "
+                "construct the renderer with the matching dda= option"
+            )
+        if ck_dda:
+            from smallpt_tpu.ops import stream_dda as sd
+
+            nf, ni = sd._NF_D, sd._NI_D
+        else:
+            nf, ni = mk._NF, mk._NI
+        if f.shape[0] != 8 * nf or i.shape[0] != 8 * ni:
             raise ValueError(
                 f"incompatible stream checkpoint layout: f{f.shape}/i{i.shape}"
-                f" vs current {8 * mk._NF}/{8 * mk._NI} plane rows"
+                f" vs current {8 * nf}/{8 * ni} plane rows"
             )
         self.f, self.i = f, i
         # per-pixel budgets live in the checkpointed budget plane — restore

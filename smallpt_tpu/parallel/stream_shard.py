@@ -47,12 +47,17 @@ def _rows_per_shard(config: RenderConfig, mesh) -> int:
     return config.height // n_tile
 
 
-def init_sharded_stream(config: RenderConfig, mesh):
+def init_sharded_stream(config: RenderConfig, mesh, dda: bool = False):
     """(F, I) with leading (tile, sample) axes, device-placed via shard_map."""
     n_tile = mesh.shape["tile"]
     n_sample = mesh.shape["sample"]
     rows = _rows_per_shard(config, mesh)
-    f0, i0 = init_stream_state(config, rows)
+    if dda:
+        from smallpt_tpu.ops.stream_dda import init_stream_dda_state
+
+        f0, i0 = init_stream_dda_state(config, rows)
+    else:
+        f0, i0 = init_stream_state(config, rows)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(),
@@ -100,6 +105,52 @@ def stream_step_sharded(
         return f[None, None], i[None, None], rays
 
     return body(scene, camera, key, F, I)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "mesh", "n_rows", "k", "nb", "lo", "cell",
+                     "eps_local"),
+)
+def stream_step_sharded_dda(
+    scene, camera, config: RenderConfig, key, F, I, sample_budget, n_iters,
+    mesh, always_tbl, cells3, k, nb, lo, cell, eps_local,
+    n_rows: int | None = None,
+):
+    """stream_step_sharded with the per-ray DDA traversal kernel
+    (ops/stream_dda.py) — same (tile, sample) mesh, same per-shard keying
+    caveat. Grid tables replicate into every shard (they are per-SCENE
+    constants, exactly like the binned accel's tables)."""
+    from smallpt_tpu.ops.stream_dda import StreamDDATables, stream_step_dda
+
+    rows = _rows_per_shard(config, mesh)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(),
+                  P("tile", "sample", None, None),
+                  P("tile", "sample", None, None), P(), P()),
+        out_specs=(P("tile", "sample", None, None),
+                   P("tile", "sample", None, None), P()),
+        check_vma=False,
+    )
+    def body(scene, camera, key, F, I, atbl, c3):
+        t = jax.lax.axis_index("tile")
+        s = jax.lax.axis_index("sample")
+        k_ = jax.random.fold_in(key, s)
+        tables = StreamDDATables(
+            always_tbl=atbl, cells3=c3, k=k, nb=nb, lo=lo, cell=cell,
+            eps_local=eps_local, n_always=0, n_local=0, n_overflow=0,
+        )
+        f, i, rays = stream_step_dda(
+            scene, camera, config, k_, F[0, 0], I[0, 0],
+            sample_budget, n_iters, tables,
+            row_offset=t * rows, n_rows=rows,
+        )
+        rays = jax.lax.psum(jax.lax.psum(rays, "sample"), "tile")
+        return f[None, None], i[None, None], rays
+
+    return body(scene, camera, key, F, I, always_tbl, cells3)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mesh"))
@@ -153,27 +204,62 @@ class ShardedStreamingRenderer:
     """Multi-device continuous-wavefront renderer over a (tile, sample)
     mesh — the production serving path for BASELINE.json config 5."""
 
-    def __init__(self, scene, camera, config: RenderConfig, mesh, seed: int = 0):
+    def __init__(self, scene, camera, config: RenderConfig, mesh,
+                 seed: int = 0, dda=None):
+        """dda: None = auto (per-ray DDA kernel for big local-sphere
+        scenes, mirroring engine/streaming.StreamingRenderer's routing);
+        False = classic; True/tables = force."""
+        from smallpt_tpu.ops.stream_dda import (StreamDDATables,
+                                                build_stream_dda_tables)
+
         self.scene = scene
         self.camera = camera
         self.config = config
         self.mesh = mesh
         self.key = prng.base_key(seed)
-        self.F, self.I = init_sharded_stream(config, mesh)
+        if dda is None:
+            from smallpt_tpu.core.scene import SphereScene
+            from smallpt_tpu.ops.megakernel import MEGA_MAX_SPHERES
+
+            dda = (isinstance(scene, SphereScene)
+                   and not config.nee_lights
+                   and scene.n_spheres > MEGA_MAX_SPHERES)
+        if isinstance(dda, StreamDDATables):
+            self._dda = dda
+        elif dda:
+            self._dda = build_stream_dda_tables(scene, config)
+        else:
+            self._dda = None
+        self.F, self.I = init_sharded_stream(config, mesh,
+                                             dda=self._dda is not None)
         self.budget = 0  # per-shard allowance
+
+    _DDA_ITER_SCALE = 5
 
     @property
     def spp_total(self) -> int:
         return self.budget * self.mesh.shape["sample"]
 
+    def _advance(self, n_iters):
+        if self._dda is not None:
+            tb = self._dda
+            return stream_step_sharded_dda(
+                self.scene, self.camera, self.config, self.key,
+                self.F, self.I, self.budget,
+                n_iters * self._DDA_ITER_SCALE, self.mesh,
+                tb.always_tbl, tb.cells3, k=tb.k, nb=tb.nb, lo=tb.lo,
+                cell=tb.cell, eps_local=tb.eps_local,
+            )
+        return stream_step_sharded(
+            self.scene, self.camera, self.config, self.key,
+            self.F, self.I, self.budget, n_iters, self.mesh,
+        )
+
     def step(self, n_iters: int = 256, add_samples: int = 1) -> int:
         """add_samples is per sample-shard (total spp/pixel grows by
         add_samples * n_sample). Returns rays traced."""
         self.budget += add_samples
-        self.F, self.I, rays = stream_step_sharded(
-            self.scene, self.camera, self.config, self.key,
-            self.F, self.I, self.budget, n_iters, self.mesh,
-        )
+        self.F, self.I, rays = self._advance(n_iters)
         return int(rays)
 
     def flush(self) -> None:
@@ -186,10 +272,7 @@ class ShardedStreamingRenderer:
             if pending == last:
                 raise RuntimeError("sharded flush made no progress")
             last = pending
-            self.F, self.I, _ = stream_step_sharded(
-                self.scene, self.camera, self.config, self.key,
-                self.F, self.I, self.budget, cap, self.mesh,
-            )
+            self.F, self.I, _ = self._advance(cap)
 
     def accumulators(self):
         return stream_accumulators_sharded(self.F, self.I, self.config, self.mesh)

@@ -122,3 +122,43 @@ def test_nee_rejected(setup):
     f, i = init_stream_dda_state(cfg)
     with pytest.raises(ValueError, match="NEE"):
         stream_step_dda(scene, camera, cfg, key, f, i, 1, 8, tables)
+
+
+def test_engine_auto_routing_and_checkpoint(tmp_path, setup):
+    """StreamingRenderer auto-routes big scenes to the DDA kernel, matches
+    the classic engine on a drained render, and checkpoints round-trip in
+    DDA mode (mode mismatch on load is refused)."""
+    import dataclasses
+
+    from smallpt_tpu.core.scene import procedural_sphere_scene
+    from smallpt_tpu.engine.streaming import StreamingRenderer
+
+    config, _, camera, _ = setup
+    big = procedural_sphere_scene(2100)  # > MEGA_MAX_SPHERES
+    r_dda = StreamingRenderer(big, camera, config, seed=3)
+    assert r_dda._dda is not None, "big scene should auto-route to DDA"
+    r_cls = StreamingRenderer(big, camera, config, seed=3, dda=False)
+    assert r_cls._dda is None
+    for r in (r_dda, r_cls):
+        r.step(n_iters=config.max_depth * 3, add_samples=2)
+        r.flush()
+    rad_a, w_a = r_dda.accumulators()
+    rad_b, w_b = r_cls.accumulators()
+    np.testing.assert_array_equal(np.asarray(w_a), np.asarray(w_b))
+    np.testing.assert_allclose(
+        np.asarray(rad_a), np.asarray(rad_b), rtol=2e-4, atol=2e-3)
+
+    ck = str(tmp_path / "dda_ck.npz")
+    r_dda.save_checkpoint(ck)
+    r2 = StreamingRenderer(big, camera, config, seed=3)
+    r2.load_checkpoint(ck)
+    rad_c, w_c = r2.accumulators()
+    np.testing.assert_array_equal(np.asarray(rad_a), np.asarray(rad_c))
+    with pytest.raises(ValueError, match="traversal mode"):
+        StreamingRenderer(big, camera, config, seed=3,
+                          dda=False).load_checkpoint(ck)
+
+    # NEE scenes stay classic
+    cfg_nee = dataclasses.replace(config, nee_lights=(8,))
+    r_nee = StreamingRenderer(big, camera, cfg_nee, seed=3)
+    assert r_nee._dda is None

@@ -59,3 +59,25 @@ def test_sharded_deterministic(mesh):
         r.flush()
         imgs.append(r.image)
     np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
+def test_sharded_dda_matches_sharded_classic(mesh):
+    """Big-scene sharded streaming auto-routes to the DDA kernel and
+    matches the classic sharded engine exactly on weights / tightly on
+    radiance (same per-shard streams, same transport arithmetic up to FMA
+    contraction)."""
+    from smallpt_tpu.core.scene import procedural_sphere_scene
+
+    scene, cam = procedural_sphere_scene(2100), smallpt_camera()
+    r_dda = ShardedStreamingRenderer(scene, cam, CFG, mesh, seed=5)
+    assert r_dda._dda is not None, "big scene should auto-route to DDA"
+    r_cls = ShardedStreamingRenderer(scene, cam, CFG, mesh, seed=5,
+                                     dda=False)
+    for r in (r_dda, r_cls):
+        r.step(n_iters=CFG.max_depth * 4, add_samples=2)
+        r.flush()
+    rad_a, w_a = r_dda.accumulators()
+    rad_b, w_b = r_cls.accumulators()
+    np.testing.assert_array_equal(np.asarray(w_a), np.asarray(w_b))
+    np.testing.assert_allclose(np.asarray(rad_a), np.asarray(rad_b),
+                               rtol=2e-4, atol=2e-3)
