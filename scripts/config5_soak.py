@@ -46,7 +46,7 @@ from smallpt_tpu.config import (CameraModel, Filter, Intersector,
                                 RenderConfig)
 from smallpt_tpu.core.camera import smallpt_camera
 from smallpt_tpu.core.scene import procedural_sphere_scene
-from smallpt_tpu.engine.mesh_stream import WavefrontStreamingRenderer
+from smallpt_tpu.engine.streaming import StreamingRenderer
 
 OUT = "bench_logs/config5"
 
@@ -56,18 +56,19 @@ def log(obj):
 
 
 def make_renderer(args):
-    # the 10k-sphere scene exceeds the Pallas streaming megakernel's VMEM
-    # table cap (MEGA_MAX_SPHERES): config 5 runs on the XLA continuous
-    # wavefront + split-sweep intersect kernel (the measured-fastest big-
-    # scene path, r4 session A)
+    # config 5 runs on the per-ray DDA streaming engine (r5 flagship:
+    # 15.5 Mrays/s at 512x384 on this scene vs 4.51 for the prior brute
+    # path — BASELINE.md r5 section); StreamingRenderer auto-routes the
+    # 10k-sphere scene to ops/stream_dda.py
     config = RenderConfig(
         width=args.width, height=args.height, spp_per_cell=1,
         camera_model=CameraModel.LEGACY, filter=Filter.TENT,
         max_depth=args.depth, intersector=Intersector.PALLAS,
     )
     scene = procedural_sphere_scene(args.n)
-    return WavefrontStreamingRenderer(scene, smallpt_camera(), config,
-                                      seed=0)
+    r = StreamingRenderer(scene, smallpt_camera(), config, seed=0)
+    log({"event": "engine", "dda": r._dda is not None})
+    return r
 
 
 def drive(r, args, spp_target, label, t_start):
@@ -77,7 +78,7 @@ def drive(r, args, spp_target, label, t_start):
     while done < spp_target:
         add = min(args.window_spp, spp_target - done)
         t0 = time.perf_counter()
-        rays = r.step(n_bounces=args.iters_per_spp * add, add_samples=add)
+        rays = r.step(n_iters=args.iters_per_spp * add, add_samples=add)
         dt = time.perf_counter() - t0
         done += add
         log({"event": "window", "label": label, "spp_done": done,
