@@ -90,14 +90,15 @@ class StreamingRenderer:
     def _dda_auto(self) -> bool:
         """Route big local-sphere scenes through the DDA kernel: measured
         winner above the classic megakernel's scene-size sweet spot
-        (BASELINE.md r5 section); classic keeps NEE scenes (no shadow
-        walk yet) and small scenes (sweep beats gather setup)."""
+        (BASELINE.md r5 section); classic keeps multi-light NEE scenes
+        (the DDA shadow walk carries one slot) and small scenes (sweep
+        beats gather setup)."""
         from smallpt_tpu.core.scene import SphereScene
         from smallpt_tpu.ops.megakernel import MEGA_MAX_SPHERES
 
         return (
             isinstance(self.scene, SphereScene)
-            and not self.config.nee_lights
+            and len(self.config.nee_lights or ()) <= 1
             and self.scene.n_spheres > MEGA_MAX_SPHERES
         )
 

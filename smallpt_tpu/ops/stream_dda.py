@@ -38,9 +38,20 @@ blocks mirror _mega_kernel line for line and are pinned by
 tests/test_stream_dda.py against the classic streaming image; the sphere
 test uses the same stable citardauq arithmetic, so images agree to
 f32 op-ordering noise on razor-edge paths, the same floor as mega-vs-JAX
-parity). NEE is not yet supported on this path (the shadow sweep would
-need its own DDA walk); engine routing keeps NEE scenes on the classic
-schedulers.
+parity).
+
+Next-event estimation (single light slot): where the classic kernel
+fuses a FULL-table shadow sweep per diffuse vertex (the 40%-of-
+throughput tax the r3/r4 verdicts flagged on the binned path), here the
+shadow ray is just ANOTHER WALK: the vertex cone-samples the light with
+the classic uniforms, then enters walk state 3 (or 4 when the path dies
+at this vertex but still owes its direct sample — the lane stays alive
+until the shadow resolves so drain accounting holds). The shadow walk
+reuses the same fold, terminates as soon as occlusion is DECIDED
+(found t <= cell exit, or cell entry beyond the light), and the lit
+rule is the classic one (folded min >= t_light, both sides from the
+same _shadow_tt arithmetic — the light rides the always sweep at
+shadow init). Multi-light scenes route through the classic schedulers.
 
 State layout: classic 14 f / 6 i planes (same indices — stream_image,
 stream_pending, set_sample_budget work unchanged) plus walk planes:
@@ -64,7 +75,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from smallpt_tpu.config import RenderConfig, Filter, CameraModel, Mode
 from smallpt_tpu.core.rng import (
-    _CAMERA_SALT, _GOLDEN, _LENS_SALT, _STREAM_IP_MULT, _pcg4d,
+    _CAMERA_SALT, _GOLDEN, _LENS_SALT, _NEE_SALT, _STREAM_IP_MULT, _pcg4d,
 )
 from smallpt_tpu.core.scene import SphereScene
 from smallpt_tpu.ops.dda import _split_bf16x3
@@ -83,8 +94,19 @@ _BIGID = 3.0e38
 _F_TMX, _F_TMY, _F_TMZ = _NF, _NF + 1, _NF + 2
 _F_BT, _F_BID = _NF + 3, _NF + 4
 _NF_D = _NF + 5
+# NEE-only planes (allocated when config.nee_lights is set): the sampled
+# shadow direction, the pending direct-light contribution (added iff the
+# shadow walk comes back unoccluded), and the light's candidate distance
+_F_SDX, _F_SDY, _F_SDZ = _NF + 5, _NF + 6, _NF + 7
+_F_PCX, _F_PCY, _F_PCZ = _NF + 8, _NF + 9, _NF + 10
+_F_TLG = _NF + 11
+_NF_D_NEE = _NF + 12
 _I_CELL, _I_WALK, _I_WCELL = _NI, _NI + 1, _NI + 2
 _NI_D = _NI + 3
+
+
+def _nf_d(config) -> int:
+    return _NF_D_NEE if config.nee_lights else _NF_D
 
 # gathered fields per cell slot, in row-block order
 _G_CX, _G_CY, _G_CZ, _G_R, _G_ID = 0, 1, 2, 3, 4
@@ -97,7 +119,7 @@ class StreamDDATables:
     Host-side handle (not a pytree); build OUTSIDE jit."""
 
     def __init__(self, always_tbl, cells3, k, nb, lo, cell, eps_local,
-                 n_always, n_local, n_overflow):
+                 n_always, n_local, n_overflow, light_rows=()):
         self.always_tbl = always_tbl   # (A_pad, 16) f32, scene-table rows
         self.cells3 = cells3           # (3, _NGF*K, C) f32 bf16x3 split
         self.k = k
@@ -108,6 +130,7 @@ class StreamDDATables:
         self.n_always = n_always
         self.n_local = n_local
         self.n_overflow = n_overflow
+        self.light_rows = tuple(light_rows)  # always-table row per NEE slot
 
     @property
     def n_cells(self):
@@ -212,7 +235,12 @@ def build_stream_dda_tables(
         vals[_G_RF, :n, cl] = rf[ids]
     cells3 = _split_bf16x3(vals.reshape(_NGF * k, n_cells))
 
-    aids = sorted(set(gids.tolist()) | overflow_ids)
+    # NEE light spheres join the always set (they are normally wall-class
+    # already; a small emissive sphere would otherwise live only in cells,
+    # and the shadow-walk needs its candidate distance from the always
+    # sweep — a duplicate cell entry is harmless under the min-fold)
+    aids = sorted(set(gids.tolist()) | overflow_ids
+                  | set(int(li) for li in (config.nee_lights or ())))
     a_pad = max(8, -(-len(aids) // 8) * 8)
     atbl = np.zeros((a_pad, 16), np.float32)
     if aids:
@@ -237,6 +265,8 @@ def build_stream_dda_tables(
         n_always=int(len(aids)),
         n_local=int(lids.size),
         n_overflow=int(len(overflow_ids)),
+        light_rows=tuple(aids.index(int(li))
+                         for li in (config.nee_lights or ())),
     )
 
 
@@ -254,11 +284,14 @@ def _stream_dda_kernel(
     nb, lo, cell,
     eps_local: float,
     a_pad: int,
+    light_row: int | None = None,  # always-table row of the single NEE
+                                   # light (static); None = NEE off
 ):
     t = pl.program_id(0)
     f32 = jnp.float32
     nx, ny, nz = nb
     n_cells = nx * ny * nz
+    nee = bool(config.nee_lights)
 
     fplane = lambda idx: f_ref[pl.ds(8 * idx, 8), :]
     iplane = lambda idx: i_ref[pl.ds(8 * idx, 8), :]
@@ -268,9 +301,13 @@ def _stream_dda_kernel(
     wx0, wy0, wz0 = fplane(_F_WX), fplane(_F_WY), fplane(_F_WZ)
     rx0, ry0, rz0 = fplane(_F_RX), fplane(_F_RY), fplane(_F_RZ)
     m10, m20 = fplane(_F_M1), fplane(_F_M2)
-    sup0 = iplane(_I_SUP)  # NEE-free path: carried through unchanged
+    sup0 = iplane(_I_SUP)
     tmx0, tmy0, tmz0 = fplane(_F_TMX), fplane(_F_TMY), fplane(_F_TMZ)
     bt0, bid0 = fplane(_F_BT), fplane(_F_BID)
+    if nee:
+        sdx0, sdy0, sdz0 = fplane(_F_SDX), fplane(_F_SDY), fplane(_F_SDZ)
+        pcx0, pcy0, pcz0 = fplane(_F_PCX), fplane(_F_PCY), fplane(_F_PCZ)
+        tlg0 = fplane(_F_TLG)
     depth0 = iplane(_I_DEPTH)
     s_idx0 = iplane(_I_SIDX)
     alive0 = iplane(_I_ALIVE)
@@ -315,10 +352,24 @@ def _stream_dda_kernel(
     def loop_body(carry):
         (it, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz, depth,
          s_idx, alive_i, nrays, m1, m2, tmx, tmy, tmz, bt, bid,
-         cellp, walk, wcell) = carry
+         cellp, walk, wcell, sup, *extra) = carry
+        if nee:
+            sdx, sdy, sdz, pcx, pcy, pcz, tlg = extra
         alive = alive_i != 0
-        walking = walk == 1
+        # walk states: 0 fresh ray needs init, 1 main walk, 2 resolve,
+        # 3 shadow walk (path continues after), 4 shadow walk then death
+        # (the vertex owed a direct-light sample even though the path
+        # ends — the lane stays "alive" until the shadow resolves so the
+        # drain accounting sees its pending work)
+        is_shadow = (walk == 3) | (walk == 4) if nee else (walk < 0)
+        stepping = (walk == 1) | is_shadow
         resolving = jnp.logical_and(alive, walk == 2)
+        if nee:
+            wdx = jnp.where(is_shadow, sdx, dx)
+            wdy = jnp.where(is_shadow, sdy, dy)
+            wdz = jnp.where(is_shadow, sdz, dz)
+        else:
+            wdx, wdy, wdz = dx, dy, dz
 
         # ---- per-sublane-row: gather + walk-step fold + resolve payload
         # gather column: the walk cell for walkers, the winner's cell for
@@ -335,7 +386,7 @@ def _stream_dda_kernel(
         wiz = wcell & 31
         lin_win = (wix * ny + wiy) * nz + wiz
         gcell = jnp.where(
-            walking, lin_walk,
+            stepping, lin_walk,
             jnp.where(resolving & (wcell >= 0), lin_win, -1),
         )
 
@@ -359,11 +410,12 @@ def _stream_dda_kernel(
             sr = g[_G_R * k:(_G_R + 1) * k, :]
             idf = g[_G_ID * k:(_G_ID + 1) * k, :]
             # stable citardauq candidates — same arithmetic as the classic
-            # streaming sweep (_shadow_tt), per gathered row block
+            # streaming sweep (_shadow_tt), per gathered row block; the
+            # direction is the shadow dir for shadow-walking lanes
             tt = _shadow_tt(
                 ox[rsub:rsub + 1, :], oy[rsub:rsub + 1, :],
-                oz[rsub:rsub + 1, :], dx[rsub:rsub + 1, :],
-                dy[rsub:rsub + 1, :], dz[rsub:rsub + 1, :],
+                oz[rsub:rsub + 1, :], wdx[rsub:rsub + 1, :],
+                wdy[rsub:rsub + 1, :], wdz[rsub:rsub + 1, :],
                 scx, scy, scz, sr, eps_l,
             )
             tt = jnp.where(sr > 0.0, tt, _BIG)
@@ -386,7 +438,7 @@ def _stream_dda_kernel(
         pay = [jnp.concatenate(pr, axis=0) for pr in pay_rows]
 
         # ---- walk step: fold candidates, early-exit test, DDA advance
-        upd = walking & (m_all < _BIG) & (
+        upd = stepping & (m_all < _BIG) & (
             (m_all < bt) | ((m_all == bt) & (idc_all < bid))
         )
         bt = jnp.where(upd, m_all, bt)
@@ -394,15 +446,15 @@ def _stream_dda_kernel(
         wcell = jnp.where(upd, cellp, wcell)
 
         t_exit = jnp.minimum(jnp.minimum(tmx, tmy), tmz)
-        sx_ = jnp.where(dx >= 0.0, 1, -1)
-        sy_ = jnp.where(dy >= 0.0, 1, -1)
-        sz_ = jnp.where(dz >= 0.0, 1, -1)
+        sx_ = jnp.where(wdx >= 0.0, 1, -1)
+        sy_ = jnp.where(wdy >= 0.0, 1, -1)
+        sz_ = jnp.where(wdz >= 0.0, 1, -1)
         ax_ = (tmx <= tmy) & (tmx <= tmz)
         ay_ = jnp.logical_not(ax_) & (tmy <= tmz)
         az_ = jnp.logical_not(ax_) & jnp.logical_not(ay_)
-        dtx = jnp.where(jnp.abs(dx) < tiny, _BIG, clx / jnp.abs(dx))
-        dty = jnp.where(jnp.abs(dy) < tiny, _BIG, cly / jnp.abs(dy))
-        dtz = jnp.where(jnp.abs(dz) < tiny, _BIG, clz / jnp.abs(dz))
+        dtx = jnp.where(jnp.abs(wdx) < tiny, _BIG, clx / jnp.abs(wdx))
+        dty = jnp.where(jnp.abs(wdy) < tiny, _BIG, cly / jnp.abs(wdy))
+        dtz = jnp.where(jnp.abs(wdz) < tiny, _BIG, clz / jnp.abs(wdz))
         ix2 = jnp.where(ax_, ix + sx_, ix)
         iy2 = jnp.where(ay_, iy + sy_, iy)
         iz2 = jnp.where(az_, iz + sz_, iz)
@@ -411,10 +463,29 @@ def _stream_dda_kernel(
         tmz2 = jnp.where(az_, tmz + dtz, tmz)
         inside2 = ((ix2 >= 0) & (ix2 < nx) & (iy2 >= 0) & (iy2 < ny)
                    & (iz2 >= 0) & (iz2 < nz))
-        walk_done = walking & (
+        walk_done = (walk == 1) & (
             (bt <= t_exit) | jnp.logical_not(inside2)
         )
-        adv = walking & jnp.logical_not(walk_done)
+        if nee:
+            # shadow walk ends when occlusion is DECIDED: a confirmed
+            # closest hit, or no later cell can produce t' < t_light
+            # (t' >= t_enter(next) >= t_exit >= t_light), or off-grid
+            sdone = is_shadow & (
+                (bt <= t_exit) | (t_exit >= tlg)
+                | jnp.logical_not(inside2)
+            )
+            lit = (bt >= tlg) & (tlg < _BIG)
+            addl = sdone & lit
+            rx = rx + jnp.where(addl, pcx, 0.0)
+            ry = ry + jnp.where(addl, pcy, 0.0)
+            rz = rz + jnp.where(addl, pcz, 0.0)
+            # deferred death (walk 4): the vertex's direct sample is in;
+            # the lane can now actually die and regenerate
+            alive = alive & jnp.logical_not(sdone & (walk == 4))
+            adv = stepping & jnp.logical_not(walk_done | sdone)
+        else:
+            sdone = walk_done & (walk < 0)  # never
+            adv = stepping & jnp.logical_not(walk_done)
         cellp = jnp.where(
             adv, (ix2 << 10) | (iy2 << 5) | iz2, cellp
         )
@@ -422,6 +493,8 @@ def _stream_dda_kernel(
         tmy = jnp.where(adv, tmy2, tmy)
         tmz = jnp.where(adv, tmz2, tmz)
         walk = jnp.where(walk_done, 2, walk)
+        if nee:
+            walk = jnp.where(sdone, 0, walk)
 
         # ---- resolve: winner payload -> emission, shade, next ray/death
         hit = resolving & (bt < _BIG)
@@ -488,9 +561,18 @@ def _stream_dda_kernel(
         else:
             nlx, nly, nlz = nrm_x, nrm_y, nrm_z
 
-        rx = rx + jnp.where(hit, wx * em_x, 0.0)
-        ry = ry + jnp.where(hit, wy * em_y, 0.0)
-        rz = rz + jnp.where(hit, wz * em_z, 0.0)
+        if nee:
+            # emission pickup of the NEE-sampled light is suppressed when
+            # the PREVIOUS vertex direct-sampled it (classic semantics:
+            # ops/wavefront.py / _mega_kernel's per-slot bits; one slot)
+            li_f = f32(float(config.nee_lights[0]))
+            hit_sup = (bid == li_f) & ((sup & 1) == 1)
+            keep = hit & jnp.logical_not(hit_sup)
+        else:
+            keep = hit
+        rx = rx + jnp.where(keep, wx * em_x, 0.0)
+        ry = ry + jnp.where(keep, wy * em_y, 0.0)
+        rz = rz + jnp.where(keep, wz * em_z, 0.0)
 
         sa, sb, sc_, sd_ = _pcg4d(
             wa, wb,
@@ -596,6 +678,78 @@ def _stream_dda_kernel(
         noy = hy + eps_off * nly
         noz = hz + eps_off * nlz
 
+        # ---- NEE: cone-sample the light at surviving diffuse vertices;
+        # the occlusion test becomes a SHADOW GRID WALK (walk state 3/4)
+        # instead of the classic full-table sweep — the same uniforms
+        # (_NEE_SALT slot 0, keyed by pre-increment depth), the same cone
+        # math, the same lit rule (sbt >= t_light with both sides from
+        # identical _shadow_tt arithmetic; the light rides the always
+        # sweep at shadow-walk init, so the fold carries its candidate)
+        if nee:
+            lcx = atbl_ref[light_row, 0]
+            lcy = atbl_ref[light_row, 1]
+            lcz = atbl_ref[light_row, 2]
+            lrr = atbl_ref[light_row, 3]
+            leps = atbl_ref[light_row, 4]
+            lex = atbl_ref[light_row, 5]
+            ley = atbl_ref[light_row, 6]
+            lez = atbl_ref[light_row, 7]
+            swx = lcx - nox
+            swy = lcy - noy
+            swz = lcz - noz
+            d2 = swx * swx + swy * swy + swz * swz
+            inside_sh = d2 <= lrr * lrr
+            cos_a_max = jnp.sqrt(jnp.maximum(
+                1.0 - (lrr * lrr) / jnp.maximum(d2, 1e-12), 0.0))
+            na_, nb_, _, _ = _pcg4d(
+                wa, wb,
+                pltpu.bitcast(depth, jnp.uint32) + jnp.uint32(_NEE_SALT),
+                jnp.broadcast_to(k0 + k1, wa.shape),
+            )
+            nu0 = _to_unit(na_)
+            nu1 = _to_unit(nb_)
+            cos_a = 1.0 - nu0 + nu0 * cos_a_max
+            sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+            nphi = f32(2.0 * np.pi) * nu1
+            inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
+            swnx = swx * inv_d
+            swny = swy * inv_d
+            swnz = swz * inv_d
+            bigx2 = jnp.abs(swnx) > 0.1
+            upx2 = jnp.where(bigx2, 0.0, 1.0)
+            upy2 = jnp.where(bigx2, 1.0, 0.0)
+            sux = upy2 * swnz
+            suy = -upx2 * swnz
+            suz = upx2 * swny - upy2 * swnx
+            sux, suy, suz = _normalize3(sux, suy, suz)
+            svx = swny * suz - swnz * suy
+            svy = swnz * sux - swnx * suz
+            svz = swnx * suy - swny * sux
+            cphi = jnp.cos(nphi) * sin_a
+            sphi = jnp.sin(nphi) * sin_a
+            ldx = sux * cphi + svx * sphi + swnx * cos_a
+            ldy = suy * cphi + svy * sphi + swny * cos_a
+            ldz = suz * cphi + svz * sphi + swnz * cos_a
+            ldx, ldy, ldz = _normalize3(ldx, ldy, ldz)
+            t_light = _shadow_tt(nox, noy, noz, ldx, ldy, ldz,
+                                 lcx, lcy, lcz, lrr, leps)
+            cosine = jnp.maximum(ldx * nlx + ldy * nly + ldz * nlz, 0.0)
+            omega = f32(2.0 * np.pi) * (1.0 - cos_a_max)
+            scale = cosine * omega * f32(1.0 / np.pi)
+            sampled = (hit & survive & is_diff
+                       & jnp.logical_not(inside_sh))
+            samp = resolving & sampled
+            sdx = jnp.where(samp, ldx, sdx)
+            sdy = jnp.where(samp, ldy, sdy)
+            sdz = jnp.where(samp, ldz, sdz)
+            pcx = jnp.where(samp, wx * fx_ * lex * scale, pcx)
+            pcy = jnp.where(samp, wy * fy_ * ley * scale, pcy)
+            pcz = jnp.where(samp, wz * fz_ * lez * scale, pcz)
+            tlg = jnp.where(samp, t_light, tlg)
+            sup = jnp.where(resolving, jnp.where(samp, 1, 0), sup)
+        else:
+            samp = resolving & (walk < 0)  # never
+
         parent = jnp.logical_and(hit, survive)
         ox = jnp.where(parent, nox, ox)
         oy = jnp.where(parent, noy, oy)
@@ -608,13 +762,20 @@ def _stream_dda_kernel(
         wz = jnp.where(parent, wz * wfz, wz)
         depth = jnp.where(resolving, depth + 1, depth)
         bounce_alive = jnp.logical_and(parent, depth < config.max_depth)
-        # resolving lanes: stay alive with a fresh ray (walk=0) or die.
-        # logical ops, not jnp.where — Mosaic rejects i1-valued selects
-        # (CLAUDE.md gotcha)
-        alive = (resolving & bounce_alive) | (
+        # resolving lanes: stay alive with a fresh ray (walk=0), enter a
+        # shadow walk (3 = then continue, 4 = then die), or die. Logical
+        # ops, not jnp.where — Mosaic rejects i1-valued selects.
+        alive = (resolving & (bounce_alive | samp)) | (
             jnp.logical_not(resolving) & alive
         )
-        walk = jnp.where(resolving, 0, walk)
+        if nee:
+            walk = jnp.where(
+                resolving,
+                jnp.where(samp, jnp.where(bounce_alive, 3, 4), 0),
+                walk,
+            )
+        else:
+            walk = jnp.where(resolving, 0, walk)
 
         # ---- regen dead lanes (classic block, walk joins the reset)
         alive_i2 = alive.astype(jnp.int32)
@@ -713,9 +874,21 @@ def _stream_dda_kernel(
         depth = jnp.where(need, 0, depth)
         alive = jnp.logical_or(alive, need)
         walk = jnp.where(need, 0, walk)
+        sup = jnp.where(need, 0, sup)
 
-        # ---- walk init: always sweep + grid clip for fresh rays ---------
-        initm = jnp.logical_and(alive, walk == 0)
+        # ---- walk init: always sweep + grid clip, serving BOTH fresh
+        # rays (main walks) and freshly-sampled shadow rays — each lane
+        # is in at most one flavor, so one sweep with a per-lane
+        # direction select covers both
+        initm_main = jnp.logical_and(alive, walk == 0)
+        if nee:
+            initm = initm_main | samp
+            idx_ = jnp.where(samp, sdx, dx)
+            idy_ = jnp.where(samp, sdy, dy)
+            idz_ = jnp.where(samp, sdz, dz)
+        else:
+            initm = initm_main
+            idx_, idy_, idz_ = dx, dy, dz
 
         big0 = jnp.full((_SUB, _LANE), _BIG, f32)
         abt = big0
@@ -723,7 +896,7 @@ def _stream_dda_kernel(
         for ar in range(a_pad // 8):
             blk = atbl_ref[pl.ds(ar * 8, 8), :]
             for rr in range(8):
-                tt1 = _shadow_tt(ox, oy, oz, dx, dy, dz,
+                tt1 = _shadow_tt(ox, oy, oz, idx_, idy_, idz_,
                                  blk[rr, 0], blk[rr, 1], blk[rr, 2],
                                  blk[rr, 3], blk[rr, 4])
                 sid_f = blk[rr, 12]
@@ -740,16 +913,16 @@ def _stream_dda_kernel(
             tb = (g1 - o_) * inv
             return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
 
-        t0x, t1x = axis_clip(ox, dx, glx, ghx)
-        t0y, t1y = axis_clip(oy, dy, gly, ghy)
-        t0z, t1z = axis_clip(oz, dz, glz, ghz)
+        t0x, t1x = axis_clip(ox, idx_, glx, ghx)
+        t0y, t1y = axis_clip(oy, idy_, gly, ghy)
+        t0z, t1z = axis_clip(oz, idz_, glz, ghz)
         t_in = jnp.maximum(jnp.maximum(t0x, t0y), t0z)
         t_out = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
         enter = jnp.maximum(t_in, 0.0)
         hits_grid = (enter <= t_out) & (t_out > 0.0)
-        px = ox + dx * enter
-        py = oy + dy * enter
-        pz = oz + dz * enter
+        px = ox + idx_ * enter
+        py = oy + idy_ * enter
+        pz = oz + idz_ * enter
 
         def cell_of(p, g0, invc, n_):
             ci = ((p - g0) * invc).astype(jnp.int32)
@@ -765,9 +938,14 @@ def _stream_dda_kernel(
             nxt = g0 + (ci + jnp.where(d_ >= 0.0, 1, 0)).astype(f32) * cl_
             return jnp.where(jnp.abs(d_) < tiny, _BIG, (nxt - o_) / dn)
 
-        tmxn = axis_tm(ox, dx, glx, clx, ixn)
-        tmyn = axis_tm(oy, dy, gly, cly, iyn)
-        tmzn = axis_tm(oz, dz, glz, clz, izn)
+        tmxn = axis_tm(ox, idx_, glx, clx, ixn)
+        tmyn = axis_tm(oy, idy_, gly, cly, iyn)
+        tmzn = axis_tm(oz, idz_, glz, clz, izn)
+        # rays missing the grid keep BIG t_max so a shadow walk that
+        # never enters a cell resolves on its first step (t_exit >= tlg)
+        tmxn = jnp.where(hits_grid, tmxn, _BIG)
+        tmyn = jnp.where(hits_grid, tmyn, _BIG)
+        tmzn = jnp.where(hits_grid, tmzn, _BIG)
 
         bt = jnp.where(initm, abt, bt)
         bid = jnp.where(initm, abid, bid)
@@ -778,23 +956,31 @@ def _stream_dda_kernel(
         tmx = jnp.where(initm, tmxn, tmx)
         tmy = jnp.where(initm, tmyn, tmy)
         tmz = jnp.where(initm, tmzn, tmz)
-        walk = jnp.where(initm, jnp.where(hits_grid, 1, 2), walk)
-        # one traced ray per walk init (same rays/s semantics as classic:
-        # every bounce launches exactly one ray)
-        nrays = nrays + initm.astype(jnp.int32)
+        # main rays: walk (or resolve immediately if the grid is missed);
+        # shadow lanes keep their walk state (3/4) set at resolve
+        walk = jnp.where(initm_main, jnp.where(hits_grid, 1, 2), walk)
+        # one traced ray per MAIN walk init (same rays/s semantics as
+        # classic: every bounce launches exactly one ray; shadow walks
+        # are part of the bounce, as in the classic fused NEE sweep)
+        nrays = nrays + initm_main.astype(jnp.int32)
 
-        return (it + 1, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz,
-                depth, s_new, alive.astype(jnp.int32), nrays, m1, m2,
-                tmx, tmy, tmz, bt, bid, cellp, walk, wcell)
+        out = [it + 1, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz,
+               depth, s_new, alive.astype(jnp.int32), nrays, m1, m2,
+               tmx, tmy, tmz, bt, bid, cellp, walk, wcell, sup]
+        if nee:
+            out += [sdx, sdy, sdz, pcx, pcy, pcz, tlg]
+        return tuple(out)
 
-    carry = (jnp.asarray(0, jnp.int32), ox0, oy0, oz0, dx0, dy0, dz0,
+    carry = [jnp.asarray(0, jnp.int32), ox0, oy0, oz0, dx0, dy0, dz0,
              wx0, wy0, wz0, rx0, ry0, rz0, depth0, s_idx0, alive0,
              nrays0, m10, m20, tmx0, tmy0, tmz0, bt0, bid0, cell0,
-             walk0, wcell0)
-    carry = jax.lax.while_loop(loop_cond, loop_body, carry)
+             walk0, wcell0, sup0]
+    if nee:
+        carry += [sdx0, sdy0, sdz0, pcx0, pcy0, pcz0, tlg0]
+    carry = jax.lax.while_loop(loop_cond, loop_body, tuple(carry))
     (_, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz, depth, s_idx,
      alive_i, nrays, m1, m2, tmx, tmy, tmz, bt, bid, cellp, walk,
-     wcell) = carry
+     wcell, sup, *extra) = carry
 
     def wf_(idx, v):
         f_out[pl.ds(8 * idx, 8), :] = v
@@ -813,17 +999,23 @@ def _stream_dda_kernel(
     wi_(_I_SIDX, s_idx)
     wi_(_I_ALIVE, alive_i)
     wi_(_I_RAYS, nrays)
-    wi_(_I_SUP, sup0)
+    wi_(_I_SUP, sup)
     wi_(_I_CELL, cellp)
     wi_(_I_WALK, walk)
     wi_(_I_WCELL, wcell)
     i_out[pl.ds(8 * _I_BUDGET, 8), :] = budget
+    if nee:
+        sdx, sdy, sdz, pcx, pcy, pcz, tlg = extra
+        wf_(_F_SDX, sdx); wf_(_F_SDY, sdy); wf_(_F_SDZ, sdz)
+        wf_(_F_PCX, pcx); wf_(_F_PCY, pcy); wf_(_F_PCZ, pcz)
+        wf_(_F_TLG, tlg)
 
 
 def init_stream_dda_state(config: RenderConfig, n_rows: int | None = None):
-    """Fresh (f, i) state with the DDA walk planes appended."""
+    """Fresh (f, i) state with the DDA walk planes appended (+ the NEE
+    shadow-walk planes when config.nee_lights is set)."""
     n_rows, G, n_tiles, n_cols = _stream_geometry(config, n_rows)
-    f0 = jnp.zeros((_SUB * _NF_D, n_cols), jnp.float32)
+    f0 = jnp.zeros((_SUB * _nf_d(config), n_cols), jnp.float32)
     i0 = jnp.concatenate(
         [
             jnp.zeros((_SUB, n_cols), jnp.int32),        # depth
@@ -844,15 +1036,16 @@ def init_stream_dda_state(config: RenderConfig, n_rows: int | None = None):
 @functools.partial(
     jax.jit,
     static_argnames=("config", "k", "nb", "lo", "cell", "eps_local",
-                     "interpret", "n_rows"),
+                     "light_row", "interpret", "n_rows"),
 )
 def _stream_step_dda_jit(
     always_tbl, cells3, cam_vec, key_words, f, i, n_iters,
     ip_offset, row_offset,
     config: RenderConfig, k, nb, lo, cell, eps_local,
-    n_rows=None, interpret=False,
+    light_row=None, n_rows=None, interpret=False,
 ):
     n_rows, G, n_tiles, n_cols = _stream_geometry(config, n_rows)
+    nf = _nf_d(config)
     ip = jnp.stack([
         jnp.asarray(ip_offset, jnp.int32),
         jnp.asarray(row_offset, jnp.int32),
@@ -863,6 +1056,7 @@ def _stream_step_dda_jit(
         _stream_dda_kernel,
         config=config, n_cols=n_cols, k=k, nb=nb, lo=lo, cell=cell,
         eps_local=eps_local, a_pad=always_tbl.shape[0],
+        light_row=light_row,
     )
     n_cells = nb[0] * nb[1] * nb[2]
     rays_before = jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
@@ -877,19 +1071,19 @@ def _stream_step_dda_jit(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, _NGF * k, n_cells), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUB * _NF_D, _LANE), lambda t: (0, t),
+            pl.BlockSpec((_SUB * nf, _LANE), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUB * _NI_D, _LANE), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_SUB * _NF_D, _LANE), lambda t: (0, t),
+            pl.BlockSpec((_SUB * nf, _LANE), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUB * _NI_D, _LANE), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((_SUB * _NF_D, n_cols), jnp.float32),
+            jax.ShapeDtypeStruct((_SUB * nf, n_cols), jnp.float32),
             jax.ShapeDtypeStruct((_SUB * _NI_D, n_cols), jnp.int32),
         ],
         input_output_aliases={5: 0, 6: 1},
@@ -930,11 +1124,20 @@ def stream_step_dda(
         raise ValueError("streaming requires split_budget == 1")
     if config.mode != Mode.FULL:
         raise ValueError("streaming renders Mode.FULL only")
+    light_row = None
     if config.nee_lights:
-        raise ValueError(
-            "stream_step_dda does not support NEE yet — route NEE scenes "
-            "through the classic schedulers"
-        )
+        if len(config.nee_lights) != 1:
+            raise ValueError(
+                "stream_step_dda supports exactly ONE NEE light slot "
+                f"(got {len(config.nee_lights)}) — multi-light scenes "
+                "route through the classic schedulers"
+            )
+        if len(tables.light_rows) != 1:
+            raise ValueError(
+                "tables were built without the NEE config — rebuild "
+                "build_stream_dda_tables with the same config"
+            )
+        light_row = int(tables.light_rows[0])
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if sample_budget is not None:
@@ -946,5 +1149,5 @@ def stream_step_dda(
         ip_offset, row_offset,
         config=config, k=tables.k, nb=tables.nb, lo=tables.lo,
         cell=tables.cell, eps_local=tables.eps_local,
-        n_rows=n_rows, interpret=interpret,
+        light_row=light_row, n_rows=n_rows, interpret=interpret,
     )

@@ -110,12 +110,12 @@ def stream_step_sharded(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "mesh", "n_rows", "k", "nb", "lo", "cell",
-                     "eps_local"),
+                     "eps_local", "light_rows"),
 )
 def stream_step_sharded_dda(
     scene, camera, config: RenderConfig, key, F, I, sample_budget, n_iters,
     mesh, always_tbl, cells3, k, nb, lo, cell, eps_local,
-    n_rows: int | None = None,
+    light_rows=(), n_rows: int | None = None,
 ):
     """stream_step_sharded with the per-ray DDA traversal kernel
     (ops/stream_dda.py) — same (tile, sample) mesh, same per-shard keying
@@ -141,6 +141,7 @@ def stream_step_sharded_dda(
         tables = StreamDDATables(
             always_tbl=atbl, cells3=c3, k=k, nb=nb, lo=lo, cell=cell,
             eps_local=eps_local, n_always=0, n_local=0, n_overflow=0,
+            light_rows=light_rows,
         )
         f, i, rays = stream_step_dda(
             scene, camera, config, k_, F[0, 0], I[0, 0],
@@ -222,7 +223,7 @@ class ShardedStreamingRenderer:
             from smallpt_tpu.ops.megakernel import MEGA_MAX_SPHERES
 
             dda = (isinstance(scene, SphereScene)
-                   and not config.nee_lights
+                   and len(config.nee_lights or ()) <= 1
                    and scene.n_spheres > MEGA_MAX_SPHERES)
         if isinstance(dda, StreamDDATables):
             self._dda = dda
@@ -249,6 +250,7 @@ class ShardedStreamingRenderer:
                 n_iters * self._DDA_ITER_SCALE, self.mesh,
                 tb.always_tbl, tb.cells3, k=tb.k, nb=tb.nb, lo=tb.lo,
                 cell=tb.cell, eps_local=tb.eps_local,
+                light_rows=tb.light_rows,
             )
         return stream_step_sharded(
             self.scene, self.camera, self.config, self.key,

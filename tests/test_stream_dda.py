@@ -114,13 +114,56 @@ def test_overflow_and_grid_stats(setup):
     assert (np.asarray(w) >= 1).all()
 
 
-def test_nee_rejected(setup):
+def test_nee_parity_vs_classic_streaming(setup):
+    """Single-slot NEE via the shadow GRID WALK matches the classic
+    streaming kernel's fused shadow sweep: same cone uniforms, same lit
+    rule, same suppression bits — drained images agree to FMA noise and
+    completed-sample weights exactly. (Light id 8 = the ceiling light in
+    the procedural scene's Cornell base.)"""
+    import dataclasses
+
+    config, scene, camera, key = setup
+    cfg = dataclasses.replace(config, nee_lights=(8,))
+    budget = 3
+
+    f0, i0 = init_stream_state(cfg)
+    fc, ic, rays_c = _drain(
+        lambda f, i, b: stream_step(scene, camera, cfg, key, f, i, b, 64),
+        (f0, i0), cfg, budget, 64,
+    )
+    rad_c, w_c = stream_image(fc, ic, cfg)
+
+    tables = build_stream_dda_tables(scene, cfg, occ_target=16.0)
+    assert len(tables.light_rows) == 1
+    fd, id_, rays_d = _drain(
+        lambda f, i, b: stream_step_dda(
+            scene, camera, cfg, key, f, i, b, 480, tables),
+        (init_stream_dda_state(cfg)), cfg, budget, 480,
+    )
+    rad_d, w_d = stream_image(fd, id_, cfg)
+
+    np.testing.assert_array_equal(np.asarray(w_c), np.asarray(w_d))
+    assert rays_d == rays_c  # shadow walks are part of the bounce
+    # shadow rays graze occluder silhouettes by construction (the cone
+    # samples the light's visible edge), so FMA-noise det flips turn a
+    # whole direct-light quantum on/off for isolated samples — gate
+    # binomially (measured 0-2 flipped pixels / 3072 across seeds), and
+    # everything else tightly
+    rc_, rd_ = np.asarray(rad_c), np.asarray(rad_d)
+    diff = np.abs(rd_ - rc_).max(axis=-1)
+    flipped = diff > 2e-3
+    assert flipped.mean() < 3e-3, f"{flipped.sum()} flipped pixels"
+    np.testing.assert_allclose(rd_[~flipped], rc_[~flipped],
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_nee_multi_light_rejected(setup):
     config, scene, camera, key = setup
     import dataclasses
-    cfg = dataclasses.replace(config, nee_lights=(0,))
-    tables = build_stream_dda_tables(scene, config)
+    cfg = dataclasses.replace(config, nee_lights=(0, 8))
+    tables = build_stream_dda_tables(scene, cfg)
     f, i = init_stream_dda_state(cfg)
-    with pytest.raises(ValueError, match="NEE"):
+    with pytest.raises(ValueError, match="ONE NEE light"):
         stream_step_dda(scene, camera, cfg, key, f, i, 1, 8, tables)
 
 
@@ -158,7 +201,11 @@ def test_engine_auto_routing_and_checkpoint(tmp_path, setup):
         StreamingRenderer(big, camera, config, seed=3,
                           dda=False).load_checkpoint(ck)
 
-    # NEE scenes stay classic
-    cfg_nee = dataclasses.replace(config, nee_lights=(8,))
-    r_nee = StreamingRenderer(big, camera, cfg_nee, seed=3)
-    assert r_nee._dda is None
+    # single-light NEE routes to DDA (shadow walk); multi-light stays
+    # classic (one shadow-walk slot)
+    r_nee1 = StreamingRenderer(
+        big, camera, dataclasses.replace(config, nee_lights=(8,)), seed=3)
+    assert r_nee1._dda is not None
+    r_nee2 = StreamingRenderer(
+        big, camera, dataclasses.replace(config, nee_lights=(0, 8)), seed=3)
+    assert r_nee2._dda is None
