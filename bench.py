@@ -187,18 +187,20 @@ def bench_binned(width=512, height=384, spp=4, max_depth=24, rounds=3,
 
 
 def bench_dda_stream(width=512, height=384, spp=4, max_depth=24, rounds=3,
-                     n=10_000):
+                     n=10_000, nee=False):
     """BASELINE config 5 scene through the per-ray DDA streaming engine
     (ops/stream_dda.py) — the r5 big-scene flagship: per-lane grid walk
     fused into the continuous wavefront (15.5 Mrays/s sustained at this
-    shape in the r5c A/B vs 4.51 for the prior brute champion)."""
+    shape in the r5c A/B vs 4.51 for the prior brute champion). nee=True
+    turns on direct-light sampling of the ceiling light (id 8) via the
+    shadow grid walk — the VERDICT r4 #8 NEE-on big-scene number."""
     from smallpt_tpu.core.scene import procedural_sphere_scene
     from smallpt_tpu.engine.streaming import StreamingRenderer
 
     config = RenderConfig(
         width=width, height=height, spp_per_cell=1,
         camera_model=CameraModel.LEGACY, filter=Filter.TENT,
-        max_depth=max_depth,
+        max_depth=max_depth, nee_lights=(8,) if nee else (),
     )
     scene = procedural_sphere_scene(n)
     camera = smallpt_camera()
@@ -484,6 +486,11 @@ def main():
             metric = "rays_per_sec_per_chip_procedural10k_512x384_binned"
             kw2 = dict(width=128, height=96, rounds=1) if quick else {}
             rays_per_s, total_rays, dt, img = bench_binned(**kw2)
+        elif "--procedural-nee" in sys.argv:
+            metric = "rays_per_sec_per_chip_procedural10k_512x384_nee"
+            kw2 = dict(width=128, height=96, rounds=1, spp=2) if quick else {}
+            rays_per_s, total_rays, dt, img = bench_dda_stream(nee=True,
+                                                               **kw2)
         else:
             metric = "rays_per_sec_per_chip_procedural10k_512x384_fullbsdf"
             kw2 = dict(width=128, height=96, rounds=1, spp=2) if quick else {}
