@@ -77,17 +77,28 @@ def main():
             return loss
         fns[f"step_{nm}"] = (step, lambda r: float(r))
 
+    dead = []
     for nm, (fn, fetch) in fns.items():
         t0 = time.perf_counter()
-        fetch(fn())
+        try:
+            fetch(fn())
+        except Exception as e:  # noqa: BLE001 — e.g. HBM OOM at 512x512:
+            # storing scan residuals for 16 bounces needs ~25 GB (measured
+            # r5d stage 1) — report and keep measuring the others
+            print(f"variant {nm} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            dead.append(nm)
+            continue
         print(f"compile+first {nm}: {time.perf_counter()-t0:.0f}s",
               flush=True)
+    for nm in dead:
+        fns.pop(nm)
 
-    # gradient agreement between remat modes
-    ga = jax.tree.leaves(grads_by_mode["remat"])
-    gb = jax.tree.leaves(grads_by_mode["noremat"])
+    # gradient agreement between remat modes (when both ran)
+    ga = jax.tree.leaves(grads_by_mode.get("remat", {}))
+    gb = jax.tree.leaves(grads_by_mode.get("noremat", {}))
     worst = 0.0
-    for a, b in zip(ga, gb):
+    for a, b in zip(ga or [], gb or []):
         a, b = np.asarray(a), np.asarray(b)
         # two different compiled programs: reassociation/FMA noise through
         # depth-16 product chains; judge against the tensor's own scale and
@@ -95,9 +106,10 @@ def main():
         # authority, run with the default remat mode)
         scale = max(float(np.abs(b).max()), 1e-6)
         worst = max(worst, float(np.abs(a - b).max() / scale))
-    print(f"grads agree across remat modes: worst scaled diff {worst:.2e}",
-          flush=True)
-    assert worst < 5e-2, "remat modes disagree beyond noise envelope"
+    if ga and gb:
+        print(f"grads agree across remat modes: worst scaled diff "
+              f"{worst:.2e}", flush=True)
+        assert worst < 5e-2, "remat modes disagree beyond noise envelope"
 
     reps = 1 if SMOKE else 3
     best = {}

@@ -9,6 +9,9 @@ export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 LOG=bench_logs/r5e_$(date +%Y%m%d_%H%M%S).log
 exec >> "$LOG" 2>&1
 echo "=== r5e session $(date) ==="
+echo "--- stage 0: diff stage split retry (noremat OOM-guarded) ---"
+timeout 3600 python -u scripts/bench_diff_stages_tpu.py
+echo "--- stage 0 done $(date) ---"
 echo "--- stage 1: NEE-on procedural (DDA shadow walk) ---"
 timeout 3600 python -u bench.py --procedural --procedural-nee
 echo "--- stage 1 done $(date) ---"
