@@ -67,7 +67,12 @@ def make_renderer(args):
     )
     scene = procedural_sphere_scene(args.n)
     r = StreamingRenderer(scene, smallpt_camera(), config, seed=0)
-    log({"event": "engine", "dda": r._dda is not None})
+    # split long advances into bounded launches: a single launch whose
+    # while_loop runs minutes of device time crashes the TPU worker
+    # (r5e: one 10,000-DDA-iteration launch over 254 tiles at 1080p)
+    r.max_launch_iters = args.launch_iters
+    log({"event": "engine", "dda": r._dda is not None,
+         "launch_iters": args.launch_iters})
     return r
 
 
@@ -109,6 +114,11 @@ def main():
     ap.add_argument("--n", type=int, default=10_000)
     ap.add_argument("--window-spp", type=int, default=50)
     ap.add_argument("--iters-per-spp", type=int, default=8)
+    ap.add_argument("--launch-iters", type=int, default=16,
+                    help="max bounce-iterations per kernel launch (the DDA "
+                    "kernel runs 5x this in walk steps); ~2 s of device "
+                    "time per launch at 1920x1080 — keeps every launch far "
+                    "under the tunnel watchdog")
     args = ap.parse_args()
 
     os.makedirs(OUT, exist_ok=True)
@@ -118,32 +128,35 @@ def main():
         "shape": [args.width, args.height, args.spp, args.n]})
 
     r = make_renderer(args)
+    # artifacts are shape-tagged: the r5e part2 run silently resumed a
+    # stale TOY-shape soak_ck.npz left by a CPU validation run
+    tag = f"{args.width}x{args.height}_{args.spp}"
 
     if args.phase == "solo":
         drive(r, args, args.spp, "solo", t_start)
-        save_acc(r, f"{OUT}/solo_acc.npz")
+        save_acc(r, f"{OUT}/solo_acc_{tag}.npz")
         log({"event": "done", "phase": "solo",
              "wall_s": round(time.perf_counter() - t_start, 1),
              "rays": int(r.stats.rays)})
     elif args.phase == "part1":
         drive(r, args, args.kill_spp, "part1", t_start)
-        r.save_checkpoint(f"{OUT}/soak_ck.npz")
+        r.save_checkpoint(f"{OUT}/soak_ck_{tag}.npz")
         log({"event": "checkpointed", "spp": args.kill_spp,
              "wall_s": round(time.perf_counter() - t_start, 1)})
         # simulated crash: hard exit, no cleanup
         os._exit(0)
     else:  # part2
-        r.load_checkpoint(f"{OUT}/soak_ck.npz")
+        r.load_checkpoint(f"{OUT}/soak_ck_{tag}.npz")
         log({"event": "resumed", "budget": r.budget})
         drive(r, args, args.spp - r.budget, "part2", t_start)
-        save_acc(r, f"{OUT}/resumed_acc.npz")
+        save_acc(r, f"{OUT}/resumed_acc_{tag}.npz")
         log({"event": "done", "phase": "part2",
              "wall_s": round(time.perf_counter() - t_start, 1),
              "rays": int(r.stats.rays)})
-        solo = f"{OUT}/solo_acc.npz"
+        solo = f"{OUT}/solo_acc_{tag}.npz"
         if os.path.exists(solo):
             a = np.load(solo)
-            b = np.load(f"{OUT}/resumed_acc.npz")
+            b = np.load(f"{OUT}/resumed_acc_{tag}.npz")
             bit_equal = (np.array_equal(a["rad"], b["rad"])
                          and np.array_equal(a["w"], b["w"]))
             log({"event": "bit_continuity", "equal": bool(bit_equal)})

@@ -73,6 +73,16 @@ class StreamingRenderer:
         self._budget_max = 0
         self._budgets = None  # per-pixel budgets once adaptive stepping used
         self.stats = RenderStats()
+        # Per-LAUNCH iteration cap (bounce units; None = uncapped). A single
+        # kernel launch whose while_loop runs minutes of device time crashes
+        # the TPU worker through the axon tunnel (r5e config-5 soak:
+        # 10,000 DDA iterations x 254 tiles at 1920x1080 = "TPU worker
+        # process crashed"). Long steps/flushes are split into chained
+        # launches of at most this many iterations, with a host fetch
+        # between chunks so no single RPC blocks for minutes. Large-frame
+        # drivers (scripts/config5_soak.py) set this; benchmarks at
+        # measured shapes leave it None so numbers stay comparable.
+        self.max_launch_iters: int | None = None
 
     _DDA_ITER_SCALE = 5  # ~ mean walk steps + resolve per bounce
 
@@ -129,12 +139,28 @@ class StreamingRenderer:
         self.budget += add_samples
         self._budget_max = max(self._budget_max, self.budget)
         t0 = time.perf_counter()
-        self.f, self.i, rays = self._advance(self.budget, n_iters)
-        n = int(rays)
+        n = 0
+        budget = self.budget
+        for chunk in self._launch_chunks(n_iters):
+            self.f, self.i, rays = self._advance(budget, chunk)
+            n += int(rays)
+            budget = None  # budget plane already raised by the first launch
         self.stats.rays += n
         self.stats.wall_s += time.perf_counter() - t0
         self.stats.passes += 1
         return n
+
+    def _launch_chunks(self, n_iters: int):
+        """Split an iteration budget into per-launch chunks of at most
+        max_launch_iters (single chunk when uncapped)."""
+        cap = self.max_launch_iters
+        if cap is None or n_iters <= cap:
+            yield n_iters
+            return
+        done = 0
+        while done < n_iters:
+            yield min(cap, n_iters - done)
+            done += cap
 
     def step_timed(self, target_ms: float = 33.0, add_samples: int = 1) -> int:
         """Equal-time display step: advance the wavefront for ~target_ms of
@@ -196,8 +222,10 @@ class StreamingRenderer:
         self.budget = int(budgets.min())
         self._budget_max = int(budgets.max())
         t0 = time.perf_counter()
-        self.f, self.i, rays = self._advance(None, n_iters)
-        n_rays = int(rays)
+        n_rays = 0
+        for chunk in self._launch_chunks(n_iters):
+            self.f, self.i, rays = self._advance(None, chunk)
+            n_rays += int(rays)
         self.stats.rays += n_rays
         self.stats.wall_s += time.perf_counter() - t0
         self.stats.passes += 1
@@ -257,6 +285,8 @@ class StreamingRenderer:
         # progress is monitored via the pending counters, so a healthy
         # stream always terminates and a genuinely stuck one raises
         cap = self.config.max_depth * max(self._budget_max, 1) + 64
+        if self.max_launch_iters is not None:
+            cap = min(cap, self.max_launch_iters)
         last_pending = None
         while True:
             pending = stream_pending(self.i)
@@ -332,13 +362,24 @@ class StreamingRenderer:
         if ck_dda:
             from smallpt_tpu.ops import stream_dda as sd
 
-            nf, ni = sd._NF_D, sd._NI_D
+            nf, ni = sd._nf_d(self.config), sd._NI_D
         else:
             nf, ni = mk._NF, mk._NI
-        if f.shape[0] != 8 * nf or i.shape[0] != 8 * ni:
+        from smallpt_tpu.ops.megakernel import _stream_geometry
+
+        # validate the FULL shape, lane count included: a checkpoint from a
+        # different resolution passes a rows-only check and then fails deep
+        # inside set_sample_budget on the first step (r5e part2 resumed a
+        # stale toy-shape npz at 1920x1080 and broadcast-crashed)
+        _, _, _, n_cols = _stream_geometry(self.config, None)
+        want_f = (8 * nf, n_cols)
+        want_i = (8 * ni, n_cols)
+        if f.shape != want_f or i.shape != want_i:
             raise ValueError(
-                f"incompatible stream checkpoint layout: f{f.shape}/i{i.shape}"
-                f" vs current {8 * nf}/{8 * ni} plane rows"
+                f"incompatible stream checkpoint: f{tuple(f.shape)}/"
+                f"i{tuple(i.shape)} vs this renderer's {want_f}/{want_i} "
+                "(plane rows x padded lanes) — resolution/mode mismatch or "
+                "a stale checkpoint file"
             )
         self.f, self.i = f, i
         # per-pixel budgets live in the checkpointed budget plane — restore

@@ -242,3 +242,40 @@ def test_step_to_quality_respects_max_spp():
     assert q["spp_max"] >= 12
     _, w = r.accumulators()
     assert np.asarray(w).min() >= 4
+
+
+def test_launch_cap_bitexact():
+    """max_launch_iters splits a step into chained launches without
+    changing the result: the r5e config-5 soak crashed the TPU worker on a
+    single minutes-long launch; the cap is the fix and must be a pure
+    re-chunking (placement-invariant keying makes it so)."""
+    scene, cam = cornell_box_scene(), smallpt_camera()
+    a = StreamingRenderer(scene, cam, CFG, seed=5)
+    a.step(n_iters=24, add_samples=4)
+    a.flush()
+
+    b = StreamingRenderer(scene, cam, CFG, seed=5)
+    b.max_launch_iters = 5  # 24 -> 5+5+5+5+4, flush rounds capped too
+    b.step(n_iters=24, add_samples=4)
+    b.flush()
+    rad_a, w_a = a.accumulators()
+    rad_b, w_b = b.accumulators()
+    np.testing.assert_array_equal(np.asarray(rad_a), np.asarray(rad_b))
+    np.testing.assert_array_equal(np.asarray(w_a), np.asarray(w_b))
+
+
+def test_checkpoint_wrong_resolution_refused(tmp_path):
+    """A checkpoint from another resolution must be rejected at load (full
+    shape check, lane count included): before r5, a rows-only check let a
+    stale toy-shape file into a 1080p renderer, which then broadcast-crashed
+    deep inside set_sample_budget on the first step."""
+    scene, cam = cornell_box_scene(), smallpt_camera()
+    a = StreamingRenderer(scene, cam, CFG, seed=2)
+    a.step(n_iters=4, add_samples=1)
+    path = str(tmp_path / "small.npz")
+    a.save_checkpoint(path)
+
+    big = CFG.replace(width=128, height=96)  # 12288 lanes -> 2 tiles (16x12 pads to 1)
+    b = StreamingRenderer(scene, cam, big, seed=2)
+    with pytest.raises(ValueError, match="incompatible stream checkpoint"):
+        b.load_checkpoint(path)
