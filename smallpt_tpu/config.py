@@ -156,6 +156,17 @@ class RenderConfig:
     # measured winner; deep/huge shapes keep True.
     diff_remat: bool = True
 
+    # Recorded-winner replay differentiation (grad/replay.py): the loss/grad
+    # entry point runs a FAST non-differentiable forward that records each
+    # lane's per-bounce winner sphere id, then differentiates a replay scan
+    # that reconstructs the recorded winner's hit per lane (O(lanes), no
+    # search) instead of differentiating through the per-bounce winner
+    # search. Same estimator as the hybrid path (the discrete winner choice
+    # is detached either way — RenderConfig.detach_sampling's bias
+    # envelope); applies to eligible configs only (sphere scenes, Mode.FULL,
+    # split_budget 1, no NEE) and falls back to the scan path otherwise.
+    diff_replay: bool = True
+
     # Next-event estimation (explicit light sampling — the classic
     # smallpt-explicit variant of the reference's lineage): at every diffuse
     # hit, sample the solid-angle cone of each listed light sphere, cast a

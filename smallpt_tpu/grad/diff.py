@@ -74,7 +74,18 @@ def image_loss_and_grads(
 ):
     """L2 image loss against `target` plus gradients w.r.t. SceneParams.
 
-    Returns (loss, image, grads: SceneParams)."""
+    Returns (loss, image, grads: SceneParams).
+
+    Eligible configs (use_replay) route through the recorded-winner replay
+    differentiator (grad/replay.py): fast non-diff forward records the
+    per-bounce winner ids, gradients come from a search-free replay scan.
+    Everything else (NEE, splits, pure-JAX intersector, meshes)
+    differentiates the scan directly."""
+    from smallpt_tpu.grad.replay import image_loss_and_grads_replay, use_replay
+
+    if use_replay(scene, config):
+        return image_loss_and_grads_replay(scene, camera, config, key, target)
+
     params, refl = split_scene(scene)
 
     def loss_fn(p: SceneParams):
