@@ -329,7 +329,7 @@ def bench_mesh_stream(width=256, height=192, max_depth=12, rounds=3,
 
 
 def bench_diff(width=512, height=512, max_depth=16, warmup_s=3.0, rounds=5,
-               use_pallas=True):
+               use_pallas=True, replay=True, remat=True):
     """BASELINE config 4: one inverse-rendering training step (render +
     L2 loss + reverse-mode scene gradients + SGD update) at 512x512.
 
@@ -345,6 +345,12 @@ def bench_diff(width=512, height=512, max_depth=16, warmup_s=3.0, rounds=5,
         camera_model=CameraModel.LEGACY, filter=Filter.TENT,
         max_depth=max_depth,
         intersector=Intersector.PALLAS if use_pallas else Intersector.JAX,
+        # replay: recorded-winner replay differentiator (grad/replay.py —
+        # megakernel forward + search-free backward); False measures the
+        # scan differentiator. remat=False stores the replay residuals
+        # (pure-VJP backward) — viable for the small replay body where the
+        # hybrid body OOM'd (BASELINE r5d).
+        diff_replay=replay, diff_remat=remat,
     )
     scene = cornell_box_scene()
     camera = smallpt_camera()
@@ -403,6 +409,8 @@ def main():
         # BASELINE config 4: training-step latency (forward+backward+update)
         use_pallas = "--jax-diff" not in sys.argv
         kw2 = dict(width=128, height=128, rounds=2) if quick else {}
+        kw2["replay"] = "--diff-scan" not in sys.argv  # scan differentiator A/B
+        kw2["remat"] = "--diff-noremat" not in sys.argv
         step_s, rays_fwd = bench_diff(use_pallas=use_pallas, **kw2)
         metric = "train_step_ms_cornell_512x512_fullbsdf"
         print(
@@ -415,8 +423,12 @@ def main():
                 }
             )
         )
+        mode = (
+            "pure-jax" if not use_pallas
+            else ("replay" if kw2["replay"] else "pallas-hybrid-scan")
+        ) + ("" if kw2["remat"] else "-noremat")
         print(
-            f"# diff path={'pallas-hybrid' if use_pallas else 'pure-jax'}; "
+            f"# diff path={mode}; "
             f"forward rays/step {rays_fwd}; fwd rays/s "
             f"{rays_fwd/step_s/1e6:.1f}M",
             file=sys.stderr,

@@ -105,8 +105,26 @@ def record_forward(scene, camera, config: RenderConfig, key):
     diverges wholesale), and the recorded winners must be the ones the
     replay's _replay_winner arithmetic will reproduce — with the hybrid
     recorder, record/scan/replay primals agree bit-tight and the FD gates
-    of test_grad.py hold unchanged through the dispatch."""
+    of test_grad.py hold unchanged through the dispatch.
+
+    Scenes inside the megakernel's capacity record through the FUSED
+    kernel instead (render_record_megakernel: one persistent launch per
+    in-pixel sample, winner planes riding the loop carry) — the whole
+    forward in config.spp kernel launches at megakernel speed rather than
+    max_depth per-bounce XLA programs. Its sweep uses the same stable
+    citardauq arithmetic and root selection as _replay_winner, so the
+    recorded winners are the ones the replay reproduces (parity pinned by
+    tests/test_grad_replay.py)."""
     from smallpt_tpu.engine.renderer import make_intersect_fn
+    from smallpt_tpu.ops.megakernel import (MEGA_MAX_SPHERES,
+                                            render_record_megakernel)
+
+    if (
+        scene.n_spheres <= MEGA_MAX_SPHERES
+        and config.dtype == "float32"
+        and jax.default_backend() in ("tpu", "cpu")
+    ):
+        return render_record_megakernel(scene, camera, config, key)
 
     sample_ids, org, dirs = _flat_rays(scene, camera, config, key)
     state = wavefront.initial_state(org, dirs, 1, jnp.dtype(config.dtype))

@@ -162,6 +162,7 @@ def _mega_kernel(
     i_ref,       # (8*_NI, C) int32 state (aliased in/out)
     f_out,       # aliased output of f_ref
     i_out,       # aliased output of i_ref
+    rec_out=None,  # (8*record_depths, C) int32 winner record (see below)
     *,
     config: RenderConfig,
     n_spheres: int,
@@ -170,6 +171,17 @@ def _mega_kernel(
                       # words (core/rng.py::stream_key_words)
     table_in_smem: bool,  # True: per-sphere scalar reads from SMEM (small
                           # scenes); False: chunked VMEM loads (big scenes)
+    record_depths: int | None = None,  # record each lane's winner sphere id
+                 # per bounce depth into rec_out (-1 = miss or dead) — the
+                 # recorded-winner replay differentiator's fast forward
+                 # (grad/replay.py::record_forward). Requires budget == 1
+                 # (depth lockstep: with one sample per lane and no regen,
+                 # every live lane at iteration `it` is at depth `it`, so
+                 # plane d is written exactly at depth == d). The per-depth
+                 # planes ride the loop CARRY: a dynamically-indexed ref
+                 # write per iteration would be a per-lane scatter, not a
+                 # Mosaic-friendly op. Cost: 2 elem-ops per depth plane per
+                 # iteration (~12% on the 9-sphere Cornell sweep).
 ):
     t = pl.program_id(0)
 
@@ -217,7 +229,8 @@ def _mega_kernel(
 
     def loop_body(carry):
         (it, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz, depth,
-         s_idx, alive_i, nrays, m1, m2, sup) = carry
+         s_idx, alive_i, nrays, m1, m2, sup, *rec) = carry
+        rec = list(rec)
         alive = alive_i != 0
 
         # ---- regenerate dead lanes with their pixel's next sample ----------
@@ -422,6 +435,16 @@ def _mega_kernel(
 
         hit = bt < _BIG
         live_hit = jnp.logical_and(alive, hit)
+
+        if record_depths:
+            # budget-1 lockstep: depth == it for every lane (regen at it=0
+            # sets 0; the unconditional depth+1 below keeps dead lanes in
+            # step), so exactly plane `depth` is written this iteration
+            win_i = jnp.where(live_hit, bi.astype(jnp.int32), -1)
+            rec = [
+                jnp.where(depth == d, win_i, rec[d])
+                for d in range(record_depths)
+            ]
 
         if config.has_env and config.mode == Mode.FULL:
             # escaped rays pick up the constant environment radiance (the
@@ -693,13 +716,19 @@ def _mega_kernel(
         depth = depth + 1
         alive = jnp.logical_and(parent, depth < config.max_depth)
         return (it + 1, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz,
-                depth, s_new, alive.astype(jnp.int32), nrays, m1, m2, new_sup)
+                depth, s_new, alive.astype(jnp.int32), nrays, m1, m2,
+                new_sup, *rec)
 
+    rec0 = tuple(
+        jnp.full((_SUB, _LANE), -1, jnp.int32)
+        for _ in range(record_depths or 0)
+    )
     carry = (jnp.asarray(0, jnp.int32), ox0, oy0, oz0, dx0, dy0, dz0,
              wx0, wy0, wz0, rx0, ry0, rz0, depth0, s_idx0,
-             alive0.astype(jnp.int32), nrays0, m10, m20, sup0)
+             alive0.astype(jnp.int32), nrays0, m10, m20, sup0, *rec0)
     (_, ox, oy, oz, dx, dy, dz, wx, wy, wz, rx, ry, rz, depth, s_idx,
-     alive_i, nrays, m1, m2, sup) = jax.lax.while_loop(loop_cond, loop_body, carry)
+     alive_i, nrays, m1, m2, sup, *rec) = jax.lax.while_loop(
+        loop_cond, loop_body, carry)
     alive = alive_i != 0
 
     # ---- write back ---------------------------------------------------------
@@ -721,6 +750,9 @@ def _mega_kernel(
     wi_(_I_SUP, sup)
     # budget plane is read-only inside the kernel — copy through
     i_out[pl.ds(8 * _I_BUDGET, 8), :] = budget
+    if record_depths:
+        for d in range(record_depths):
+            rec_out[pl.ds(8 * d, 8), :] = rec[d]
 
 
 def build_scene_table(scene: SphereScene, config: RenderConfig) -> jnp.ndarray:
@@ -905,6 +937,128 @@ def render_pass_megakernel(
         axis=-1,
     ).astype(jnp.dtype(config.dtype))
     return rad.reshape(n_rows, config.width, 3), rays
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def render_record_megakernel(
+    scene: SphereScene,
+    camera,
+    config: RenderConfig,
+    key: jax.Array,
+    interpret: bool | None = None,
+):
+    """Forward pass at megakernel speed, recording per-(sample, depth)
+    winner sphere ids — the fast recorder of the recorded-winner replay
+    differentiator (grad/replay.py).
+
+    Returns (mean image (H, W, 3), winners (max_depth, L) int32 with -1
+    for miss/dead in FLAT lane order (lane = pixel * config.spp + s), rays
+    traced). One fused launch per in-pixel sample index s: budget-1 keeps
+    the kernel in depth lockstep (every live lane at iteration `it` is at
+    depth `it` — see _mega_kernel's record_depths), and the kernel keying
+    (sid = pixel * spp + ip with ip = s) makes launch s's streams exactly
+    the FLAT scheduler's samples {pixel * spp + s}."""
+    if config.split_budget != 1:
+        raise ValueError("megakernel requires split_budget == 1")
+    if config.mode != Mode.FULL:
+        raise ValueError("megakernel renders Mode.FULL only")
+    if scene.n_spheres > MAX_VMEM_SPHERES:
+        raise ValueError(
+            f"megakernel supports <= {MAX_VMEM_SPHERES} spheres"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    D = config.max_depth
+    n_rows = config.height
+    G = n_rows * config.width
+    n_tiles = -(-G // _TILE)
+    g_pad = n_tiles * _TILE
+    n_cols = g_pad // _SUB
+
+    kw = jax.random.key_data(key).astype(jnp.uint32).reshape(1, -1)[:, :2]
+    cam_vec = build_camera_vec(camera, config)
+    table = build_scene_table(scene, config)
+    table_in_smem = scene.n_spheres <= MAX_SMEM_SPHERES
+    kernel = functools.partial(
+        _mega_kernel,
+        config=config,
+        n_spheres=scene.n_spheres,
+        n_cols=n_cols,
+        streaming=False,
+        table_in_smem=table_in_smem,
+        record_depths=D,
+    )
+    table_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+        if table_in_smem
+        else pl.BlockSpec((table.shape[0], 16), lambda t: (0, 0),
+                          memory_space=pltpu.VMEM)
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # kw
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # ip
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # cam
+            table_spec,                                                # table
+            pl.BlockSpec((_SUB * _NF, _LANE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),                     # f
+            pl.BlockSpec((_SUB * _NI, _LANE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),                     # i
+        ],
+        out_specs=[
+            pl.BlockSpec((_SUB * _NF, _LANE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUB * _NI, _LANE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUB * D, _LANE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((_SUB * _NF, n_cols), jnp.float32),
+            jax.ShapeDtypeStruct((_SUB * _NI, n_cols), jnp.int32),
+            jax.ShapeDtypeStruct((_SUB * D, n_cols), jnp.int32),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )
+
+    rad_sum = jnp.zeros((G, 3), jnp.float32)
+    rays = jnp.asarray(0.0, jnp.float32)
+    recs = []
+    for s in range(config.spp):
+        f0, i0 = init_stream_state(config, n_rows)
+        i0 = set_sample_budget(i0, 1, config, n_rows)
+        ip = jnp.stack([
+            jnp.asarray(s, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(D, jnp.int32),
+        ]).reshape(1, 4)
+        f, i, rec = call(kw, ip, cam_vec, table, f0, i0)
+        rad_sum = rad_sum + jnp.stack(
+            [
+                f[8 * _F_RX:8 * _F_RX + 8].reshape(-1)[:G],
+                f[8 * _F_RY:8 * _F_RY + 8].reshape(-1)[:G],
+                f[8 * _F_RZ:8 * _F_RZ + 8].reshape(-1)[:G],
+            ],
+            axis=-1,
+        )
+        rays = rays + jnp.sum(
+            jax.lax.dynamic_slice_in_dim(i, 8 * _I_RAYS, 8, axis=0)
+            .astype(jnp.float32)
+        )
+        recs.append(rec.reshape(D, _SUB * n_cols)[:, :G])  # (D, G)
+    # FLAT lane order: lane = pixel * spp + s
+    winners = (
+        jnp.stack(recs, axis=0)          # (spp, D, G)
+        .transpose(1, 2, 0)              # (D, G, spp)
+        .reshape(D, G * config.spp)
+    )
+    img = (rad_sum / config.spp).astype(jnp.dtype(config.dtype))
+    return img.reshape(n_rows, config.width, 3), winners, rays
 
 
 # ---------------------------------------------------------------------------

@@ -171,7 +171,10 @@ def test_hybrid_pallas_gradients_match_jax_path(setup):
     from smallpt_tpu.config import Intersector
 
     scene, cam, key, target = setup
-    cfg_h = CFG.replace(intersector=Intersector.PALLAS)
+    # diff_replay=False: this test pins the HYBRID SCAN differentiator
+    # specifically; the recorded-winner replay path (the PALLAS default)
+    # has its own parity + FD gates in test_grad_replay.py
+    cfg_h = CFG.replace(intersector=Intersector.PALLAS, diff_replay=False)
     _, img_j, g_j = image_loss_and_grads(scene, cam, CFG, key, target)
     _, img_h, g_h = image_loss_and_grads(scene, cam, cfg_h, key, target)
     # forward images agree (same streams, same winner verdicts)
@@ -188,7 +191,7 @@ def test_hybrid_pallas_albedo_gradient_matches_fd(setup):
     from smallpt_tpu.config import Intersector
 
     scene, cam, key, target = setup
-    cfg_h = CFG.replace(intersector=Intersector.PALLAS)
+    cfg_h = CFG.replace(intersector=Intersector.PALLAS, diff_replay=False)
     _, _, grads = image_loss_and_grads(scene, cam, cfg_h, key, target)
     idx = (0, 0)
     fd = _fd_loss(scene, cam, cfg_h, key, target, "albedo", idx, 1e-3)
