@@ -124,7 +124,10 @@ def record_forward(scene, camera, config: RenderConfig, key):
         and config.dtype == "float32"
         and jax.default_backend() in ("tpu", "cpu")
     ):
-        return render_record_megakernel(scene, camera, config, key)
+        img, winners, rays = render_record_megakernel(
+            scene, camera, config, key
+        )
+        return img / config.spp, winners, rays
 
     sample_ids, org, dirs = _flat_rays(scene, camera, config, key)
     state = wavefront.initial_state(org, dirs, 1, jnp.dtype(config.dtype))
@@ -190,15 +193,16 @@ def _replay_hit_fn(scene, config: RenderConfig, winners_d):
     return isect
 
 
-def replay_mean(scene, camera, config: RenderConfig, key, winners):
-    """Differentiable mean image from recorded winners: the scan's xs are
-    the per-depth winner planes; each bounce reconstructs its lane's winner
-    hit in O(lanes) and shades through the SAME bounce_step as every other
-    scheduler. diff_remat applies as in the scan path (the replay body's
-    residuals are small enough to store at config-4 shapes — diff_remat
-    False is the measured option here, unlike the hybrid body whose
-    residuals OOM'd at 24.6 GB)."""
-    sample_ids, org, dirs = _flat_rays(scene, camera, config, key)
+def replay_samples(scene, config: RenderConfig, key, sample_ids, org, dirs,
+                   winners):
+    """Differentiable per-sample radiance from recorded winners: the scan's
+    xs are the per-depth winner planes; each bounce reconstructs its lane's
+    winner hit in O(lanes) and shades through the SAME bounce_step as every
+    other scheduler. diff_remat applies as in the scan path (the replay
+    body's residuals are small enough to store at config-4 shapes —
+    diff_remat False is the measured option here, unlike the hybrid body
+    whose residuals OOM'd at 24.6 GB). This is the sharding-friendly core:
+    callers shard the sample axis (parallel/replay_shard.py)."""
     state = wavefront.initial_state(org, dirs, 1, jnp.dtype(config.dtype))
 
     def body(st, winners_d):
@@ -212,8 +216,15 @@ def replay_mean(scene, camera, config: RenderConfig, key, winners):
 
     ckpt_body = jax.checkpoint(body) if config.diff_remat else body
     state, _ = jax.lax.scan(ckpt_body, state, winners)
+    return state.radiance
+
+
+def replay_mean(scene, camera, config: RenderConfig, key, winners):
+    """Differentiable mean image from recorded winners (full frame)."""
+    sample_ids, org, dirs = _flat_rays(scene, camera, config, key)
+    rad = replay_samples(scene, config, key, sample_ids, org, dirs, winners)
     return (
-        state.radiance.reshape(config.n_pixels, config.spp, 3).sum(axis=1)
+        rad.reshape(config.n_pixels, config.spp, 3).sum(axis=1)
         / config.spp
     ).reshape(config.height, config.width, 3)
 

@@ -939,25 +939,37 @@ def render_pass_megakernel(
     return rad.reshape(n_rows, config.width, 3), rays
 
 
-@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "interpret", "n_rows", "k_samples"),
+)
 def render_record_megakernel(
     scene: SphereScene,
     camera,
     config: RenderConfig,
     key: jax.Array,
+    ip_offset=0,
+    row_offset=0,
+    n_rows: int | None = None,
+    k_samples: int | None = None,
     interpret: bool | None = None,
 ):
     """Forward pass at megakernel speed, recording per-(sample, depth)
     winner sphere ids — the fast recorder of the recorded-winner replay
     differentiator (grad/replay.py).
 
-    Returns (mean image (H, W, 3), winners (max_depth, L) int32 with -1
-    for miss/dead in FLAT lane order (lane = pixel * config.spp + s), rays
-    traced). One fused launch per in-pixel sample index s: budget-1 keeps
-    the kernel in depth lockstep (every live lane at iteration `it` is at
+    Returns (SUMMED radiance image (n_rows, W, 3) over k_samples — the
+    render_pass_megakernel convention, so sharded callers can psum partial
+    sums exactly — winners (max_depth, L) int32 with -1 for miss/dead in
+    FLAT lane order (lane = local_pixel * k_samples + s), rays traced).
+    One fused launch per in-pixel sample index s: budget-1 keeps the
+    kernel in depth lockstep (every live lane at iteration `it` is at
     depth `it` — see _mega_kernel's record_depths), and the kernel keying
-    (sid = pixel * spp + ip with ip = s) makes launch s's streams exactly
-    the FLAT scheduler's samples {pixel * spp + s}."""
+    (sid = pixel * spp + ip with ip = ip_offset + s) makes launch s's
+    streams exactly the FLAT scheduler's corresponding samples.
+
+    Sharding hooks mirror render_pass_megakernel: row_offset/n_rows select
+    a tile band, ip_offset/k_samples a slice of the in-pixel sample axis."""
     if config.split_budget != 1:
         raise ValueError("megakernel requires split_budget == 1")
     if config.mode != Mode.FULL:
@@ -970,7 +982,10 @@ def render_record_megakernel(
         interpret = jax.default_backend() != "tpu"
 
     D = config.max_depth
-    n_rows = config.height
+    if n_rows is None:
+        n_rows = config.height
+    if k_samples is None:
+        k_samples = config.spp
     G = n_rows * config.width
     n_tiles = -(-G // _TILE)
     g_pad = n_tiles * _TILE
@@ -1028,12 +1043,12 @@ def render_record_megakernel(
     rad_sum = jnp.zeros((G, 3), jnp.float32)
     rays = jnp.asarray(0.0, jnp.float32)
     recs = []
-    for s in range(config.spp):
+    for s in range(k_samples):
         f0, i0 = init_stream_state(config, n_rows)
         i0 = set_sample_budget(i0, 1, config, n_rows)
         ip = jnp.stack([
-            jnp.asarray(s, jnp.int32),
-            jnp.asarray(0, jnp.int32),
+            jnp.asarray(ip_offset, jnp.int32) + s,
+            jnp.asarray(row_offset, jnp.int32),
             jnp.asarray(0, jnp.int32),
             jnp.asarray(D, jnp.int32),
         ]).reshape(1, 4)
@@ -1051,13 +1066,13 @@ def render_record_megakernel(
             .astype(jnp.float32)
         )
         recs.append(rec.reshape(D, _SUB * n_cols)[:, :G])  # (D, G)
-    # FLAT lane order: lane = pixel * spp + s
+    # FLAT lane order: lane = local_pixel * k_samples + s
     winners = (
-        jnp.stack(recs, axis=0)          # (spp, D, G)
-        .transpose(1, 2, 0)              # (D, G, spp)
-        .reshape(D, G * config.spp)
+        jnp.stack(recs, axis=0)          # (k, D, G)
+        .transpose(1, 2, 0)              # (D, G, k)
+        .reshape(D, G * k_samples)
     )
-    img = (rad_sum / config.spp).astype(jnp.dtype(config.dtype))
+    img = rad_sum.astype(jnp.dtype(config.dtype))
     return img.reshape(n_rows, config.width, 3), winners, rays
 
 
