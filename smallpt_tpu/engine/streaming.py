@@ -285,15 +285,36 @@ class StreamingRenderer:
         # progress is monitored via the pending counters, so a healthy
         # stream always terminates and a genuinely stuck one raises
         cap = self.config.max_depth * max(self._budget_max, 1) + 64
-        if self.max_launch_iters is not None:
-            cap = min(cap, self.max_launch_iters)
+        capped = self.max_launch_iters is not None and self.max_launch_iters < cap
+        if capped:
+            cap = self.max_launch_iters
+        # Stall detection: with the UNCAPPED cap, one advance over-covers all
+        # outstanding work, so identical pending counts across two rounds
+        # mean a genuinely stuck stream. With capped rounds the counts are
+        # NOT a per-round progress signal — while a backlog drains, every
+        # lane still owes work and (n_alive, n_can_regen) legitimately sits
+        # constant for many rounds (the r5f config-5 solo flush crashed on
+        # exactly this after rendering all 5000 spp). Allow enough identical
+        # rounds to cover one worst-case bounce of the last pending lane
+        # (DDA walk <= ~2x grid diameter per bounce) across max_depth.
+        stall_limit = (
+            1 if not capped
+            else max(3, (self.config.max_depth * 40) // max(cap, 1) + 2)
+        )
         last_pending = None
+        unchanged = 0
         while True:
             pending = stream_pending(self.i)
             if pending == (0, 0):
                 return
             if pending == last_pending:
-                raise RuntimeError("flush made no progress (paths stuck?)")
+                unchanged += 1
+                if unchanged >= stall_limit:
+                    raise RuntimeError(
+                        "flush made no progress (paths stuck?)"
+                    )
+            else:
+                unchanged = 0
             last_pending = pending
             self.f, self.i, rays = self._advance(None, cap)
             self.stats.rays += int(rays)

@@ -279,3 +279,25 @@ def test_checkpoint_wrong_resolution_refused(tmp_path):
     b = StreamingRenderer(scene, cam, big, seed=2)
     with pytest.raises(ValueError, match="incompatible stream checkpoint"):
         b.load_checkpoint(path)
+
+
+def test_capped_flush_drains_large_backlog():
+    """Capped flush rounds vs a big outstanding backlog: while lanes still
+    owe samples, (n_alive, n_can_regen) sits CONSTANT across rounds — the
+    r5f config-5 solo flush crashed on the old single-round equality
+    heuristic after rendering all 5000 spp. The capped drain must finish
+    and match the uncapped result exactly."""
+    scene, cam = cornell_box_scene(), smallpt_camera()
+    a = StreamingRenderer(scene, cam, CFG, seed=7)
+    a.step(n_iters=2, add_samples=20)  # huge backlog vs tiny advance
+    a.flush()
+
+    b = StreamingRenderer(scene, cam, CFG, seed=7)
+    b.max_launch_iters = 3
+    b.step(n_iters=2, add_samples=20)
+    b.flush()  # old heuristic raised here on round 2
+    rad_a, w_a = a.accumulators()
+    rad_b, w_b = b.accumulators()
+    np.testing.assert_array_equal(np.asarray(w_a), np.asarray(w_b))
+    np.testing.assert_array_equal(np.asarray(rad_a), np.asarray(rad_b))
+    assert (np.asarray(w_b) == 20).all()
