@@ -17,7 +17,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_smallpt_tpu")
+# CPU tests get their OWN cache dir, separate from the TPU bench cache:
+# persistent-cache CPU executables are AOT-compiled for the machine that
+# wrote them, and a cache carried across hosts loads with "machine type
+# doesn't match ... could lead to SIGILL" warnings — observed crashing a
+# full-suite run mid-way (r5f session). A host-keyed dir keeps reuse within
+# one machine and guarantees a fresh cache on a new one.
+import platform as _platform
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/tmp/jax_cache_smallpt_cpu_{_platform.node() or 'host'}",
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402

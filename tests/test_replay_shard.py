@@ -26,6 +26,29 @@ CFG = RenderConfig(
 )
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """Work around a deterministic `Fatal Python error: Aborted` inside
+    jax's compilation_cache.put_executable_and_time when this module's
+    sharded shard_map+interpret-pallas executables are serialized DURING A
+    FULL-SUITE RUN (r5f session, twice at the same spot; the same test
+    passes standalone with a fresh cache). The persistent cache only
+    speeds test reruns — skip it for this module rather than crash the
+    suite on an XLA serialization abort.
+
+    Disabling enable_compilation_cache alone did NOT stop the write (the
+    initialized cache object latches; the second full-suite run aborted at
+    the same line) — the min-compile-time threshold is read per write and
+    does."""
+    old_en = jax.config.jax_enable_compilation_cache
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_enable_compilation_cache", False)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_enable_compilation_cache", old_en)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old_min)
+
+
 @pytest.fixture(scope="module")
 def setup():
     scene = cornell_box_scene()
