@@ -76,25 +76,73 @@ def make_renderer(args):
     return r
 
 
-def drive(r, args, spp_target, label, t_start):
-    """Advance to spp_target total budget in windows, logging per-window
-    sustained rates (the thermal curve)."""
-    done = 0
+def _with_hang_watchdog(fn, timeout_s, label):
+    """Run fn() in a worker thread; if it blocks past timeout_s, hard-exit
+    with code 3 so the driver's retry loop restarts from the last progress
+    checkpoint. The axon tunnel has been observed to hang a device fetch
+    INDEFINITELY mid-soak (r5f: two part2 runs stalled 18+ min on one
+    window with ~0% CPU) — a blocked C call cannot be interrupted from
+    Python, so the only safe recovery is process death + resume."""
+    import threading
+
+    result = {}
+
+    def run():
+        result["v"] = fn()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "v" not in result:
+        log({"event": "hang", "label": label, "timeout_s": timeout_s})
+        os._exit(3)
+    return result["v"]
+
+
+def drive(r, args, spp_target, label, t_start, progress_path=None):
+    """Advance to spp_target TOTAL budget in windows, logging per-window
+    sustained rates (the thermal curve). Saves a progress checkpoint every
+    --ckpt-every windows (resume-from-checkpoint is the validated
+    bit-exact mechanism, so a retry after a tunnel hang loses at most
+    that many windows)."""
+    done = r.budget
+    n_win = 0
     while done < spp_target:
         add = min(args.window_spp, spp_target - done)
         t0 = time.perf_counter()
-        rays = r.step(n_iters=args.iters_per_spp * add, add_samples=add)
+        rays = _with_hang_watchdog(
+            lambda: r.step(n_iters=args.iters_per_spp * add,
+                           add_samples=add),
+            args.window_timeout, label,
+        )
         dt = time.perf_counter() - t0
         done += add
+        n_win += 1
         log({"event": "window", "label": label, "spp_done": done,
              "rays": int(rays), "window_s": round(dt, 2),
              "mrays_s": round(rays / dt / 1e6, 2),
              "t_total_s": round(time.perf_counter() - t_start, 1)})
+        if progress_path and n_win % args.ckpt_every == 0:
+            r.save_checkpoint(progress_path)
+            log({"event": "progress_ckpt", "label": label, "spp": done})
     t0 = time.perf_counter()
-    r.flush()
+    _with_hang_watchdog(r.flush, args.flush_timeout, label + "-flush")
     log({"event": "flush", "label": label,
          "flush_s": round(time.perf_counter() - t0, 2),
          "rays_total": int(r.stats.rays)})
+
+
+def maybe_resume(r, path):
+    """Resume from a progress checkpoint when one exists and is loadable;
+    silently start fresh otherwise."""
+    if path and os.path.exists(path):
+        try:
+            r.load_checkpoint(path)
+            log({"event": "resumed_progress", "path": path,
+                 "budget": r.budget})
+        except (ValueError, KeyError, OSError) as e:
+            log({"event": "progress_ckpt_rejected", "path": path,
+                 "error": str(e)[:160]})
 
 
 def save_acc(r, path):
@@ -114,6 +162,13 @@ def main():
     ap.add_argument("--n", type=int, default=10_000)
     ap.add_argument("--window-spp", type=int, default=50)
     ap.add_argument("--iters-per-spp", type=int, default=8)
+    ap.add_argument("--ckpt-every", type=int, default=10,
+                    help="save a progress checkpoint every N windows — a "
+                    "tunnel-hang retry loses at most N windows")
+    ap.add_argument("--window-timeout", type=float, default=900.0,
+                    help="hard-exit(3) if one window blocks this long "
+                    "(normal window ~47 s; first-after-compile ~100 s)")
+    ap.add_argument("--flush-timeout", type=float, default=2400.0)
     ap.add_argument("--launch-iters", type=int, default=16,
                     help="max bounce-iterations per kernel launch (the DDA "
                     "kernel runs 5x this in walk steps); ~2 s of device "
@@ -132,24 +187,41 @@ def main():
     # stale TOY-shape soak_ck.npz left by a CPU validation run
     tag = f"{args.width}x{args.height}_{args.spp}"
 
+    prog = f"{OUT}/progress_{args.phase}_{tag}.npz"
+
     if args.phase == "solo":
-        drive(r, args, args.spp, "solo", t_start)
+        maybe_resume(r, prog)
+        drive(r, args, args.spp, "solo", t_start, progress_path=prog)
         save_acc(r, f"{OUT}/solo_acc_{tag}.npz")
+        if os.path.exists(prog):
+            os.remove(prog)
         log({"event": "done", "phase": "solo",
              "wall_s": round(time.perf_counter() - t_start, 1),
              "rays": int(r.stats.rays)})
     elif args.phase == "part1":
-        drive(r, args, args.kill_spp, "part1", t_start)
+        maybe_resume(r, prog)
+        drive(r, args, args.kill_spp, "part1", t_start, progress_path=prog)
         r.save_checkpoint(f"{OUT}/soak_ck_{tag}.npz")
+        if os.path.exists(prog):
+            os.remove(prog)
         log({"event": "checkpointed", "spp": args.kill_spp,
              "wall_s": round(time.perf_counter() - t_start, 1)})
         # simulated crash: hard exit, no cleanup
         os._exit(0)
     else:  # part2
-        r.load_checkpoint(f"{OUT}/soak_ck_{tag}.npz")
+        # a part2 progress checkpoint (from a retried run) supersedes the
+        # part1 kill-point checkpoint — resume-from-checkpoint is the
+        # bit-exact mechanism either way, so continuity claims hold across
+        # any number of retries
+        if os.path.exists(prog):
+            maybe_resume(r, prog)
+        if r.budget == 0:
+            r.load_checkpoint(f"{OUT}/soak_ck_{tag}.npz")
         log({"event": "resumed", "budget": r.budget})
-        drive(r, args, args.spp - r.budget, "part2", t_start)
+        drive(r, args, args.spp, "part2", t_start, progress_path=prog)
         save_acc(r, f"{OUT}/resumed_acc_{tag}.npz")
+        if os.path.exists(prog):
+            os.remove(prog)
         log({"event": "done", "phase": "part2",
              "wall_s": round(time.perf_counter() - t_start, 1),
              "rays": int(r.stats.rays)})
