@@ -37,3 +37,15 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def cpu_devices():
     return jax.devices("cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between modules: one-process full-suite
+    runs accumulate ~300 XLA:CPU programs and deterministically segfault/
+    abort inside LLVM compilation around test #250 (r5f/r5g sessions, four
+    runs, idle host included; any two-module subset passes). Per-module
+    cache clearing caps the live-executable population; CPU recompiles are
+    cheap and the persistent cache covers the big ones."""
+    yield
+    jax.clear_caches()
