@@ -209,3 +209,27 @@ def test_engine_auto_routing_and_checkpoint(tmp_path, setup):
     r_nee2 = StreamingRenderer(
         big, camera, dataclasses.replace(config, nee_lights=(0, 8)), seed=3)
     assert r_nee2._dda is None
+
+
+def test_adaptive_sampling_on_dda_engine(setup):
+    """Variance-adaptive stepping through the DDA engine: the budget plane
+    (_I_BUDGET) and moment planes (_F_M1/_F_M2) share indices with the
+    classic layout, so step_adaptive/stream_variance must work unchanged —
+    noisy pixels get more samples, weights normalize per pixel, and the
+    drain is exact over the heterogeneous budgets."""
+    from smallpt_tpu.engine.streaming import StreamingRenderer
+
+    config, scene, camera, _ = setup
+    r = StreamingRenderer(scene, camera, config, seed=4, dda=True)
+    assert r._dda is not None
+    r.step(n_iters=32, add_samples=4)   # seed moments
+    r.step_adaptive(n_iters=48, add_samples_total=2 * config.n_pixels)
+    r.flush()
+    _, w = r.accumulators()
+    w = np.asarray(w)
+    budgets = np.asarray(r._budgets).reshape(config.height, config.width)
+    # exact drain: completed == budget everywhere
+    np.testing.assert_array_equal(w, budgets)
+    # the pool was spent and allocation is heterogeneous
+    assert int(budgets.sum()) == 6 * config.n_pixels
+    assert budgets.max() > budgets.min()
