@@ -187,7 +187,7 @@ def bench_binned(width=512, height=384, spp=4, max_depth=24, rounds=3,
 
 
 def bench_dda_stream(width=512, height=384, spp=4, max_depth=24, rounds=3,
-                     n=10_000, nee=False):
+                     n=10_000, nee=False, launch_cap=None):
     """BASELINE config 5 scene through the per-ray DDA streaming engine
     (ops/stream_dda.py) — the r5 big-scene flagship: per-lane grid walk
     fused into the continuous wavefront (15.5 Mrays/s sustained at this
@@ -206,6 +206,10 @@ def bench_dda_stream(width=512, height=384, spp=4, max_depth=24, rounds=3,
     camera = smallpt_camera()
     r = StreamingRenderer(scene, camera, config, seed=1000)  # auto-DDA
     assert r._dda is not None, "procedural scene should route to DDA"
+    # big frames split the advance into ~2 s launches (a single
+    # multi-minute launch crashes the TPU worker through the tunnel —
+    # the r5e config-5 lesson); measured free at 1080p (soak hit 20.5 M)
+    r.max_launch_iters = launch_cap
 
     def one():
         r.reset()
@@ -503,6 +507,14 @@ def main():
             kw2 = dict(width=128, height=96, rounds=1, spp=2) if quick else {}
             rays_per_s, total_rays, dt, img = bench_dda_stream(nee=True,
                                                                **kw2)
+        elif "--procedural-hd" in sys.argv:
+            # the config-5 shape: 1920x1080 through the same engine the
+            # full-spec soak ran (BASELINE r5f: 20.5 Mrays/s sustained)
+            metric = "rays_per_sec_per_chip_procedural10k_1920x1080_fullbsdf"
+            kw2 = (dict(width=128, height=96, rounds=1, spp=2) if quick
+                   else dict(width=1920, height=1080, spp=24, rounds=2,
+                             launch_cap=16))
+            rays_per_s, total_rays, dt, img = bench_dda_stream(**kw2)
         else:
             metric = "rays_per_sec_per_chip_procedural10k_512x384_fullbsdf"
             kw2 = dict(width=128, height=96, rounds=1, spp=2) if quick else {}
